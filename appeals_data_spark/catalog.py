@@ -1,0 +1,92 @@
+"""Table catalog: parquet exports -> named DataFrames / temp views.
+
+Plays the role of the reference's connection modules (vacolsConnect.R /
+caseflowConnect.R — SURVEY.md §2.1 S1-S4): one place that knows where
+tables live and what their canonical Spark schema is. Analyses never
+read files directly; they ask the catalog.
+
+Scale notes (100 TB design):
+- Reads are plain ``spark.read.parquet`` so Catalyst applies column
+  pruning + predicate pushdown into the scan (PushedFilters/ReadSchema).
+- For a production layout, fact tables (lineitem/orders/events) would be
+  written date-partitioned (see ``write_partitioned``) and bucketed by
+  their join key so repeated key joins avoid shuffles; dims stay
+  unpartitioned and broadcast. The loaders are layout-agnostic: a
+  partitioned directory read here picks up partition pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Columns stored as INT64 TIMESTAMP(NANOS) in the synthetic parquet.
+# Depending on build/conf Spark surfaces them as TIMESTAMP_NTZ (micros
+# truncation) or as raw nanosecond longs — normalize to TIMESTAMP_NTZ,
+# truncating nanos -> micros exactly like the DuckDB oracle does.
+_TS_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in _TS_COLS.get(name, ()):
+        if dtypes.get(c) == "bigint":
+            # integer div: nanos -> micros truncation (matches DuckDB)
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"{c} div 1000")).cast("timestamp_ntz")
+            )
+        elif dtypes.get(c) == "timestamp":
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every table as a temp view (``spark.sql`` surface)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(f"{prefix}{name}")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    bucket_spec: tuple[int, list[str], str] | None = None,
+) -> None:
+    """Production layout writer: date-partition + bucket by join key.
+
+    ``bucket_spec`` = (num_buckets, cols, table_name). Bucketed writes
+    require a saveAsTable; partition-only writes go straight to path.
+    """
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    if bucket_spec:
+        n, cols, table = bucket_spec
+        w.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(table)
+    else:
+        w.parquet(path)

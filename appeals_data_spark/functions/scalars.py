@@ -1,0 +1,87 @@
+"""Scalar/aggregate expression helpers (SURVEY.md §2.9 F1-F11).
+
+Everything here returns Column expressions built from JVM-side
+``pyspark.sql.functions`` so plans stay inside whole-stage codegen.
+
+Cross-engine determinism: double summation is order-dependent, and a
+distributed Spark sum will not bit-match a single-threaded DuckDB sum.
+The ``dec``/``dsum``/``davg`` helpers therefore route money-style
+aggregations through exact DECIMAL arithmetic (associative, engine
+independent) and cast the final result back to DOUBLE — identical bits
+in both engines regardless of partitioning. This is also the right
+call at 100 TB: decimal partial aggregates are exact under any AQE
+re-partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# -- exact-decimal aggregation ------------------------------------------------
+
+# All money/rate doubles in the synthetic data carry exactly 2 decimals,
+# so scale-2 casts are lossless and products stay at scale <= 6 — the
+# range where decimal->double casts are correctly rounded in BOTH
+# engines (DuckDB's int128->double is exact below 2^53).
+PRICE_DEC = "decimal(18,2)"
+RATE_DEC = "decimal(4,2)"
+
+
+def dec(col: str | Column, typ: str = PRICE_DEC) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def dsum(col: str | Column, typ: str = PRICE_DEC) -> Column:
+    """Exact sum of a double column via decimal; result DOUBLE."""
+    return F.sum(dec(col, typ)).cast("double")
+
+
+def davg(col: str | Column, typ: str = PRICE_DEC) -> Column:
+    """Deterministic mean: exact decimal sum / count, divided as DOUBLE."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(dec(c, typ)).cast("double") / F.count(c)
+
+
+def disc_price() -> Column:
+    """l_extendedprice * (1 - l_discount), exact decimal product."""
+    return dec("l_extendedprice") * (F.lit(1).cast(RATE_DEC) - dec("l_discount", RATE_DEC))
+
+
+def charge() -> Column:
+    """l_extendedprice * (1-l_discount) * (1+l_tax), exact decimal."""
+    return disc_price() * (F.lit(1).cast(RATE_DEC) + dec("l_tax", RATE_DEC))
+
+
+# SQL fragments for the DuckDB oracle mirroring the helpers above.
+SQL_DSUM = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+SQL_DAVG = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({col})"
+SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+SQL_CHARGE = SQL_DISC_PRICE + " * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+
+
+# -- date helpers -------------------------------------------------------------
+
+
+def fiscal_year(col: str | Column) -> Column:
+    """US-federal fiscal year (Oct 1 start), reference `findInterval`
+    bucketing (effect-on-outcomes.Rmd:163): FY = year(date + 3 months)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.year(F.add_months(c, 3))
+
+
+def month_trunc(col: str | Column) -> Column:
+    """Month truncation to DATE (reference `substr(date,1,7)` idiom, F2).
+
+    DATE (not timestamp) on both engines so collected values compare
+    identically against the DuckDB oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_trunc("month", c).cast("date")
+
+
+SQL_FISCAL_YEAR = "YEAR(CAST({col} AS TIMESTAMP) + INTERVAL 3 MONTH)"
+SQL_MONTH_TRUNC = "CAST(DATE_TRUNC('month', {col}) AS DATE)"

@@ -1,0 +1,32 @@
+"""Vector math over ArrayType(Float) embedding columns.
+
+Built on higher-order functions (``zip_with`` + ``aggregate``) so the
+arithmetic runs in the JVM without serializing vectors to Python. For
+very hot paths a pandas-UDF batch matmul is the alternative; at 100 TB
+the win is avoiding the per-row Python boundary entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

@@ -1,0 +1,360 @@
+"""Aggregation family (SURVEY.md §2.4 A1-A15).
+
+Reference shapes re-expressed over the synthetic star schema. Each
+query carries its DuckDB oracle; money sums go through exact decimal
+(see functions.scalars) so hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.scalars import (
+    SQL_CHARGE,
+    SQL_DISC_PRICE,
+    SQL_DSUM,
+    charge,
+    davg,
+    disc_price,
+    dsum,
+    fiscal_year,
+    month_trunc,
+)
+from ..registry import register
+
+
+@register(
+    "a1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM.format(col='l_quantity')} AS sum_qty,
+           {SQL_DSUM.format(col='l_extendedprice')} AS sum_base_price,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+           {SQL_DSUM.format(col='l_quantity')} / COUNT(l_quantity) AS avg_qty,
+           {SQL_DSUM.format(col='l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2018-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "A5", "P4"),
+    bench=True,
+)
+def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the flagship scan+agg.
+
+    Reference analog: grouped milestone summaries over BRIEFF
+    (e.g. scratch/decisions/fte.R:62-67). One scan, map-side partial
+    aggregation, 2-key groupBy — at 100 TB this is a pure
+    scan-throughput query; no join, no skew risk.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2018-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(charge()).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "a2_conditional_agg_flags",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending,
+           COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big,
+           COUNT(*) AS n_total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("A2",),
+)
+def a2_conditional_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted conditional counts in one pass — the reference's 16-flag
+    `count(case when ...)` idiom (amc-ro-classification.Rmd:53-161)."""
+    o = load_table(spark, sf_dir, "orders")
+    cnt = lambda c: F.count(F.when(c, 1))  # noqa: E731
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            cnt(F.col("o_orderstatus") == "F").alias("n_finished"),
+            cnt(F.col("o_orderstatus") == "O").alias("n_open"),
+            cnt(F.col("o_orderstatus") == "P").alias("n_pending"),
+            cnt(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.count("*").alias("n_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "a3_distinct_counts",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT DATE_TRUNC('month', o_orderdate)) AS n_months
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("A3", "A12"),
+)
+def a3_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per group (reference `count(distinct BFKEY)`,
+    reader-pilot.R:18). At 100 TB prefer approx_count_distinct unless
+    exactness is contractual — both are one shuffle; exact carries the
+    distinct-expand cost."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct(month_trunc("o_orderdate")).alias("n_months"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "a6_rate_vs_group_total",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month, o_orderstatus, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT month, o_orderstatus, n,
+           SUM(n) OVER (PARTITION BY month) AS total,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY month) AS rate
+    FROM m
+    ORDER BY month, o_orderstatus
+    """,
+    tags=("A6", "W8"),
+)
+def a6_rate_vs_group_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-then-rate against the group total — certification-usage.Rmd:40-46.
+    Two-level aggregation: groupBy then a partition-total window (no
+    second shuffle: window reuses the groupBy hash partitioning)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            month_trunc("o_orderdate").alias("month"), F.col("o_orderstatus")
+        ).agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("month")
+    return (
+        m.withColumn("total", F.sum("n").over(w))
+        .withColumn("rate", F.col("n").cast("double") / F.col("total"))
+        .orderBy("month", "o_orderstatus")
+    )
+
+
+@register(
+    "a7_quantile_summary",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5)  AS p50_qty,
+           quantile_cont(l_quantity, 0.25) AS p25_qty,
+           quantile_cont(l_quantity, 0.75) AS p75_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("A7",),
+)
+def a7_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (reference median/quantile summaries,
+    impact.R:277-298). Quantities are integer-valued and probs are
+    binary fractions, so interpolation is exact in both engines.
+    At 100 TB swap to approx_percentile (t-digest) — same API shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+            F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
+            F.expr("percentile(l_quantity, 0.75)").alias("p75_qty"),
+            F.max("l_quantity").cast("double").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "a8_crosstab",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("A8",),
+)
+def a8_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table in long form (reference `table(actual, pred)`,
+    amc-ro-classification.Rmd:266-272)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "a9_pivot_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("A9", "R2"),
+)
+def a9_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D pivot aggregation (reference `tapply` median-by-two-dims,
+    time-to-ep.Rmd:145). Explicit pivot values keep it one pass (no
+    distinct-values pre-job) — required practice at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "a10_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    tags=("A10",),
+)
+def a10_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Oracle `listagg` (the-david-ames-
+    query.R:220-225) as collect_list -> array_sort -> concat_ws."""
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"))
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "a12_monthly_rollup",
+    oracle=f"""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders,
+           {SQL_DSUM.format(col='o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1
+    ORDER BY month
+    """,
+    tags=("A12", "F2"),
+    bench=True,
+)
+def a12_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily->monthly rollup (fte.R:62-73). At scale: the month key is
+    low-cardinality -> partial aggregation collapses almost everything
+    map-side before the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(month_trunc("o_orderdate").alias("month"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+        .orderBy("month")
+    )
+
+
+@register(
+    "a13_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n
+    FROM orders
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    tags=("A13",),
+)
+def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (docket-order.R:69-75)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "a14_ranked_selection",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, rn FROM (
+      SELECT o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders WHERE o_orderstatus = 'O'
+    ) WHERE rn = 100
+    """,
+    tags=("A14", "O3"),
+)
+def a14_ranked_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-th element by rank — the reference's docket-line computation
+    ("date of the 4000th pending case", docket-model.R:285-293).
+    Global row_number is a single-partition sort of only the filtered
+    projection; at 100 TB pre-filter + project keeps that tractable
+    (or use approx quantile on the rank fraction instead)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_orderdate")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 100)
+    )
+
+
+@register(
+    "a15_fiscal_year_summary",
+    oracle=f"""
+    SELECT {"YEAR(o_orderdate + INTERVAL 3 MONTH)"} AS fy,
+           COUNT(*) AS n_orders,
+           {SQL_DSUM.format(col='o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1
+    ORDER BY fy
+    """,
+    tags=("A12", "F4", "W10"),
+)
+def a15_fiscal_year_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiscal-year bucketing (F4: `findInterval` Oct-1 years ->
+    year(date + 3 months))."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(fiscal_year("o_orderdate").alias("fy"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+        .orderBy("fy")
+    )

@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+Centralizes the engine's Spark tuning so tests, bench, and the driver
+entrypoint share one configuration story. Mirrors the reference's manual
+optimizations (predicate pushdown, column pruning, broadcast-side dims —
+SURVEY.md §4) with the Catalyst-native equivalents, and turns on AQE for
+runtime re-planning (skew joins, dynamic broadcast conversion) which is
+what carries these plans from local[32] to a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied even to externally-created sessions
+# (the correctness driver hands us its own SparkSession).
+RUNTIME_CONFS = {
+    # The synthetic parquet uses INT64 TIMESTAMP(NANOS) which Spark refuses
+    # by default; read as long and convert in the catalog (catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic date/timestamp semantics matching the DuckDB oracle
+    # (naive timestamps; container TZ is UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing, skew-join splitting,
+    # dynamic SMJ->BHJ conversion.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-provided)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static conf on this build — fall through; catalog handles
+            # the nanos column shape dynamically.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "appeals-data-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local session sized from $SPARK_GRAFT_CPUS (default all)."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cpus, 32)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for any pandas-UDF path and fast toPandas.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

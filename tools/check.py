@@ -1,0 +1,126 @@
+"""Local differential checker — mimics the driver's t2 gate.
+
+Runs every registered query through Spark AND its DuckDB oracle on the
+same parquet tables, then compares row count, column names, and
+order-insensitive values (exact equality, floats included — the engine
+guarantees determinism via exact-decimal aggregation).
+
+Usage:
+    python tools/check.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from appeals_data_spark.catalog import TABLES  # noqa: E402
+from appeals_data_spark.registry import all_queries  # noqa: E402
+from appeals_data_spark.session import get_spark  # noqa: E402
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rows_key(rows, cols):
+    # order-insensitive: sort columns by name, then sort rows
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    normed = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(normed, key=repr)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    spark = get_spark("check")
+    qs = all_queries()
+    names = args.names or list(qs)
+    n_pass = n_fail = n_rowsonly = 0
+    failures = []
+    for name in names:
+        q = qs[name]
+        t0 = time.time()
+        try:
+            sdf = q.builder(spark, args.sf)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        if q.oracle is None:
+            print(f"rows  {name}: {len(srows)} rows (no oracle)")
+            n_rowsonly += 1
+            continue
+        try:
+            rel = con.sql(q.oracle)
+            dcols = [c.lower() for c in rel.columns]
+            drows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        ok = True
+        msgs = []
+        if sorted(c.lower() for c in scols) != sorted(dcols):
+            ok = False
+            msgs.append(f"schema {sorted(scols)} vs {sorted(dcols)}")
+        if len(srows) != len(drows):
+            ok = False
+            msgs.append(f"rows {len(srows)} vs {len(drows)}")
+        if ok:
+            sk = _rows_key([tuple(r) for r in srows], [c.lower() for c in scols])
+            dk = _rows_key(drows, dcols)
+            if sk != dk:
+                ok = False
+                diff = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
+                msgs.append(f"values differ; first diffs: {diff}")
+        dt = time.time() - t0
+        if ok:
+            print(f"PASS  {name} ({len(srows)} rows, {dt:.1f}s)")
+            n_pass += 1
+        else:
+            print(f"FAIL  {name}: " + "; ".join(msgs))
+            n_fail += 1
+            failures.append(name)
+    print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    if failures:
+        print("failures:", " ".join(failures))
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
