@@ -1,1 +1,459 @@
-"""Placeholder — populated incrementally."""
+"""Join family (SURVEY.md §2.3 J1-J18).
+
+Physical-plan intent per query is documented inline: dims broadcast
+(BHJ), facts sort-merge on their keys, wildcard/theta joins forced to
+BHJ via broadcast() so they never degenerate into BNLJ over a big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.scalars import SQL_DISC_PRICE, disc_price, dsum
+from ..registry import register
+
+
+@register(
+    "j1_revenue_by_nation",
+    oracle=f"""
+    SELECT n_name,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("J1", "A1"),
+    bench=True,
+)
+def j1_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact⋈dim star join (reference BRIEFF⋈FOLDER + dims, J1).
+
+    Plan: lineitem⋈orders SMJ/shuffle-hash on orderkey; customer join
+    keyed on custkey; nation broadcast. At 100 TB, bucketing lineitem
+    and orders by orderkey turns the big join co-partitioned (no
+    shuffle); AQE handles the orderkey skew tail."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(disc_price()).cast("double").alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "j2_left_join_order_counts",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'F'
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+    tags=("J2",),
+)
+def j2_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join preserving parents with 0 children (reference `left
+    join ISSUES on BFKEY=ISSKEY`, J2); count(col) skips nulls exactly
+    like SQL."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "j3_composite_key_join",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             COUNT(*) AS n_lines,
+             SUM({SQL_DISC_PRICE}) AS pair_rev
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(pair_rev) AS DOUBLE) AS revenue
+    FROM ps
+    JOIN supplier ON ps.l_suppkey = s_suppkey
+    JOIN part     ON ps.l_partkey = p_partkey AND p_size >= 25
+    GROUP BY s_name
+    ORDER BY s_name
+    """,
+    tags=("J3", "J7"),
+)
+def j3_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregate to a composite key then join (reference J3 RMDREA
+    composite join + J7 pre-agg-then-join). The pre-aggregation shrinks
+    the 1:N side before the join — the reference's manual optimization,
+    kept deliberately (Catalyst won't push aggs below joins)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    # Keep the intermediate exact-decimal: re-casting a computed DOUBLE
+    # back to decimal rounds via shortest-string in Spark vs exact
+    # binary in DuckDB and diverges on .xx5 boundaries.
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(disc_price()).alias("pair_rev"),
+    )
+    return (
+        ps.join(s, ps.l_suppkey == s.s_suppkey)
+        .join(p, ps.l_partkey == p.p_partkey)
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("pair_rev").cast("double").alias("revenue"),
+        )
+        .orderBy("s_name")
+    )
+
+
+# Literal wildcard-classification dim: (brand_pat, status_pat, category).
+# '##' is the reference's hierarchical wildcard (ISSREF, J4).
+_WILDCARD_DIM = [
+    ("Brand#11", "##", "flagship"),
+    ("Brand#22", "F", "legacy-finished"),
+    ("Brand#22", "##", "legacy"),
+    ("##", "P", "pending-any"),
+    ("##", "##", "other"),
+]
+
+
+@register(
+    "j4_wildcard_hierarchy_join",
+    oracle="""
+    WITH dim(brand_pat, status_pat, category, prio) AS (VALUES
+      ('Brand#11', '##', 'flagship', 1),
+      ('Brand#22', 'F', 'legacy-finished', 2),
+      ('Brand#22', '##', 'legacy', 3),
+      ('##', 'P', 'pending-any', 4),
+      ('##', '##', 'other', 5)
+    ), joined AS (
+      SELECT p_partkey, o_orderstatus, category, prio,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY prio) AS rn
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part   ON l_partkey = p_partkey
+      JOIN dim    ON (brand_pat = '##' OR brand_pat = p_brand)
+                 AND (status_pat = '##' OR status_pat = o_orderstatus)
+    )
+    SELECT category, COUNT(*) AS n
+    FROM joined WHERE rn = 1
+    GROUP BY category
+    ORDER BY category
+    """,
+    tags=("J4", "J14"),
+)
+def j4_wildcard_hierarchy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical wildcard ('##') classification join — the
+    reference's ISSUES⋈ISSREF taxonomy join (effect-on-outcomes.
+    Rmd:95-106, J4). The dim is tiny and the condition disjunctive, so
+    it MUST broadcast (BHJ); a shuffled theta join would be O(n·m).
+    Best-match precedence via row_number over dim priority."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    dim = spark.createDataFrame(
+        [(b, s, c, i + 1) for i, (b, s, c) in enumerate(_WILDCARD_DIM)],
+        "brand_pat string, status_pat string, category string, prio int",
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(dim),
+            ((dim.brand_pat == "##") | (dim.brand_pat == p.p_brand))
+            & ((dim.status_pat == "##") | (dim.status_pat == o.o_orderstatus)),
+        )
+    )
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy("prio")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("category")
+        .agg(F.count("*").alias("n"))
+        .orderBy("category")
+    )
+
+
+@register(
+    "j5_concat_key_join",
+    oracle="""
+    WITH dim(ftkey, ftdesc) AS (VALUES
+      ('BR11', 'brand eleven'), ('BR22', 'brand twenty-two'),
+      ('BR33', 'brand thirty-three'), ('BR44', 'brand forty-four')
+    )
+    SELECT ftdesc, COUNT(*) AS n
+    FROM part
+    JOIN dim ON CONCAT('BR', SUBSTRING(p_brand, 7, 2)) = ftkey
+    GROUP BY ftdesc
+    ORDER BY ftdesc
+    """,
+    tags=("J5", "F5"),
+)
+def j5_concat_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-built join key against a code dim — the reference's
+    `'DG'||ISSLEV1 = FTKEY` VFTYPES join (J5). Computed equi-key, so
+    despite the expression it hash-joins (broadcast)."""
+    p = load_table(spark, sf_dir, "part")
+    dim = spark.createDataFrame(
+        [("BR11", "brand eleven"), ("BR22", "brand twenty-two"),
+         ("BR33", "brand thirty-three"), ("BR44", "brand forty-four")],
+        "ftkey string, ftdesc string",
+    )
+    key = F.concat(F.lit("BR"), F.substring("p_brand", 7, 2))
+    return (
+        p.join(F.broadcast(dim), key == dim.ftkey)
+        .groupBy("ftdesc")
+        .agg(F.count("*").alias("n"))
+        .orderBy("ftdesc")
+    )
+
+
+@register(
+    "j6_nonequi_temporal_join",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_late_lines,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+                 AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("J6",),
+)
+def j6_nonequi_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with residual temporal predicate (reference
+    `HEARING_DATE < BFDDEC`, J6). The equi half carries the join
+    strategy (SMJ); the `<` is a residual filter — no BNLJ."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.timestamp_add("DAY", F.lit(60), o.o_orderdate)),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_late_lines"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "j8_argmax_latest_order",
+    oracle="""
+    SELECT c_custkey, o_orderkey AS last_orderkey, o_orderdate AS last_orderdate
+    FROM (
+      SELECT c_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    )
+    WHERE rn = 1
+    ORDER BY c_custkey
+    """,
+    tags=("J8", "A11", "W4"),
+)
+def j8_argmax_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-row retrieval — reference does groupby-max + join-back
+    (time-to-ep.Rmd:54-65, J8); the Spark-native form is one window
+    pass (row_number desc == 1), halving the scans. Deterministic
+    tiebreak on orderkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "j9_self_join_pairs",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_pairs
+    FROM nation a
+    JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    JOIN region ON a.n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    tags=("J9",),
+)
+def j9_self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-aliased self-join (reference STAFF parent-location self
+    join, R/events.R:89-92, J9)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .join(F.broadcast(r), F.col("a.n_regionkey") == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "j13_right_join_fillna",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(CASE WHEN has_order THEN 1 END) AS n_with,
+           COUNT(CASE WHEN NOT has_order THEN 1 END) AS n_without
+    FROM (
+      SELECT c_mktsegment, COALESCE(o.o_custkey IS NOT NULL, FALSE) AS has_order
+      FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P') o
+      RIGHT JOIN customer ON o.o_custkey = c_custkey
+    )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("J13",),
+)
+def j13_right_join_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right join + replace_na(FALSE) — reference `views right_join
+    decisions %>% replace_na(caseflow=FALSE)` (impact.R:421-424)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+        .distinct()
+    )
+    joined = o.join(c, o.o_custkey == c.c_custkey, "right").withColumn(
+        "has_order", F.coalesce(F.col("o_custkey").isNotNull(), F.lit(False))
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.when(F.col("has_order"), 1)).alias("n_with"),
+            F.count(F.when(~F.col("has_order"), 1)).alias("n_without"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "j15_anti_semi_join",
+    oracle="""
+    SELECT n_name,
+           (SELECT COUNT(*) FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+               AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_never_ordered,
+           (SELECT COUNT(*) FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+               AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                             AND o.o_totalprice > 400000)) AS n_big_spenders
+    FROM nation n
+    GROUP BY n_name, n_nationkey
+    ORDER BY n_name
+    """,
+    tags=("J15",),
+)
+def j15_anti_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti / left_semi joins (reference "not in caseflow" NA
+    checks, impact.R:222-224, J15). Anti/semi never widen rows — the
+    safe existence-check shape at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    never = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    big = c.join(
+        o.filter(F.col("o_totalprice") > 400000),
+        c.c_custkey == o.o_custkey,
+        "left_semi",
+    )
+    never_n = never.groupBy("c_nationkey").agg(F.count("*").alias("n_never_ordered"))
+    big_n = big.groupBy("c_nationkey").agg(F.count("*").alias("n_big_spenders"))
+    return (
+        F.broadcast(n)
+        .join(never_n, n.n_nationkey == never_n.c_nationkey, "left")
+        .drop("c_nationkey")
+        .join(big_n, n.n_nationkey == big_n.c_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_never_ordered", F.lit(0)).alias("n_never_ordered"),
+            F.coalesce("n_big_spenders", F.lit(0)).alias("n_big_spenders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "j18_cross_join_grid",
+    oracle="""
+    WITH years AS (SELECT UNNEST(generate_series(1995, 2001)) AS yr),
+         counts AS (
+           SELECT c_mktsegment, YEAR(o_orderdate) AS yr, COUNT(*) AS n
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2
+         )
+    SELECT s.c_mktsegment, years.yr, COALESCE(counts.n, 0) AS n
+    FROM (SELECT DISTINCT c_mktsegment FROM customer) s
+    CROSS JOIN years
+    LEFT JOIN counts ON counts.c_mktsegment = s.c_mktsegment AND counts.yr = years.yr
+    ORDER BY s.c_mktsegment, years.yr
+    """,
+    tags=("J18", "J13", "S8"),
+)
+def j18_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense grid expansion: cross join segments × years, left join
+    observed counts, fill zeros (reference `merge(steps, weeks,
+    by=NULL)` grid, event-history.R:330-335, J18). Grid sides are tiny
+    -> broadcast cartesian is safe; never cross-join two big sides."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    years = spark.range(1995, 2002).select(F.col("id").cast("int").alias("yr"))
+    segs = c.select("c_mktsegment").distinct()
+    counts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", F.year("o_orderdate").alias("yr"))
+        .agg(F.count("*").alias("n"))
+    )
+    grid = segs.crossJoin(F.broadcast(years))
+    return (
+        grid.join(counts, ["c_mktsegment", "yr"], "left")
+        .select("c_mktsegment", "yr", F.coalesce("n", F.lit(0)).alias("n"))
+        .orderBy("c_mktsegment", "yr")
+    )
