@@ -1,0 +1,190 @@
+"""Deduplication operators for large text corpora.
+
+Training-data pipeline first-class ops (BASELINE.json north star):
+
+- exact: hash-groupBy on normalized text — one shuffle on a 64-bit key.
+- minhash LSH: shingle -> minhash signature -> band buckets ->
+  bucket-join candidates -> verified Jaccard. All JVM-side (xxhash64 +
+  higher-order array functions); the band join is an equi-join on
+  (band_id, band_hash) so candidate generation never goes quadratic.
+- simhash: 64-bit rotation-invariant fingerprint from token hashes;
+  near-dups = small Hamming distance within blocking buckets.
+- n-gram Jaccard: exact verification metric on candidate pairs.
+
+Scale: at 100 TB the only quadratic danger is candidate explosion from
+hot buckets; mitigate with band-hash salting on bucket size or a
+max-bucket cap (documented where applied).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+# -- exact ------------------------------------------------------------------
+
+
+def normalized_text(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of exact duplicates (post-normalization): one row per
+    duplicated hash with member ids and the keeper (min id)."""
+    h = F.xxhash64(normalized_text(text_col)).alias("text_hash")
+    return (
+        df.select(h, F.col(id_col).alias("doc_id"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+            F.array_sort(F.collect_list("doc_id")).alias("members"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# -- minhash ----------------------------------------------------------------
+
+
+def minhash_signature(col: str | Column, num_hashes: int = 32, k_shingle: int = 3) -> Column:
+    """Array of ``num_hashes`` minhash values over word k-shingles.
+
+    Each hash family member is xxhash64(shingle, seed=i); min per seed.
+    Empty shingle sets get a sentinel signature (hash of '') so they
+    never collide with real content.
+    """
+    sh = shingles(col, k_shingle)
+    sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("")))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def minhash_band_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) via banded minhash buckets.
+
+    rows_per_band = num_hashes // bands. Two docs are candidates iff
+    at least one band's sub-signature matches exactly — the classic
+    S-curve knob.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(text_col, num_hashes, k_shingle).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(col_a: Column, col_b: Column) -> Column:
+    """Jaccard similarity of two string arrays (as sets)."""
+    inter = F.size(F.array_intersect(col_a, col_b))
+    union = F.size(F.array_union(col_a, col_b))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    candidate_pairs: DataFrame,
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard."""
+    sets_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(text_col, k_shingle)).alias("sh"),
+    )
+    a = sets_df.alias("sa")
+    b = sets_df.alias("sb")
+    return (
+        candidate_pairs.join(a, candidate_pairs.id_a == F.col("sa.doc_id"))
+        .join(b, candidate_pairs.id_b == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sa.sh"), F.col("sb.sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -- simhash ----------------------------------------------------------------
+
+
+def simhash64(col: str | Column) -> Column:
+    """64-bit SimHash over whitespace tokens.
+
+    Bit b of the fingerprint is 1 iff Σ_tokens sign(bit b of
+    xxhash64(token)) > 0. Pure higher-order-function implementation:
+    per-bit popcount-style sum, no UDF.
+    """
+    t = tokens(col)
+    hashes = F.transform(t, lambda x: F.xxhash64(x))
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

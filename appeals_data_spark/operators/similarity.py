@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k of query vectors against the
+  corpus — broadcast the (small) query set, score JVM-side via
+  zip_with/aggregate, window top-k. The exactness baseline.
+- ``lsh_topk``: random-hyperplane (signed projection) bucketing; only
+  candidates sharing a bucket are scored. The 100 TB path: candidate
+  generation is an equi-join on bucket id, so cost tracks bucket
+  occupancy instead of |corpus| × |queries|.
+
+Hyperplanes are derived deterministically from a seed via xxhash64 so
+runs are reproducible without driver-side RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries must be small (broadcast)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"))
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col("corpus_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "corpus_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int, seed: int = 42) -> Column:
+    """Deterministic pseudo-random unit-free hyperplane: component j is
+    a signed value derived from xxhash64(seed, plane_idx, j)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.xxhash64(F.lit(seed), F.lit(plane_idx), j) % 1000003
+        ).cast("double"),
+    )
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id (n_planes sign bits packed)."""
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda j: (
+                            F.xxhash64(F.lit(seed), p, j) % 1000003 - 500001
+                        ).cast("double"),
+                    ),
+                    lambda x, h: x.cast("double") * h,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            1,
+        ).otherwise(0),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda b, p: b * F.shiftleft(F.lit(1), p),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates."""
+    cb = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    scored = cb.join(F.broadcast(qb), "bucket").filter(
+        F.col("corpus_id") != F.col("query_id")
+    ).select("query_id", "corpus_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

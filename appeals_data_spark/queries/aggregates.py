@@ -221,9 +221,9 @@ def a8_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a9_pivot_agg",
     oracle="""
     SELECT o_orderpriority,
-           CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
-           CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
-           CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+           CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS status_f,
+           CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS status_o,
+           CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS status_p
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -235,12 +235,18 @@ def a9_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-to-ep.Rmd:145). Explicit pivot values keep it one pass (no
     distinct-values pre-job) — required practice at scale."""
     o = load_table(spark, sf_dir, "orders")
-    return (
+    piv = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
-        .orderBy("o_orderpriority")
     )
+    # lowercase names: avoid any case-normalization ambiguity downstream
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").alias("status_f"),
+        F.col("O").alias("status_o"),
+        F.col("P").alias("status_p"),
+    ).orderBy("o_orderpriority")
 
 
 @register(

@@ -1,1 +1,192 @@
-"""Placeholder — populated incrementally."""
+"""Event-log composite operators (SURVEY J10/J16/J17, X4).
+
+These are the reference's signature analytics — fuzzy as-of matching,
+point-in-time backlog, windowed similarity counts, process-mining
+traces — built on the reusable operators package.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..operators.pit import date_grid, pit_backlog
+from ..registry import register
+
+
+@register(
+    "j10_fuzzy_asof_match",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+    ), signups AS (
+      SELECT event_id AS s_id, user_id, ts AS s_ts FROM events WHERE event_type = 'signup'
+    ), cand AS (
+      SELECT p.p_id, p.user_id, s.s_id,
+             CASE WHEN CAST(p.p_ts AS DATE) = CAST(s.s_ts AS DATE)
+                  THEN 'precise' ELSE 'fuzzy' END AS match_type,
+             ABS(DATEDIFF('day', CAST(s.s_ts AS DATE), CAST(p.p_ts AS DATE))) AS day_diff,
+             s.s_ts
+      FROM purchases p JOIN signups s ON p.user_id = s.user_id
+      WHERE ABS(DATEDIFF('day', CAST(s.s_ts AS DATE), CAST(p.p_ts AS DATE))) <= 3
+    ), best AS (
+      SELECT p_id, user_id, match_type,
+             ROW_NUMBER() OVER (PARTITION BY p_id
+                                ORDER BY match_type DESC, day_diff, s_ts, s_id) AS rn
+      FROM cand
+    )
+    SELECT user_id,
+           COUNT(CASE WHEN match_type = 'precise' THEN 1 END) AS n_precise,
+           COUNT(CASE WHEN match_type = 'fuzzy' THEN 1 END) AS n_fuzzy
+    FROM best WHERE rn = 1
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("J10",),
+    bench=True,
+)
+def j10_fuzzy_asof_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy date-window match with precise-over-fuzzy precedence —
+    the decisions⋈claims logic (time-to-ep.Rmd:101-125, J10) via
+    operators.fuzzy_join. Purchases match same-user signups within
+    ±3 days; exact-day matches win, then closest/earliest."""
+    from ..operators.fuzzy_join import fuzzy_asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"), F.col("user_id"), F.col("ts").alias("s_ts")
+    )
+    matched = fuzzy_asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_key="p_id",
+        left_ts="p_ts",
+        right_ts="s_ts",
+        tolerance_days=3,
+        right_tiebreak="s_id",
+        how="inner",
+    )
+    return (
+        matched.groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("match_type") == "precise", 1)).alias("n_precise"),
+            F.count(F.when(F.col("match_type") == "fuzzy", 1)).alias("n_fuzzy"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "j16_window_similarity_count",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           COUNT(*) AS n_nearby
+    FROM events p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND date_diff('second', p.ts, e.ts) BETWEEN -3600 AND 3600
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    ORDER BY p.event_id
+    """,
+    tags=("J16",),
+)
+def j16_window_similarity_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor count of same-entity events within ±1 hour — the
+    reference's ±3-day multi-decision count (max-multi-decision.R:16-22,
+    J16). A RANGE window over epoch seconds replaces the self-join:
+    one sort per entity partition instead of an O(n·m) join."""
+    from ..operators.sessionize import epoch_seconds
+
+    e = load_table(spark, sf_dir, "events").withColumn("sec", epoch_seconds("ts"))
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 3600)
+    return (
+        e.withColumn("n_nearby", F.count("*").over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "n_nearby")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "j17_pit_backlog",
+    oracle="""
+    WITH grid AS (
+      SELECT UNNEST(generate_series(DATE '1995-01-02', DATE '2001-12-31', INTERVAL 7 DAY)) AS grid_date
+    ), intervals AS (
+      SELECT CAST(o_orderdate AS DATE) AS enter_d,
+             CAST(o_orderdate AS DATE) + CAST(30 + o_orderkey % 60 AS INTEGER) AS exit_d
+      FROM orders
+    )
+    SELECT CAST(grid_date AS DATE) AS grid_date,
+           (SELECT COUNT(*) FROM intervals
+             WHERE enter_d <= CAST(grid_date AS DATE) AND exit_d > CAST(grid_date AS DATE)) AS backlog
+    FROM grid
+    ORDER BY grid_date
+    """,
+    tags=("J17", "J18"),
+    bench=True,
+)
+def j17_pit_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time backlog over (enter, exit) cohorts on a weekly
+    grid (capacity.R:84-86, impact.R:569-571, J17). Synthetic exit =
+    enter + 30 + orderkey%60 days. Uses the explode-sequence strategy:
+    map-side expansion + count, no join (see operators.pit)."""
+    o = load_table(spark, sf_dir, "orders")
+    intervals = o.select(
+        F.col("o_orderdate").cast("date").alias("enter_d"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.lit(30) + F.col("o_orderkey") % 60).cast("int"),
+        ).alias("exit_d"),
+    )
+    grid = date_grid(spark, "1995-01-02", "2001-12-31", 7)
+    return pit_backlog(intervals, grid, "enter_d", "exit_d", step_days=7)
+
+
+@register(
+    "x4_trace_coverage",
+    oracle="""
+    WITH traces AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS trace
+      FROM events
+      WHERE event_id % 20 = 0
+      GROUP BY user_id
+    )
+    SELECT trace, COUNT(*) AS n_users
+    FROM traces
+    GROUP BY trace
+    HAVING COUNT(*) > 0
+    ORDER BY n_users DESC, trace
+    LIMIT 20
+    """,
+    tags=("X4", "A10"),
+)
+def x4_trace_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining trace coverage (status-api-traces.R:110-120, X4):
+    ordered event sequence per case -> trace string -> frequency.
+    Sampled to every-20th event to keep distinct traces meaningful."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    traces = e.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("trace")
+    )
+    return (
+        traces.groupBy("trace")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("trace"))
+        .limit(20)
+    )

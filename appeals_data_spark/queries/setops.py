@@ -1,1 +1,144 @@
-"""Placeholder — populated incrementally."""
+"""Set-operation + sort family (SURVEY.md §2.7 U1-U4, §2.8 O1-O4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "u1_union_event_log",
+    oracle="""
+    SELECT event_type, YEAR(ts) AS yr, COUNT(*) AS n,
+           CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+    FROM (
+      SELECT o_custkey AS entity_id, 'order_placed' AS event_type,
+             o_orderdate AS ts, o_totalprice AS amount FROM orders
+      UNION ALL
+      SELECT l_suppkey, 'line_shipped', l_shipdate, l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT user_id, event_type, ts, value FROM events
+    )
+    WHERE ts IS NOT NULL
+    GROUP BY event_type, YEAR(ts)
+    ORDER BY event_type, yr
+    """,
+    tags=("U1", "R1", "S1"),
+    bench=True,
+)
+def u1_union_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events_all() union — the reference's 10-way rbind
+    (R/events.R:929-988, U1) as ONE Catalyst plan over three
+    extractors. Union is plan-level: no shuffle until the groupBy."""
+    from ..views.events import events_all
+
+    ev = events_all(spark, sf_dir)
+    return (
+        ev.groupBy("event_type", F.year("ts").alias("yr"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("total_amount"),
+        )
+        .orderBy("event_type", "yr")
+    )
+
+
+@register(
+    "u2_union_dedup",
+    oracle="""
+    SELECT YEAR(o_orderdate) AS yr, COUNT(*) AS n
+    FROM (
+      SELECT o_orderkey, o_orderdate FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+      UNION
+      SELECT o_orderkey, o_orderdate FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'
+    )
+    GROUP BY 1
+    ORDER BY yr
+    """,
+    tags=("U2", "A4"),
+)
+def u2_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union + dedup of overlapping slices (events.R:546-549, U2).
+    dropDuplicates on the full row == SQL UNION DISTINCT."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s1 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    s2 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        s1.unionByName(s2)
+        .dropDuplicates()
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("yr")
+    )
+
+
+@register(
+    "u3_array_intersect_sources",
+    oracle="""
+    WITH sl AS (SELECT DISTINCT source, lang FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common_langs
+    FROM sl a JOIN sl b ON a.lang = b.lang AND a.source < b.source
+    WHERE a.source IN ('src0','src1','src2') AND b.source IN ('src0','src1','src2')
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+    """,
+    tags=("U3",),
+)
+def u3_array_intersect_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection via array_intersect on collect_set arrays — the
+    reference's issue-category overlap matching
+    (unified-appeal-streams.R:108-116, U3)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    sets_df = d.groupBy("source").agg(F.collect_set("lang").alias("langs"))
+    a, b = sets_df.alias("a"), sets_df.alias("b")
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.size(F.array_intersect(F.col("a.langs"), F.col("b.langs"))).alias(
+                "n_common_langs"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "o1_multikey_sort_head",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
+    FROM lineitem
+    ORDER BY l_returnflag, l_shipdate DESC, l_orderkey, l_linenumber
+    LIMIT 50
+    """,
+    tags=("O1", "O2"),
+)
+def o1_multikey_sort_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort + head (events.R:96,988 arrange; O1/O2).
+    TakeOrderedAndProject: per-partition top-N + merge, never a global
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
+        .orderBy(
+            F.asc("l_returnflag"),
+            F.desc("l_shipdate"),
+            F.asc("l_orderkey"),
+            F.asc("l_linenumber"),
+        )
+        .limit(50)
+    )

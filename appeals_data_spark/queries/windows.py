@@ -1,1 +1,233 @@
-"""Placeholder — populated incrementally."""
+"""Window-function family (SURVEY.md §2.5 W1-W10).
+
+The reference re-sorts per parser (events.R:96,138,189,218); every
+query here computes all its lead/lag/running aggregates over ONE
+window spec so the plan sorts each partition exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.scalars import dsum
+from ..registry import register
+
+
+@register(
+    "w1_lead_lag_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+             ts
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(next_ts) AS n_with_next,
+           SUM(CASE WHEN next_ts IS NOT NULL
+                    THEN date_diff('second', ts, next_ts) ELSE 0 END) AS total_gap_seconds
+    FROM seq
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("W1", "W2"),
+)
+def w1_lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag across per-entity ordered streams (events.R:137-143
+    manual vector shift -> partitionBy gives case-boundary nulls for
+    free). Gap math on whole seconds, summed as BIGINT -> exact."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("next_ts", F.lead("ts").over(w))
+    gap = F.unix_timestamp(F.col("next_ts").cast("timestamp")) - F.unix_timestamp(
+        F.col("ts").cast("timestamp")
+    )
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("next_ts").alias("n_with_next"),
+            F.sum(F.when(F.col("next_ts").isNotNull(), gap).otherwise(0)).alias(
+                "total_gap_seconds"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "w3_session_segmentation",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS is_start
+      FROM seq
+    )
+    SELECT user_id,
+           SUM(is_start) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("W3", "W6"),
+    bench=True,
+)
+def w3_session_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum segmentation == sessionization (events.R:213-218,
+    W3). Uses the reusable operator; 30-min gap rule."""
+    from ..operators.sessionize import sessionize
+
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", 1800, tiebreak_col="event_id")
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("session_seq").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "w4_topk_per_group",
+    oracle="""
+    SELECT user_id, rank, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rank
+      FROM events WHERE event_type = 'purchase'
+    ) WHERE rank <= 3
+    ORDER BY user_id, rank
+    """,
+    tags=("W4", "O3"),
+)
+def w4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k by row_number (events.R:230-233 keep-first/last).
+    Rank window after a pushed filter; deterministic tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", "event_id", "value")
+        .orderBy("user_id", "rank")
+    )
+
+
+@register(
+    "w6_cumulative_condition_flags",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_errors
+      FROM events
+    )
+    SELECT CASE WHEN prior_errors > 0 THEN 'after_error' ELSE 'clean' END AS cohort,
+           COUNT(*) AS n_purchases
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY cohort
+    """,
+    tags=("W6",),
+)
+def w6_cumulative_condition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative condition counters used to segment downstream events
+    (event-history.R:80-96: drop events before/after hearings)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_errors = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).over(w), F.lit(0)
+    )
+    return (
+        e.withColumn("prior_errors", prior_errors)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.when(F.col("prior_errors") > 0, "after_error")
+            .otherwise("clean")
+            .alias("cohort")
+        )
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy("cohort")
+    )
+
+
+@register(
+    "w7_dense_rank_group_index",
+    oracle="""
+    SELECT p_brand, price_rank, COUNT(*) AS n_parts FROM (
+      SELECT p_brand,
+             DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank
+      FROM part
+    )
+    WHERE price_rank <= 3
+    GROUP BY p_brand, price_rank
+    ORDER BY p_brand, price_rank
+    """,
+    tags=("W7",),
+)
+def w7_dense_rank_group_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank group indexing (reference `group_indices`,
+    effect-on-outcomes.Rmd:166)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return (
+        p.withColumn("price_rank", F.dense_rank().over(w))
+        .filter(F.col("price_rank") <= 3)
+        .groupBy("p_brand", "price_rank")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("p_brand", "price_rank")
+    )
+
+
+@register(
+    "w9_lead_offset_series",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           LEAD(revenue, 2) OVER (ORDER BY month) AS revenue_2mo_ahead,
+           LEAD(revenue, 2) OVER (ORDER BY month) - revenue AS delta_2mo
+    FROM monthly
+    ORDER BY month
+    """,
+    tags=("W9",),
+)
+def w9_lead_offset_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-step lead over a time-indexed series (docket-model.R:72-76
+    `lead(activation, 730)`). The series is an aggregate (tiny) so the
+    unpartitioned window is safe; on raw data always partition."""
+    from ..functions.scalars import month_trunc
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(month_trunc("o_orderdate").alias("month")).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    ahead = F.lead("revenue", 2).over(w)
+    return (
+        monthly.withColumn("revenue_2mo_ahead", ahead)
+        .withColumn("delta_2mo", ahead - F.col("revenue"))
+        .orderBy("month")
+    )

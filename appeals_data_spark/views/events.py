@@ -1,0 +1,83 @@
+"""The derived event-log view — the reference's core abstraction.
+
+`R/events.R` converts wide tables into a long
+(entity, event_type, ts) stream via ~10 per-source extractors unioned
+at the end (events.R:923-991, SURVEY §1.4, R1, U1). Here each
+extractor is a lazy DataFrame builder; `events_all` is a single
+unionByName so Catalyst sees ONE plan covering extraction + union —
+scan sharing and pushdown happen across extractors, unlike the
+reference's 10 separate Oracle round trips (SURVEY §3.1).
+
+Canonical schema: (entity_id long, event_type string, ts timestamp_ntz,
+amount double nullable). Unpivot-style extractors use
+``DataFrame.unpivot`` — the direct analog of tidyr `gather`.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+EVENT_SCHEMA_COLS = ["entity_id", "event_type", "ts", "amount"]
+
+
+def _conform(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("entity_id").cast("long"),
+        F.col("event_type").cast("string"),
+        F.col("ts").cast("timestamp_ntz"),
+        F.col("amount").cast("double"),
+    ).filter(F.col("ts").isNotNull())
+
+
+def order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order placement is an event on the customer."""
+    o = load_table(spark, sf_dir, "orders")
+    return _conform(
+        o.select(
+            F.col("o_custkey").alias("entity_id"),
+            F.lit("order_placed").alias("event_type"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_totalprice").alias("amount"),
+        )
+    )
+
+
+def shipment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each line shipment is an event on the supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return _conform(
+        li.select(
+            F.col("l_suppkey").alias("entity_id"),
+            F.lit("line_shipped").alias("event_type"),
+            F.col("l_shipdate").alias("ts"),
+            F.col("l_extendedprice").alias("amount"),
+        )
+    )
+
+
+def user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw clickstream table, conformed."""
+    e = load_table(spark, sf_dir, "events")
+    return _conform(
+        e.select(
+            F.col("user_id").alias("entity_id"),
+            F.col("event_type"),
+            F.col("ts"),
+            F.col("value").alias("amount"),
+        )
+    )
+
+
+EXTRACTORS = (order_events, shipment_events, user_events)
+
+
+def events_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of all extractors — one Catalyst plan, one pass."""
+    return reduce(
+        DataFrame.unionByName, (ex(spark, sf_dir) for ex in EXTRACTORS)
+    )
