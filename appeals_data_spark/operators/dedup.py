@@ -155,6 +155,17 @@ def ngram_jaccard_pairs(
 # -- simhash ----------------------------------------------------------------
 
 
+def _bit_mask(b: Column) -> Column:
+    """Long with only bit ``b`` set, valid for b in [0, 63].
+
+    pow(2, b) is exact in double up to b=62; bit 63 is Long.MIN_VALUE
+    (2^63 would overflow-clamp to Long.MAX and set every lower bit).
+    """
+    return F.when(b == 63, F.lit(-9223372036854775808).cast("long")).otherwise(
+        F.pow(F.lit(2.0), b).cast("long")
+    )
+
+
 def simhash64(col: str | Column) -> Column:
     """64-bit SimHash over whitespace tokens.
 
@@ -170,16 +181,14 @@ def simhash64(col: str | Column) -> Column:
             hashes,
             F.lit(0),
             lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1).otherwise(-1),
+            + F.when(h.bitwiseAND(_bit_mask(b)) != 0, 1).otherwise(-1),
         ),
     )
     return F.aggregate(
         F.zip_with(
             bit_votes,
             F.sequence(F.lit(0), F.lit(63)),
-            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            ),
+            lambda v, b: F.when(v > 0, _bit_mask(b)).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),

@@ -86,7 +86,7 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Colu
         F.zip_with(
             bits,
             F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            lambda b, p: b * F.shiftleft(F.lit(1), p),
+            lambda b, p: b * F.pow(F.lit(2.0), p).cast("int"),
         ),
         F.lit(0),
         lambda acc, x: acc + x,

@@ -1,1 +1,156 @@
-"""Placeholder — populated incrementally."""
+"""Deduplication queries over the documents corpus (training-data ops).
+
+Exact + n-gram Jaccard carry full DuckDB oracles. MinHash-LSH and
+SimHash are registered rows-only (their hash family — xxhash64 — has no
+DuckDB twin), with golden unit tests in tests/test_dedup.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import (
+    hamming64,
+    jaccard,
+    minhash_band_pairs,
+    normalized_text,
+    simhash64,
+)
+from ..registry import register
+
+
+@register(
+    "dedup_exact_summary",
+    oracle="""
+    WITH norm AS (
+      SELECT source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT norm_text) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT norm_text) AS n_redundant
+    FROM norm
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("DEDUP", "A3"),
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate audit per source: distinct normalized texts vs
+    total. Spark side distincts on xxhash64(norm) — one 8-byte shuffle
+    key instead of full text movement; identical counts barring a
+    2^-64 collision."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.xxhash64(normalized_text("text"))
+    return (
+        d.select("source", h.alias("th"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("th").alias("n_distinct"),
+            (F.count("*") - F.countDistinct("th")).alias("n_redundant"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_adjacent",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ws
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.ws, b.ws))) AS jac
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT CAST(FLOOR(jac * 10) AS INT) AS jaccard_decile, COUNT(*) AS n_pairs
+    FROM pairs
+    GROUP BY 1
+    ORDER BY jaccard_decile
+    """,
+    tags=("DEDUP", "U3"),
+)
+def dedup_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard over adjacent doc pairs, bucketed by decile —
+    the verification metric of the near-dup pipeline with a full
+    oracle. Division is double/int on identical ints — deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("ws"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        jaccard(F.col("a.ws"), F.col("b.ws")).alias("jac")
+    )
+    return (
+        pairs.groupBy(F.floor(F.col("jac") * 10).cast("int").alias("jaccard_decile"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("jaccard_decile")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 family has no DuckDB twin; golden-tested in pytest
+    tags=("DEDUP", "LSH"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: shingle -> 32-hash signature ->
+    8 bands -> bucket equi-join -> distinct pairs, then exact-Jaccard
+    verification. Candidate generation is an equi-join on
+    (band, band_hash): cost tracks bucket occupancy, never |docs|²."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = minhash_band_pairs(d, "text", "doc_id", num_hashes=32, bands=8)
+    verified = ngram_jaccard_pairs(d, "text", "doc_id", cand, threshold=0.0)
+    return (
+        verified.groupBy(
+            F.floor(F.col("jaccard") * 10).cast("int").alias("jaccard_decile")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("jaccard_decile")
+    )
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=None,  # xxhash64-based; golden-tested in pytest
+    tags=("DEDUP", "SIMHASH"),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup scan: 64-bit fingerprints, candidates blocked
+    on the top-16-bit prefix, scored by Hamming distance. Blocking
+    keeps the self-join linear-ish; at 100 TB use 4 rotated prefix
+    blocks to guarantee recall at distance <= 3."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        F.col("doc_id"),
+        simhash64("text").alias("fp"),
+    ).withColumn("block", F.shiftrightunsigned("fp", 48))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("hamming")
+    )

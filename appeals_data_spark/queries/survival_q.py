@@ -1,1 +1,145 @@
-"""Placeholder — populated incrementally."""
+"""Survival-analysis queries (SURVEY X3): Kaplan-Meier over synthetic
+order lifetimes. The risk-set/event-count core carries a full oracle;
+the survival curve itself (float cumulative product) is rows-only and
+golden-tested against hand-computed values in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.survival import kaplan_meier, km_counts
+from ..registry import register
+
+
+def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival records from orders: duration = synthetic lifetime in
+    days (30 + orderkey % 300), event=1 for finished ('F') orders,
+    censored otherwise — the remand-return shape
+    (notebooks/other/remand-return.Rmd:44-57)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        (F.lit(30) + F.col("o_orderkey") % 300).cast("int").alias("duration"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("event"),
+        F.col("o_orderpriority").alias("stratum"),
+    )
+
+
+@register(
+    "surv_km_counts",
+    oracle="""
+    WITH rec AS (
+      SELECT CAST(30 + o_orderkey % 300 AS INT) AS duration,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS event
+      FROM orders
+    ), per_t AS (
+      SELECT duration AS t,
+             SUM(event) AS n_event,
+             SUM(1 - event) AS n_censored
+      FROM rec GROUP BY duration
+    )
+    SELECT t,
+           SUM(n_event + n_censored) OVER ()
+             - COALESCE(SUM(n_event + n_censored) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk,
+           n_event, n_censored
+    FROM per_t
+    ORDER BY t
+    """,
+    tags=("X3", "KM"),
+)
+def surv_km_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM estimator core: per-time risk set + event/censor counts —
+    one groupBy + one window, all integer arithmetic (exact)."""
+    return km_counts(_records(spark, sf_dir), "duration", "event").select(
+        "t", "n_risk", "n_event", "n_censored"
+    )
+
+
+@register(
+    "surv_km_curve",
+    oracle=None,  # float cumulative product; golden-tested in pytest
+    tags=("X3", "KM"),
+)
+def surv_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full stratified KM curves: survival S(t) per order priority via
+    log-space window cumulative products (no UDF, no driver loop)."""
+    return kaplan_meier(
+        _records(spark, sf_dir), "duration", "event", strata=["stratum"]
+    )
+
+
+@register(
+    "surv_median_lifetime",
+    oracle="""
+    WITH rec AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(30 + o_orderkey % 300 AS INT) AS duration,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS event
+      FROM orders
+    )
+    SELECT stratum,
+           quantile_cont(duration, 0.5) AS median_duration,
+           SUM(event) AS n_events,
+           COUNT(*) AS n
+    FROM rec
+    GROUP BY stratum
+    ORDER BY stratum
+    """,
+    tags=("X3", "A7"),
+)
+def surv_median_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified median lifetimes (integer durations: interpolation
+    exact in both engines)."""
+    rec = _records(spark, sf_dir)
+    return (
+        rec.groupBy("stratum")
+        .agg(
+            F.expr("percentile(duration, 0.5)").alias("median_duration"),
+            F.sum("event").alias("n_events"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("stratum")
+    )
+
+
+@register(
+    "closure_components",
+    oracle=None,  # iterative fixpoint (J19); golden-tested in pytest
+    tags=("J19",),
+)
+def closure_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure (logical-case unification, J19): users are
+    linked when one follows the other within 90 seconds on the same
+    event type ('handoff' edges); components = label propagation to
+    fixpoint with per-iteration localCheckpoint. Output: component
+    size histogram."""
+    from ..operators.closure import connected_components
+    from ..operators.sessionize import epoch_seconds
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").withColumn("sec", epoch_seconds("ts"))
+    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    nxt_user = F.lead("user_id").over(w)
+    nxt_sec = F.lead("sec").over(w)
+    edges = (
+        e.select("event_type", "user_id", "sec", "event_id")
+        .withColumn("dst", nxt_user)
+        .withColumn("gap", nxt_sec - F.col("sec"))
+        .filter(
+            F.col("dst").isNotNull()
+            & (F.col("gap") <= 90)
+            & (F.col("dst") != F.col("user_id"))
+        )
+        .select(F.col("user_id").alias("src"), F.col("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges, "src", "dst")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count("*").alias("n_components"))
+        .orderBy("size")
+    )

@@ -1,1 +1,208 @@
-"""Placeholder — populated incrementally."""
+"""Text-analysis queries (training-data ops): quality scoring,
+language ID, token stats, fingerprinting — all JVM-side expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import (
+    STOPWORDS,
+    char_classes,
+    lang_id_heuristic,
+    stopword_ratio,
+    token_count,
+)
+from ..registry import register
+
+_SW = "(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+           MAX(len(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens,
+           SUM(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x IN {_SW}))) AS total_stopwords
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("TEXT",),
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + stopword totals per source — whitespace
+    tokenizer as split/filter builtins (integer sums: exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    sw = F.array([F.lit(w) for w in STOPWORDS])
+    toks = F.array_remove(F.split(F.trim(F.col("text")), r"\s+"), "")
+    n_stop = F.size(F.filter(F.transform(toks, lambda x: F.lower(x)), lambda x: F.array_contains(sw, x)))
+    return (
+        d.select("source", token_count("text").alias("ntok"), n_stop.alias("nstop"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+            F.max("ntok").alias("max_tokens"),
+            F.sum("nstop").alias("total_stopwords"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_quality_flags",
+    oracle=f"""
+    WITH m AS (
+      SELECT lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS ntok,
+             length(text) AS nchar,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                  x -> x IN {_SW})) AS DOUBLE)
+               / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS sw_ratio
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(CASE WHEN ntok BETWEEN 20 AND 1000 THEN 1 END) AS n_len_ok,
+           COUNT(CASE WHEN sw_ratio > 0.05 THEN 1 END) AS n_sw_heavy,
+           COUNT(CASE WHEN nchar >= 100 THEN 1 END) AS n_long,
+           COUNT(*) AS n
+    FROM m
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("TEXT", "P9"),
+)
+def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring gates (length window, stopword density, char
+    count) — the standard pre-training filter stack as one pass."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            token_count("text").alias("ntok"),
+            F.length("text").alias("nchar"),
+            stopword_ratio("text").alias("sw_ratio"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.when(F.col("ntok").between(20, 1000), 1)).alias("n_len_ok"),
+            F.count(F.when(F.col("sw_ratio") > 0.05, 1)).alias("n_sw_heavy"),
+            F.count(F.when(F.col("nchar") >= 100, 1)).alias("n_long"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_char_classes",
+    oracle="""
+    SELECT source,
+           SUM(length(text)) AS total_chars,
+           SUM(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS total_alpha,
+           SUM(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS total_digit,
+           SUM(length(text) - length(regexp_replace(text, '\\s', '', 'g'))) AS total_space
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("TEXT", "F7"),
+)
+def text_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition via strip-and-measure regexps."""
+    d = load_table(spark, sf_dir, "documents")
+    cc = char_classes("text")
+    return (
+        d.select(
+            "source",
+            cc["n_chars"].alias("nc"),
+            cc["n_alpha"].alias("na"),
+            cc["n_digit"].alias("nd"),
+            cc["n_space"].alias("ns"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("nc").alias("total_chars"),
+            F.sum("na").alias("total_alpha"),
+            F.sum("nd").alias("total_digit"),
+            F.sum("ns").alias("total_space"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_lang_confusion",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT lang,
+             len(list_filter(toks, x -> x IN ('the','and','is','of'))) AS en_hits,
+             len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS es_hits,
+             len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS de_hits
+      FROM t
+    )
+    SELECT lang,
+           CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                WHEN de_hits > 0 THEN 'de'
+                ELSE 'unknown' END AS predicted,
+           COUNT(*) AS n
+    FROM scored
+    GROUP BY 1, 2
+    ORDER BY lang, predicted
+    """,
+    tags=("TEXT", "LANGID"),
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs labeled lang — confusion counts.
+    Deterministic marker-word scorer; a real fastText-style model
+    would slot in as an Arrow-batched pandas UDF with the same
+    (text) -> label contract."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id_heuristic("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@register(
+    "text_fingerprint_md5",
+    oracle="""
+    SELECT source,
+           COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_fingerprints,
+           MIN(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS min_fp
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("TEXT", "FP"),
+)
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed document fingerprints (md5 of normalized
+    text; same digest function exists in both engines). The engine's
+    native fingerprint is xxhash64 (operators.dedup) — md5 here for
+    oracle parity."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    return (
+        d.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,28 @@
+"""Driver-contract tests for __spark_entry__."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "l_returnflag"
+
+
+def test_queries_and_oracles_aligned(spark):
+    qs = entry_mod.queries()
+    osql = entry_mod.oracle_sql()
+    assert len(qs) >= 50
+    assert set(osql) <= set(qs)
+    # all result columns lowercase (case-normalization policy)
+    for name, fn in qs.items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert all(c == c.lower() for c in df.columns), (name, df.columns)

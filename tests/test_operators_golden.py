@@ -1,0 +1,179 @@
+"""Golden unit tests for composite operators — hand-computed expected
+values (the reference's methodology-block style, SURVEY §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from appeals_data_spark.operators.closure import connected_components
+from appeals_data_spark.operators.dedup import (
+    exact_dedup_groups,
+    hamming64,
+    jaccard,
+    minhash_band_pairs,
+    simhash64,
+)
+from appeals_data_spark.operators.fuzzy_join import fuzzy_asof_join
+from appeals_data_spark.operators.pit import date_grid, pit_backlog
+from appeals_data_spark.operators.sessionize import sessionize
+from appeals_data_spark.operators.survival import kaplan_meier
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_sessionize_gap_rule(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T10:00:00"), 1),
+            (1, ts("2024-01-01T10:10:00"), 2),  # same session (10 min)
+            (1, ts("2024-01-01T11:00:00"), 3),  # new session (50 min > 30)
+            (2, ts("2024-01-01T09:00:00"), 4),  # separate user
+        ],
+        "user bigint, t timestamp_ntz, eid bigint",
+    )
+    out = sessionize(df, "user", "t", 1800, "eid").collect()
+    got = {(r.user, r.eid): r.session_seq for r in out}
+    assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (2, 4): 1}
+
+
+def test_fuzzy_asof_precise_beats_closer_fuzzy(spark):
+    left = spark.createDataFrame(
+        [(100, 7, ts("2024-03-10T12:00:00"))], "p_id bigint, uid bigint, p_ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 7, ts("2024-03-10T23:00:00")),  # same day -> precise (11h away)
+            (2, 7, ts("2024-03-10T12:05:00")),  # same day, earlier ts wins? no: order by s_ts asc
+            (3, 7, ts("2024-03-09T12:01:00")),  # 1 day off -> fuzzy
+        ],
+        "s_id bigint, uid bigint, s_ts timestamp_ntz",
+    )
+    out = fuzzy_asof_join(
+        left, right, on="uid", left_key="p_id", left_ts="p_ts", right_ts="s_ts",
+        tolerance_days=3, right_tiebreak="s_id", how="inner",
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.match_type == "precise"
+    assert row.s_id == 2  # precise matches ranked by earliest right ts
+
+
+def test_fuzzy_asof_left_keeps_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, 5, ts("2024-01-01T00:00:00")), (2, 6, ts("2024-01-01T00:00:00"))],
+        "p_id bigint, uid bigint, p_ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(9, 5, ts("2024-01-02T00:00:00"))], "s_id bigint, uid bigint, s_ts timestamp_ntz"
+    )
+    out = fuzzy_asof_join(
+        left, right, on="uid", left_key="p_id", left_ts="p_ts", right_ts="s_ts",
+        tolerance_days=3, how="left",
+    )
+    rows = {r.p_id: r for r in out.collect()}
+    assert rows[1].match_type == "fuzzy"
+    assert rows[2].match_type is None
+
+
+def test_pit_backlog_hand_computed(spark):
+    intervals = spark.createDataFrame(
+        [
+            (dt.date(2024, 1, 1), dt.date(2024, 1, 15)),
+            (dt.date(2024, 1, 8), dt.date(2024, 1, 9)),
+        ],
+        "enter date, exit date",
+    )
+    grid = date_grid(spark, "2024-01-01", "2024-01-29", 7)
+    for strategy in ("explode", "grid"):
+        out = {
+            r.grid_date: r.backlog
+            for r in pit_backlog(intervals, grid, "enter", "exit", 7, strategy).collect()
+        }
+        assert out == {
+            dt.date(2024, 1, 1): 1,   # first interval open
+            dt.date(2024, 1, 8): 2,   # both open (second exits on the 9th)
+            dt.date(2024, 1, 15): 0,  # first exits ON the 15th (exit exclusive)
+            dt.date(2024, 1, 22): 0,
+            dt.date(2024, 1, 29): 0,
+        }
+
+
+def test_kaplan_meier_textbook(spark):
+    # classic example: times 1,2,3 events; censor at 2
+    rec = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 0), (3, 1)], "t int, e int"
+    )
+    out = {r.t: r for r in kaplan_meier(rec, "t", "e").collect()}
+    assert out[1].n_risk == 4 and out[1].n_event == 1
+    assert abs(out[1].survival - 0.75) < 1e-12
+    assert out[2].n_risk == 3 and out[2].n_event == 1 and out[2].n_censored == 1
+    assert abs(out[2].survival - 0.5) < 1e-12
+    assert out[3].n_risk == 1 and out[3].n_event == 1
+    assert abs(out[3].survival - 0.0) < 1e-12
+
+
+def test_connected_components_two_islands(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)], "src bigint, dst bigint"
+    )
+    out = {r.node: r.component for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),   # same after normalization
+            (3, "different doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = exact_dedup_groups(df, "text", "doc_id").collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 2 and out[0].keeper == 1 and out[0].members == [1, 2]
+
+
+def test_simhash_similar_texts_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy cat again and again"),
+            (3, "completely unrelated words about spark dataframes and shuffles"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fp = df.select("doc_id", simhash64("text").alias("fp")).collect()
+    fps = {r.doc_id: r.fp for r in fp}
+    a, b = spark.createDataFrame([(fps[1], fps[2]), (fps[1], fps[3])], "x long, y long"), None
+    d = a.select(hamming64(F.col("x"), F.col("y")).alias("h")).collect()
+    near, far = d[0].h, d[1].h
+    assert near < far, (near, far)
+    assert near <= 16  # one-token difference stays close
+
+
+def test_minhash_lsh_finds_near_duplicate(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("kappa", "lambda", 1)),  # near-dup
+            (3, "totally different content with no overlap whatsoever at all ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b) for r in minhash_band_pairs(df, "text", "doc_id").collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_expr(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>")
+    assert abs(df.select(jaccard(F.col("x"), F.col("y")).alias("j")).collect()[0].j - 0.5) < 1e-12
