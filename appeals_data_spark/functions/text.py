@@ -42,11 +42,18 @@ def char_classes(col: str | Column) -> dict[str, Column]:
 
 
 def shingles(col: str | Column, k: int = 3) -> Column:
-    """Word k-shingles as an array of space-joined strings."""
+    """Word k-shingles as an array of space-joined strings.
+
+    Built by zipping ``k`` shifted slices of the token array rather
+    than indexing inside a lambda: HOF lambdas re-evaluate captured
+    expression trees per element, so ``transform(idx, i -> slice(t,
+    i, k))`` would re-split the text O(n) times per row. Arguments to
+    ``arrays_zip`` are evaluated once.
+    """
     t = tokens(col)
-    n = F.size(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+    cnt = F.greatest(F.size(t) - (k - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(t, i + 1, cnt) for i in range(k)])
+    return F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)]))
 
 
 def rolling_fingerprint(col: str | Column) -> Column:
