@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     windows,
     reshape,
     setops,
+    sources_q,
     events_q,
     survival_q,
     dedup_q,

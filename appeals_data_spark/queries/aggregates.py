@@ -364,3 +364,63 @@ def a15_fiscal_year_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
         .orderBy("fy")
     )
+
+
+@register(
+    "a15_interval_overlap_months",
+    oracle="""
+    WITH months AS (
+      SELECT CAST(gs AS DATE) AS month_start,
+             CAST(gs + INTERVAL 1 MONTH AS DATE) AS month_end
+      FROM generate_series(DATE '1995-01-01', DATE '2001-08-01',
+                           INTERVAL 1 MONTH) AS t(gs)
+    ), spans AS (
+      SELECT CAST(o_orderdate AS DATE) AS o_start,
+             CAST(o_orderdate AS DATE) + 30 AS o_end
+      FROM orders
+    )
+    SELECT month_start,
+           SUM(GREATEST(0, date_diff('day',
+                 GREATEST(month_start, o_start),
+                 LEAST(month_end, o_end)))) AS active_order_days
+    FROM months JOIN spans
+      ON o_start < month_end AND o_end > month_start
+    GROUP BY month_start
+    ORDER BY month_start
+    """,
+    tags=("A15", "J17", "F3"),
+)
+def a15_interval_overlap_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap aggregation (fte.R:45-55 FTE = sum of
+    month x tenure overlaps): month grid joined to 30-day order spans
+    with greatest/least clamp arithmetic. The grid (~80 rows) is
+    broadcast, so the range join is a broadcast nested-loop over a
+    tiny side — linear in |orders| at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-08-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month_start")
+    ).select("month_start", F.add_months("month_start", 1).alias("month_end"))
+    spans = o.select(
+        F.col("o_orderdate").cast("date").alias("o_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("o_end"),
+    )
+    overlap = F.greatest(
+        F.lit(0),
+        F.datediff(
+            F.least("month_end", "o_end"),
+            F.greatest("month_start", "o_start"),
+        ),
+    )
+    return (
+        F.broadcast(months)
+        .join(spans, (F.col("o_start") < F.col("month_end")) & (F.col("o_end") > F.col("month_start")))
+        .groupBy("month_start")
+        .agg(F.sum(overlap).alias("active_order_days"))
+        .orderBy("month_start")
+    )

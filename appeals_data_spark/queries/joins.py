@@ -457,3 +457,115 @@ def j18_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", "yr", F.coalesce("n", F.lit(0)).alias("n"))
         .orderBy("c_mktsegment", "yr")
     )
+
+
+@register(
+    "x1_derived_count_scalars",
+    oracle="""
+    WITH line_counts AS (
+      SELECT l_orderkey,
+             COUNT(*) AS cnt_lines,
+             COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS cnt_returned,
+             COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS cnt_open
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(COALESCE(cnt_lines, 0)) AS total_lines,
+           SUM(COALESCE(cnt_returned, 0)) AS total_returned,
+           COUNT(CASE WHEN COALESCE(cnt_open, 0) > 0 THEN 1 END) AS n_with_open
+    FROM orders LEFT JOIN line_counts ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("X1", "J7", "A2"),
+)
+def x1_derived_count_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-stored-function replacement (SURVEY §2.11 X1:
+    VACOLS.ISSUE_CNT_* / DIARY_CNT_OPEN used as scalar calls,
+    time-to-ep.Rmd:47-49): reimplemented as derived-column views —
+    pre-aggregate the child table once, left-join the counts back as
+    scalar columns. Catalyst keeps the whole thing JVM-side; a
+    per-row UDF/subquery would re-scan lineitem per order."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("cnt_lines"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("cnt_returned"),
+        F.count(F.when(F.col("l_linestatus") == "O", 1)).alias("cnt_open"),
+    )
+    return (
+        o.join(counts, o.o_orderkey == counts.l_orderkey, "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.coalesce("cnt_lines", F.lit(0))).alias("total_lines"),
+            F.sum(F.coalesce("cnt_returned", F.lit(0))).alias("total_returned"),
+            F.count(F.when(F.coalesce("cnt_open", F.lit(0)) > 0, 1)).alias("n_with_open"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "j20_rule_cascade_parent",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority,
+             CAST(o_orderdate AS DATE) AS od,
+             LAG(o_orderkey) OVER (PARTITION BY o_custkey, o_orderpriority
+                                   ORDER BY o_orderdate, o_orderkey) AS same_pri_parent,
+             LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS prev_any,
+             LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS prev_any_date
+      FROM orders
+    )
+    SELECT CASE WHEN same_pri_parent IS NOT NULL THEN 'same_priority'
+                WHEN prev_any IS NOT NULL
+                     AND date_diff('day', prev_any_date, od) <= 180 THEN 'recent_any'
+                ELSE 'stream_root' END AS match_rule,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM seq
+    GROUP BY match_rule
+    ORDER BY match_rule
+    """,
+    tags=("J20", "W2", "P9"),
+)
+def j20_rule_cascade_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-cascade parent matching (unified-appeal-streams.R:39-137:
+    strip 'B'/'W' suffix, else match BFDPDCN=BFDDEC, else tiebreak):
+    each order links to the latest earlier same-priority order, else
+    any order within 180 days, else starts a stream. Two window lags
+    over different partition keys + a case_when cascade — no joins.
+    Scale: two shuffles (custkey+priority, custkey); AQE coalesces."""
+    o = load_table(spark, sf_dir, "orders")
+    w_pri = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    w_any = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.lag("o_orderkey").over(w_pri).alias("same_pri_parent"),
+        F.lag("o_orderkey").over(w_any).alias("prev_any"),
+        F.lag(F.col("o_orderdate").cast("date")).over(w_any).alias("prev_any_date"),
+    )
+    rule = (
+        F.when(F.col("same_pri_parent").isNotNull(), "same_priority")
+        .when(
+            F.col("prev_any").isNotNull()
+            & (F.datediff("od", "prev_any_date") <= 180),
+            "recent_any",
+        )
+        .otherwise("stream_root")
+    )
+    return (
+        seq.groupBy(rule.alias("match_rule"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("match_rule")
+    )

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.scalars import dec
 from ..registry import register
 
 
@@ -108,4 +109,90 @@ def r4_fixed_width_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
         .orderBy("prio_code")
+    )
+
+
+@register(
+    "r3_flags_long_confusion",
+    oracle="""
+    WITH pred AS (
+      SELECT o_orderkey,
+             o_orderpriority IN ('1-URGENT', '2-HIGH') AS expedite,
+             o_totalprice > 200000 AS high_value,
+             o_orderstatus = 'O' AS open
+      FROM orders
+    ), act AS (
+      SELECT l_orderkey,
+             MIN(CAST(l_shipdate AS DATE)) <= MIN(CAST(o_orderdate AS DATE)) + 45 AS expedite,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) > 200000 AS high_value,
+             BOOL_OR(l_linestatus = 'O') AS open
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey
+    ), pred_long AS (
+      SELECT o_orderkey, 'expedite' AS flag, expedite AS p FROM pred
+      UNION ALL SELECT o_orderkey, 'high_value', high_value FROM pred
+      UNION ALL SELECT o_orderkey, 'open', open FROM pred
+    ), act_long AS (
+      SELECT l_orderkey, 'expedite' AS flag, expedite AS a FROM act
+      UNION ALL SELECT l_orderkey, 'high_value', high_value FROM act
+      UNION ALL SELECT l_orderkey, 'open', open FROM act
+    )
+    SELECT pl.flag,
+           COUNT(CASE WHEN p AND COALESCE(a, FALSE) THEN 1 END) AS tp,
+           COUNT(CASE WHEN p AND NOT COALESCE(a, FALSE) THEN 1 END) AS fp,
+           COUNT(CASE WHEN NOT p AND COALESCE(a, FALSE) THEN 1 END) AS fn,
+           COUNT(CASE WHEN NOT p AND NOT COALESCE(a, FALSE) THEN 1 END) AS tn
+    FROM pred_long pl
+    LEFT JOIN act_long al ON pl.o_orderkey = al.l_orderkey AND pl.flag = al.flag
+    GROUP BY pl.flag
+    ORDER BY pl.flag
+    """,
+    tags=("R3", "R1", "A8"),
+)
+def r3_flags_long_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-flags -> long pairs (special-issues.R:240-252: gather 20
+    predicted flag columns, join to actuals per issue, confusion
+    counts per flag). stack() unpivots both sides; the pair join is an
+    equi-join on (order, flag). Orders with no lineitem rows count as
+    actual=false via the left join + coalesce."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pred = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("expedite"),
+        (F.col("o_totalprice") > 200000).alias("high_value"),
+        (F.col("o_orderstatus") == "O").alias("open"),
+    )
+    act = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            (
+                F.min(F.col("l_shipdate").cast("date"))
+                <= F.date_add(F.min(F.col("o_orderdate").cast("date")), 45)
+            ).alias("expedite"),
+            (F.sum(dec("l_extendedprice")) > 200000).alias("high_value"),
+            F.max(F.col("l_linestatus") == "O").alias("open"),
+        )
+    )
+    stack_expr = (
+        "stack(3, 'expedite', expedite, 'high_value', high_value, 'open', open) as (flag, v)"
+    )
+    pred_long = pred.select("o_orderkey", F.expr(stack_expr)).withColumnRenamed("v", "p")
+    act_long = act.select("l_orderkey", F.expr(stack_expr)).withColumnRenamed("v", "a")
+    joined = pred_long.join(
+        act_long,
+        (pred_long.o_orderkey == act_long.l_orderkey) & (pred_long.flag == act_long.flag),
+        "left",
+    )
+    a = F.coalesce(act_long.a, F.lit(False))
+    return (
+        joined.groupBy(pred_long.flag.alias("flag"))
+        .agg(
+            F.count(F.when(pred_long.p & a, 1)).alias("tp"),
+            F.count(F.when(pred_long.p & ~a, 1)).alias("fp"),
+            F.count(F.when(~pred_long.p & a, 1)).alias("fn"),
+            F.count(F.when(~pred_long.p & ~a, 1)).alias("tn"),
+        )
+        .orderBy("flag")
     )

@@ -231,3 +231,55 @@ def w9_lead_offset_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("delta_2mo", ahead - F.col("revenue"))
         .orderBy("month")
     )
+
+
+@register(
+    "w5_variable_distance_lead",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CAST(FLOOR(value) AS INT) % 3 + 1 AS dist
+      FROM events
+    )
+    SELECT a.event_type,
+           COALESCE(b.event_type, '<none>') AS ahead_type,
+           COUNT(*) AS n
+    FROM seq a
+    LEFT JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + a.dist
+    GROUP BY a.event_type, ahead_type
+    ORDER BY a.event_type, ahead_type
+    """,
+    tags=("W5", "J9"),
+)
+def w5_variable_distance_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-distance forward reference (events.R:220 storage_loc
+    lookup at row + dispatch_rows): Spark has no variable lead(), so
+    index rows with row_number and self-join on (key, rn + dist).
+    Scale: the self-join is an equi-join on (user_id, rn) — shuffles
+    both sides once on the same key, never quadratic. The alternative
+    collect_list + element_at avoids the join but materializes whole
+    partitions; the join form survives unbounded streams."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        (F.floor("value").cast("int") % 3 + 1).alias("dist"),
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.rn") == F.col("a.rn") + F.col("a.dist")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.coalesce(F.col("b.event_type"), F.lit("<none>")).alias("ahead_type"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "ahead_type")
+    )
