@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     reshape,
     setops,
     sources_q,
+    streaming_q,
     events_q,
     survival_q,
     dedup_q,

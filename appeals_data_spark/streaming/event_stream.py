@@ -1,0 +1,154 @@
+"""Event-stream derivation and stateful operators.
+
+Design notes for a 100 TB deployment:
+
+- The file source discovers new parquet files per micro-batch and
+  tracks progress in the checkpoint — the natural fit for an
+  append-only export like the reference's event log. ``maxFilesPerTrigger``
+  bounds per-batch work.
+- Watermarks bound state: a tumbling/session aggregation only keeps
+  windows newer than (max event time - delay); late rows beyond that
+  are dropped exactly like the reference drops incomplete trailing
+  months (impact.R:65-66).
+- State lives in the state store partitioned by the grouping key, so
+  per-key state (sessions, running totals) scales horizontally with
+  ``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from ..session import tune
+
+# Nanos-as-long normalization mirrors catalog.load_table.
+_EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over an events directory (parquet parts).
+
+    The schema must be declared up front (streaming sources never
+    infer); ``ts`` arrives as raw nanos and is normalized to
+    TIMESTAMP_NTZ exactly like the batch catalog, so batch and stream
+    plans share every downstream expression.
+    """
+    tune(spark)
+    raw = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(events_dir)
+    )
+    # TIMESTAMP (not NTZ): watermarks require a zoned event-time column;
+    # session tz is pinned UTC so the instants match the batch NTZ view.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window event counts by type.
+
+    Batch twin: ``stream_tumbling_counts`` (same window(), no
+    watermark — batch sees all data at once).
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_window_stats(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (native session_window operator) with
+    event counts — the streaming form of W3's run segmentation.
+
+    Batch twin: ``stream_session_stats``; its oracle reproduces
+    session_window with the classic gaps-and-islands SQL (lag +
+    cumulative sum), proving the operator against first principles.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def _totals_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful per-user accumulator: (event count, value sum) carried
+    across micro-batches in the state store."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals_stateful(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user totals emitted every micro-batch (output mode: update).
+
+    This is the §2.10 escape hatch for semantics the built-in windows
+    can't express (the built-ins cover the reference's actual needs;
+    this demonstrates the extension surface). State is one tiny tuple
+    per user — bounded, partitioned by key.
+    """
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _totals_fn,
+            outputStructType=_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    spark: SparkSession, result: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming DataFrame into an in-memory table with the
+    available-now trigger (process everything, then stop) and return
+    the sink contents as a batch DataFrame. Test/dev harness."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
