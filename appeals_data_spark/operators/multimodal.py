@@ -1,0 +1,101 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries images/audio/video as opaque
+``binary`` columns with a typed metadata struct alongside; decode and
+feature extraction run as Arrow-batched pandas iterators (mapInPandas)
+so the JVM never copies payload bytes row-at-a-time into Python.
+
+The real codecs (PIL / soundfile / av) are NOT in this container, so
+``decode_media`` is a clearly-marked stub; everything around it — the
+schema contract, the partition-preserving mapInPandas shape, the batch
+iteration, the deterministic fallback features — is real and tested.
+Payloads here are synthesized deterministically from the documents
+table (utf-8 bytes of the text), which makes every derived number
+oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = "struct<mime:string,width:int,height:int,n_frames:int>"
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, digest string, mime string, "
+    "feat array<float>"
+)
+
+
+def as_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Documents -> media table: ``blob binary`` + typed metadata.
+
+    The blob is the utf-8 encoding of the text (deterministic fake
+    payload); metadata is derived from doc stats the way a real
+    ingest job would record container headers.
+    """
+    n = F.coalesce(F.col("n_chars"), F.length(text_col)).cast("int")
+    meta = F.struct(
+        F.lit("application/x-fake").alias("mime"),
+        (n % 640 + 32).alias("width"),
+        (n % 480 + 32).alias("height"),
+        (n % 24 + 1).alias("n_frames"),
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.encode(F.col(text_col), "utf-8").alias("blob"),
+        meta.cast(MEDIA_META_SCHEMA).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, mime: str):
+    """Stub for the real decoder (PIL.Image.open / soundfile.read /
+    av.open). The image/audio libraries are not installed in this
+    environment; a production deployment plugs them in here.
+    """
+    raise NotImplementedError(
+        "media codecs unavailable in this environment; "
+        "install PIL/soundfile/av and dispatch on mime"
+    )
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction. One output row per input row;
+    pure function of the payload bytes, so the op is deterministic
+    under any partitioning."""
+    for pdf in batches:
+        blobs = pdf["blob"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": blobs.map(len).astype("int64"),
+                "digest": blobs.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                "mime": pdf["mime"],
+                # Deterministic fallback features (a real decoder would
+                # emit embeddings here via decode_media).
+                "feat": blobs.map(
+                    lambda b: [
+                        float(len(b)),
+                        float(b[0]) if len(b) else 0.0,
+                        float(b[-1]) if len(b) else 0.0,
+                    ]
+                ),
+            }
+        )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over (doc_id, blob, meta.mime).
+
+    Projects only the needed columns before the Python boundary so
+    Arrow ships the minimum bytes; partitioning is preserved (no
+    shuffle), so this pipelines with an upstream repartition sized to
+    fit payload batches in executor memory.
+    """
+    slim = media.select("doc_id", "blob", F.col("meta.mime").alias("mime"))
+    return slim.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)

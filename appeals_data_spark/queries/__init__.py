@@ -13,6 +13,9 @@ Module -> SURVEY.md §2 family map:
   dedup_q     exact/minhash/simhash/ngram dedup (training-data ops)
   textops_q   language-id, quality scoring, token stats, fingerprints
   vector_q    embedding similarity search (brute-force + LSH)
+  sources_q   S5-S9 CSV dim sources (sinks exercised in tests)
+  streaming_q batch twins of the Structured Streaming mode (§2.10)
+  multimodal_q binary payload + mapInPandas feature extraction
 """
 
 from . import (  # noqa: F401
@@ -24,6 +27,7 @@ from . import (  # noqa: F401
     setops,
     sources_q,
     streaming_q,
+    multimodal_q,
     events_q,
     survival_q,
     dedup_q,
