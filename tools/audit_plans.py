@@ -1,0 +1,64 @@
+"""Physical-plan audit: the scale-readiness feedback loop.
+
+For each (or every bench-flagged) registered query, prints the join
+strategies, exchange count, pushed filters, and scan schemas — the
+four things that decide whether a plan survives a 100x scale-up:
+
+- dims must be BroadcastHashJoin (no shuffle of the fact side),
+- scans must show pruned ReadSchema + PushedFilters,
+- Exchange count is the shuffle budget,
+- BroadcastNestedLoopJoin is only acceptable when one side is tiny by
+  construction (e.g. the ANN query set).
+
+Usage: python tools/audit_plans.py [query ...] [--sf DIR] [--full]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
+
+from appeals_data_spark.registry import all_queries
+from appeals_data_spark.session import get_spark
+
+
+def plan_string(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = "/root/testdata/sf0.01"
+    if "--sf" in sys.argv:
+        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
+        args = [a for a in args if a != sf_dir]
+    full = "--full" in sys.argv
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    names = args or [n for n, q in sorted(qs.items()) if q.bench]
+    for name in names:
+        plan = plan_string(spark, qs[name].builder(spark, sf_dir))
+        print(
+            f"== {name}: Exchange={plan.count('Exchange')} "
+            f"BHJ={plan.count('BroadcastHashJoin')} "
+            f"SMJ={plan.count('SortMergeJoin')} "
+            f"BNLJ={plan.count('BroadcastNestedLoopJoin')} "
+            f"Codegen={plan.count('WholeStageCodegen')}"
+        )
+        for p in re.findall(r"PushedFilters: \[(.+?)\]", plan)[:6]:
+            print("   PushedFilters:", p[:110])
+        for s in re.findall(r"ReadSchema: (.+)", plan)[:6]:
+            print("   ReadSchema:", s[:130])
+        if full:
+            print(plan)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
