@@ -1,7 +1,10 @@
 """Survival-analysis queries (SURVEY X3): Kaplan-Meier over synthetic
-order lifetimes. The risk-set/event-count core carries a full oracle;
-the survival curve itself (float cumulative product) is rows-only and
-golden-tested against hand-computed values in pytest.
+order lifetimes. The risk-set/event-count core is pure integer
+arithmetic; the curve emits survival rounded to 6 dp so the identical
+log-space cumulative-product formulation matches across engines (both
+compute exp/ln in double on the same deterministic per-stratum order;
+6-dp rounding absorbs any sub-ulp libm drift). Hand-computed golden
+values live in pytest alongside.
 """
 
 from __future__ import annotations
@@ -60,15 +63,49 @@ def surv_km_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "surv_km_curve",
-    oracle=None,  # float cumulative product; golden-tested in pytest
+    oracle="""
+    WITH rec AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(30 + o_orderkey % 300 AS INT) AS duration,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS event
+      FROM orders
+    ), per_t AS (
+      SELECT stratum, duration AS t,
+             SUM(event) AS n_event,
+             SUM(1 - event) AS n_censored,
+             COUNT(*) AS n_at_t
+      FROM rec GROUP BY stratum, duration
+    ), risk AS (
+      SELECT stratum, t, n_event, n_censored,
+             SUM(n_at_t) OVER (PARTITION BY stratum)
+             - COALESCE(SUM(n_at_t) OVER (PARTITION BY stratum ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM per_t
+    ), frac AS (
+      SELECT stratum, t, n_risk, n_event, n_censored,
+             CAST(n_risk - n_event AS DOUBLE) / n_risk AS f
+      FROM risk
+    )
+    SELECT stratum, t, n_risk, n_event, n_censored,
+           ROUND(CASE WHEN MIN(f) OVER cum <= 0 THEN 0.0
+                 ELSE EXP(SUM(LN(GREATEST(f, 1e-300))) OVER cum) END, 6)
+             AS survival
+    FROM frac
+    WINDOW cum AS (PARTITION BY stratum ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY stratum, t
+    """,
     tags=("X3", "KM"),
 )
 def surv_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full stratified KM curves: survival S(t) per order priority via
-    log-space window cumulative products (no UDF, no driver loop)."""
-    return kaplan_meier(
+    log-space window cumulative products (no UDF, no driver loop).
+    The oracle mirrors the exact same formulation; both sides round to
+    6 dp (see module docstring)."""
+    km = kaplan_meier(
         _records(spark, sf_dir), "duration", "event", strata=["stratum"]
     )
+    return km.withColumn("survival", F.round("survival", 6))
 
 
 @register(
@@ -107,12 +144,42 @@ def surv_median_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "closure_components",
-    oracle=None,  # iterative fixpoint (J19); golden-tested in pytest
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT event_type, user_id,
+             date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec,
+             event_id,
+             LEAD(user_id) OVER w AS dst,
+             LEAD(date_diff('second', TIMESTAMP '1970-01-01', ts)) OVER w
+               AS nxt_sec
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY
+                   date_diff('second', TIMESTAMP '1970-01-01', ts), event_id)
+    ), edges AS (
+      SELECT DISTINCT user_id AS src, dst
+      FROM ordered
+      WHERE dst IS NOT NULL AND dst <> user_id AND nxt_sec - sec <= 25
+    ), und AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM und
+    ), reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT re.node, u.dst AS r FROM reach re JOIN und u ON u.src = re.r
+    ), comp AS (
+      SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    ), sizes AS (
+      SELECT component, COUNT(*) AS size FROM comp GROUP BY component
+    )
+    SELECT size, COUNT(*) AS n_components
+    FROM sizes GROUP BY size ORDER BY size
+    """,
     tags=("J19",),
 )
 def closure_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure (logical-case unification, J19): users are
-    linked when one follows the other within 90 seconds on the same
+    linked when one follows the other within 25 seconds on the same
     event type ('handoff' edges); components = label propagation to
     fixpoint with per-iteration localCheckpoint. Output: component
     size histogram."""
@@ -130,7 +197,7 @@ def closure_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("gap", nxt_sec - F.col("sec"))
         .filter(
             F.col("dst").isNotNull()
-            & (F.col("gap") <= 90)
+            & (F.col("gap") <= 25)
             & (F.col("dst") != F.col("user_id"))
         )
         .select(F.col("user_id").alias("src"), F.col("dst"))
