@@ -123,3 +123,81 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def label_centroids(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Coarse-quantizer centroids: per-label, per-dimension mean.
+    Output (c_label, cvec array<double>) — small (|labels| rows),
+    always broadcast at the probe site."""
+    unpacked = corpus.select(
+        F.col(label_col).alias("c_label"), F.posexplode(vec_col).alias("pos", "x")
+    )
+    return (
+        unpacked.groupBy("c_label", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("c_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
+            ).alias("cvec")
+        )
+    )
+
+
+def assign_to_centroids(
+    corpus: DataFrame, centroids: DataFrame, rank_max: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (rank_max=1) or probe lists
+    (rank_max=nprobe): (id, c_label, c_rank). Centroids broadcast;
+    one pass over the corpus — the IVF build/probe primitive."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "c_label",
+        cosine(F.col(vec_col), F.col("cvec")).alias("c_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("c_label"))
+    return (
+        scored.withColumn("c_rank", F.row_number().over(w))
+        .filter(F.col("c_rank") <= rank_max)
+        .select(id_col, vec_col, "c_label", "c_rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF two-stage ANN (FAISS-IVF shape): coarse-quantize the corpus
+    into centroid cells, probe the query's nearest ``nprobe`` cells,
+    brute-force only those candidates.
+
+    Scale: centroid build is one narrow aggregation; cell assignment is
+    a broadcast product (|corpus| x |cells|); the candidate join is an
+    equi-join on cell id, so scored pairs track cell occupancy
+    (~nprobe/|cells| of the corpus per query) instead of |corpus|."""
+    cents = label_centroids(corpus, id_col, vec_col, label_col)
+    cells = assign_to_centroids(corpus, cents, 1, id_col, vec_col).select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"), "c_label"
+    )
+    probes = assign_to_centroids(queries, cents, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "c_label"
+    )
+    scored = cells.join(F.broadcast(probes), "c_label").filter(
+        F.col("corpus_id") != F.col("query_id")
+    ).select("query_id", "corpus_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

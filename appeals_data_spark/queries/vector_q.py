@@ -1,9 +1,10 @@
 """Embedding similarity-search queries (training-data ops).
 
-Brute-force cosine top-k carries a DuckDB oracle (ranks only — float
-cosine values are engine-representation-sensitive; ordering on random
-embeddings is ulp-stable). The LSH variant and recall audit are
-rows-only, golden-tested in pytest.
+Brute-force cosine top-k, IVF top-k, and centroid assignment carry
+DuckDB oracles (ranks/assignments only — float cosine values are
+engine-representation-sensitive, but ordering on random embeddings is
+ulp-stable). The hyperplane-LSH variant is rows-only (xxhash64 plane
+family has no DuckDB twin), recall-audited in pytest.
 """
 
 from __future__ import annotations
@@ -67,9 +68,40 @@ def vec_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared oracle fragment: per-label centroids as DOUBLE lists.
+_SQL_CENTROIDS = """
+    unp AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT c_label, list(cx ORDER BY pos) AS cvec
+      FROM (SELECT label AS c_label, pos, AVG(x) AS cx
+            FROM unp GROUP BY label, pos) t
+      GROUP BY c_label
+    )
+"""
+
+
 @register(
     "vec_label_centroid_assign",
-    oracle=None,  # float centroid math; audited by rows-only + pytest
+    oracle=f"""
+    WITH {_SQL_CENTROIDS},
+    assigned AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               c.cvec) DESC,
+                        c.c_label
+             ) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    )
+    SELECT label, c_label AS centroid_label, COUNT(*) AS n
+    FROM assigned WHERE rn = 1
+    GROUP BY label, c_label
+    ORDER BY label, centroid_label
+    """,
     tags=("VEC", "IVF"),
 )
 def vec_label_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,44 +109,72 @@ def vec_label_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the 'coarse quantizer'), assign every vector to its nearest
     centroid, report the assignment-vs-label confusion counts. At
     100 TB the centroid set is the broadcast index; the probe list
-    bounds candidates exactly like FAISS IVF."""
-    from ..functions.vectors import cosine
+    bounds candidates exactly like FAISS IVF. Clusters are separated
+    by construction, so argmax assignments are stable across engines
+    despite last-ulp float drift."""
+    from ..operators.similarity import assign_to_centroids, label_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    unpacked = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
-    )
-    centroids = (
-        unpacked.groupBy("label", "pos")
-        .agg(F.avg("x").alias("cx"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
-            ).alias("centroid")
-        )
-        .withColumnRenamed("label", "centroid_label")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id",
-            "label",
-            "centroid_label",
-            cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.desc("cos"), F.asc("centroid_label")
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
+    cents = label_centroids(emb)
+    assigned = assign_to_centroids(emb, cents, 1).join(
+        emb.select("vec_id", "label"), "vec_id"
     )
     return (
-        assigned.groupBy("label", "centroid_label")
+        assigned.groupBy("label", F.col("c_label").alias("centroid_label"))
         .agg(F.count("*").alias("n"))
         .orderBy("label", "centroid_label")
+    )
+
+
+@register(
+    "vec_ivf_topk",
+    oracle=f"""
+    WITH {_SQL_CENTROIDS},
+    cells AS (
+      SELECT vec_id AS corpus_id, c_vec, c_label FROM (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS c_vec, c.c_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cvec) DESC, c.c_label
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, q_vec, c_label FROM (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS q_vec, c.c_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cvec) DESC, c.c_label
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id < 8
+      ) WHERE rn <= 2
+    ), scored AS (
+      SELECT p.query_id, s.corpus_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY list_cosine_similarity(p.q_vec, s.c_vec) DESC,
+                        s.corpus_id
+             ) AS rank
+      FROM probes p JOIN cells s USING (c_label)
+      WHERE s.corpus_id != p.query_id
+    )
+    SELECT query_id, rank, corpus_id
+    FROM scored WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("VEC", "ANN", "IVF"),
+)
+def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF two-stage ANN: probe the 2 nearest centroid cells per
+    query, brute-force only those cells' members — the scale path
+    where scored pairs track cell occupancy, not |corpus|."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries, k=5, nprobe=2).select(
+        "query_id", "rank", "corpus_id"
     )
