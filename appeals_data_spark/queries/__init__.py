@@ -28,6 +28,7 @@ from . import (  # noqa: F401
     sources_q,
     streaming_q,
     multimodal_q,
+    composite_q,
     events_q,
     survival_q,
     dedup_q,
