@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the custom operators.
+
+These check invariants a differential oracle can't: the properties
+must hold for EVERY input, not just the fixture tables. Spark runs are
+expensive, so examples are small and deadlines disabled.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from appeals_data_spark.operators.fuzzy_join import fuzzy_asof_join
+from appeals_data_spark.operators.sessionize import sessionize
+
+BASE = datetime(2020, 1, 1)
+
+_hyp = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def _fuzzy_case(draw):
+    n_left = draw(st.integers(1, 6))
+    n_right = draw(st.integers(0, 6))
+    left = [
+        (draw(st.integers(1, 3)), i, BASE + timedelta(days=draw(st.integers(0, 90))))
+        for i in range(n_left)
+    ]
+    right = [
+        (draw(st.integers(1, 3)), 100 + j, BASE + timedelta(days=draw(st.integers(0, 90))))
+        for j in range(n_right)
+    ]
+    return left, right
+
+
+@given(_fuzzy_case())
+@_hyp
+def test_fuzzy_asof_invariants(spark, case):
+    left_rows, right_rows = case
+    left = spark.createDataFrame(left_rows, "ent int, lid int, lts timestamp")
+    right = spark.createDataFrame(right_rows, "ent int, rid int, rts timestamp")
+    out = fuzzy_asof_join(
+        left, right, on="ent", left_key="lid", left_ts="lts", right_ts="rts",
+        tolerance_days=31, right_tiebreak="rid",
+    ).collect()
+    rows = {r["lid"]: r for r in out}
+    # (1) exactly one output row per left row
+    assert sorted(rows) == sorted(r[1] for r in left_rows)
+    by_ent_date = {}
+    for ent, rid, rts in right_rows:
+        by_ent_date.setdefault(ent, []).append((rid, rts))
+    for r in out:
+        cands = by_ent_date.get(r["ent"], [])
+        dists = [abs((r["lts"].date() - rts.date()).days) for _, rts in cands]
+        in_tol = [d for d in dists if d <= 31]
+        if r["match_type"] is None:
+            # (2) unmatched only when no candidate within tolerance
+            assert not in_tol
+        else:
+            # (3) matched distance is minimal among candidates
+            got = abs((r["lts"].date() - r["rts"].date()).days)
+            assert got == min(in_tol)
+            assert r["match_type"] == ("precise" if got == 0 else "fuzzy")
+
+
+@st.composite
+def _session_case(draw):
+    n = draw(st.integers(1, 12))
+    gaps = [draw(st.integers(0, 600)) for _ in range(n)]
+    ts, acc = [], BASE
+    for g in gaps:
+        acc = acc + timedelta(seconds=g)
+        ts.append(acc)
+    ent = [draw(st.integers(1, 2)) for _ in range(n)]
+    return [(ent[i], i, ts[i]) for i in range(n)]
+
+
+@given(_session_case())
+@_hyp
+def test_sessionize_invariants(spark, rows):
+    df = spark.createDataFrame(rows, "ent int, eid int, ts timestamp")
+    out = sorted(
+        sessionize(df, "ent", "ts", gap_seconds=120, tiebreak_col="eid").collect(),
+        key=lambda r: (r["ent"], r["ts"], r["eid"]),
+    )
+    per_ent = {}
+    for r in out:
+        per_ent.setdefault(r["ent"], []).append(r)
+    for ent, seq in per_ent.items():
+        # (1) sessions start at 1 and never skip
+        assert seq[0]["session_seq"] == 1
+        for a, b in zip(seq, seq[1:]):
+            gap = (b["ts"] - a["ts"]).total_seconds()
+            if gap > 120:
+                # (2) gap beyond threshold forces a new session
+                assert b["session_seq"] == a["session_seq"] + 1
+            else:
+                # (3) within-gap events stay in the same session
+                assert b["session_seq"] == a["session_seq"]
