@@ -30,6 +30,7 @@ from ..registry import register
     ORDER BY source
     """,
     tags=("MM", "UDF", "A1"),
+    bench=True,
 )
 def mm_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload audit per source: documents -> media table

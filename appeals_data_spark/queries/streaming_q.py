@@ -69,6 +69,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, session_start
     """,
     tags=("STREAM", "W3", "X4"),
+    bench=True,
 )
 def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window (30-min gap) per user — batch twin of

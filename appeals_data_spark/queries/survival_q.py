@@ -96,6 +96,7 @@ def surv_km_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY stratum, t
     """,
     tags=("X3", "KM"),
+    bench=True,
 )
 def surv_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full stratified KM curves: survival S(t) per order priority via

@@ -166,6 +166,7 @@ def vec_label_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY query_id, rank
     """,
     tags=("VEC", "ANN", "IVF"),
+    bench=True,
 )
 def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF two-stage ANN: probe the 2 nearest centroid cells per
