@@ -62,7 +62,7 @@ def p1_projection_alias_nulltest(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
-    tags=("P4", "P5", "P6"),
+    tags=("P4", "P5", "P6", "S7"),
 )
 def p4_range_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-range + IN-list + numeric/char BETWEEN (reference P4/P5/P6;
@@ -336,4 +336,44 @@ def f11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(k).alias("max_k"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "p14_complete_cases",
+    oracle="""
+    WITH derived AS (
+      SELECT o_orderkey,
+             NULLIF(o_orderstatus, 'P') AS status_known,
+             CASE WHEN o_totalprice > 100 THEN o_totalprice END AS price_ok
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_total,
+           COUNT(CASE WHEN status_known IS NOT NULL
+                       AND price_ok IS NOT NULL THEN 1 END) AS n_complete,
+           COUNT(CASE WHEN status_known IS NULL
+                       OR price_ok IS NULL THEN 1 END) AS n_dropped
+    FROM derived
+    """,
+    tags=("P14", "P11"),
+)
+def p14_complete_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-cases filter (docket-order.R:325 drops rows with any
+    NA before model fitting): derive nullable columns, count survivors
+    of df.na.drop() against the total."""
+    o = load_table(spark, sf_dir, "orders")
+    derived = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_known"),
+        F.when(F.col("o_totalprice") > 100, F.col("o_totalprice")).alias("price_ok"),
+    )
+    complete = derived.na.drop()
+    return (
+        derived.agg(F.count("*").alias("n_total"))
+        .crossJoin(complete.agg(F.count("*").alias("n_complete")))
+        .select(
+            "n_total",
+            "n_complete",
+            (F.col("n_total") - F.col("n_complete")).alias("n_dropped"),
+        )
     )

@@ -99,7 +99,7 @@ def j2_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s_name
     ORDER BY s_name
     """,
-    tags=("J3", "J7"),
+    tags=("J3", "J7", "J11"),
 )
 def j3_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-aggregate to a composite key then join (reference J3 RMDREA
@@ -389,7 +389,7 @@ def j13_right_join_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name, n_nationkey
     ORDER BY n_name
     """,
-    tags=("J15",),
+    tags=("J15", "U4"),
 )
 def j15_anti_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """left_anti / left_semi joins (reference "not in caseflow" NA
@@ -568,4 +568,53 @@ def j20_rule_cascade_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
         )
         .orderBy("match_rule")
+    )
+
+
+@register(
+    "j12_cross_source_join",
+    oracle="""
+    WITH activity AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+      FROM events GROUP BY user_id
+    ), accounts AS (
+      SELECT o_custkey % 150 AS user_id, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey % 150
+    )
+    SELECT CASE WHEN n_purchases > 0 THEN 'purchaser' ELSE 'browser' END
+             AS segment,
+           COUNT(*) AS n_users,
+           SUM(COALESCE(n_orders, 0)) AS total_orders,
+           SUM(n_events) AS total_events
+    FROM activity LEFT JOIN accounts USING (user_id)
+    GROUP BY segment ORDER BY segment
+    """,
+    tags=("J12",),
+)
+def j12_cross_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source join in one session (reference J12: VACOLS df ⋈
+    Caseflow df client-side, amy-97-list.R:20-22; here the event
+    stream joins the order system's ledger). Both pre-aggregated to
+    the shared key before joining — the shuffled payload is two tiny
+    aggregates, not either fact table."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    activity = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )
+    accounts = o.groupBy((F.col("o_custkey") % 150).alias("user_id")).agg(
+        F.count("*").alias("n_orders")
+    )
+    seg = F.when(F.col("n_purchases") > 0, "purchaser").otherwise("browser")
+    return (
+        activity.join(accounts, "user_id", "left")
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce("n_orders", F.lit(0))).alias("total_orders"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .orderBy("segment")
     )

@@ -29,7 +29,7 @@ from ..registry import register
     GROUP BY source
     ORDER BY source
     """,
-    tags=("MM", "UDF", "A1"),
+    tags=("MM", "UDF", "A1", "X6"),
     bench=True,
 )
 def mm_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

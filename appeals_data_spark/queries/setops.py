@@ -142,3 +142,38 @@ def o1_multikey_sort_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@register(
+    "o4_complete_weeks_only",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS month, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ), bounds AS (
+      SELECT MIN(month) AS first_m, MAX(month) AS last_m FROM monthly
+    )
+    SELECT month AS week, n
+    FROM monthly, bounds
+    WHERE month > first_m AND month < last_m
+    ORDER BY week
+    """,
+    tags=("O4",),
+)
+def o4_complete_weeks_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-period truncation (impact.R:65-66,296 drops the
+    incomplete trailing period before reporting): keep only interior
+    weeks of the data extent — the batch form of a watermark."""
+    e = load_table(spark, sf_dir, "events")
+    monthly = e.groupBy(F.date_trunc("week", "ts").cast("date").alias("month")).agg(
+        F.count("*").alias("n")
+    )
+    bounds = monthly.agg(
+        F.min("month").alias("first_m"), F.max("month").alias("last_m")
+    )
+    return (
+        monthly.crossJoin(F.broadcast(bounds))
+        .filter((F.col("month") > F.col("first_m")) & (F.col("month") < F.col("last_m")))
+        .select(F.col("month").alias("week"), "n")
+        .orderBy("week")
+    )
