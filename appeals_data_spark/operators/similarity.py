@@ -185,7 +185,10 @@ def ivf_topk(
     a broadcast product (|corpus| x |cells|); the candidate join is an
     equi-join on cell id, so scored pairs track cell occupancy
     (~nprobe/|cells| of the corpus per query) instead of |corpus|."""
-    cents = label_centroids(corpus, id_col, vec_col, label_col)
+    # Materialize the tiny centroid table once: it feeds BOTH the cell
+    # assignment and the probe pass, and without a barrier each side
+    # would re-aggregate the full corpus (2x the dominant scan at scale).
+    cents = label_centroids(corpus, id_col, vec_col, label_col).localCheckpoint()
     cells = assign_to_centroids(corpus, cents, 1, id_col, vec_col).select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"), "c_label"
     )

@@ -111,3 +111,70 @@ def km_counts(
         F.sum(n_at_t).over(total) - F.coalesce(F.sum(n_at_t).over(w_prev), F.lit(0)),
     )
     return per_t.select(*strata, "t", "n_risk", "n_event", "n_censored").orderBy(*strata, "t")
+
+
+def competing_risks_cuminc(
+    records: DataFrame,
+    duration_col: str,
+    cause_col: str,
+    n_causes: int = 2,
+    strata: list[str] | None = None,
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under competing risks
+    (reference `cuminc`, scratch/other/event-history.R:247-248):
+
+      CIF_k(t) = Σ_{t_i <= t}  S(t_i-) · d_k,i / n_i
+
+    with S the all-cause KM and cause 0 = censored. Same physical
+    shape as :func:`kaplan_meier`: one shuffle to the time grain, one
+    ordered window pass computing S(t-) in log space and every CIF_k
+    as a running sum.
+    """
+    strata = strata or []
+    part = [F.col(c) for c in strata]
+    cause = F.col(cause_col)
+
+    aggs = [
+        F.sum(F.when(cause == k, 1).otherwise(0)).alias(f"d{k}")
+        for k in range(1, n_causes + 1)
+    ]
+    per_t = records.groupBy(*part, F.col(duration_col).alias("t")).agg(
+        *aggs,
+        F.sum(F.when(cause == 0, 1).otherwise(0)).alias("n_censored"),
+        F.count("*").alias("n_at_t"),
+    )
+    w_ord = Window.partitionBy(*part).orderBy("t")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    total = Window.partitionBy(*part)
+
+    n_risk = F.sum("n_at_t").over(total) - F.coalesce(
+        F.sum("n_at_t").over(w_prev), F.lit(0)
+    )
+    d_all = sum(F.col(f"d{k}") for k in range(1, n_causes + 1))
+    km = per_t.withColumn("n_risk", n_risk)
+    frac = (F.col("n_risk") - d_all).cast("double") / F.col("n_risk")
+    # S(t-) = KM just before t: cumulative product over STRICTLY prior rows
+    s_prev = F.when(
+        F.coalesce(F.min(frac).over(w_prev), F.lit(1.0)) <= 0, F.lit(0.0)
+    ).otherwise(
+        F.exp(
+            F.coalesce(
+                F.sum(F.log(F.greatest(frac, F.lit(1e-300)))).over(w_prev), F.lit(0.0)
+            )
+        )
+    )
+    km = km.withColumn("s_prev", s_prev)
+    out_cols = [*strata, "t", "n_risk", "n_censored"]
+    for k in range(1, n_causes + 1):
+        km = km.withColumn(
+            f"cif{k}",
+            F.round(
+                F.sum(
+                    F.col("s_prev") * F.col(f"d{k}").cast("double") / F.col("n_risk")
+                ).over(w_cum),
+                6,
+            ),
+        )
+        out_cols += [f"d{k}", f"cif{k}"]
+    return km.select(*out_cols).orderBy(*strata, "t")

@@ -211,3 +211,62 @@ def closure_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_components"))
         .orderBy("size")
     )
+
+
+@register(
+    "surv_cuminc",
+    oracle="""
+    WITH rec AS (
+      SELECT CAST(30 + o_orderkey % 300 AS INT) AS duration,
+             CASE WHEN o_orderstatus = 'F' THEN 1
+                  WHEN o_orderstatus = 'P' THEN 2
+                  ELSE 0 END AS cause
+      FROM orders
+    ), per_t AS (
+      SELECT duration AS t,
+             SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS d1,
+             SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS d2,
+             SUM(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS n_censored,
+             COUNT(*) AS n_at_t
+      FROM rec GROUP BY duration
+    ), risk AS (
+      SELECT t, d1, d2, n_censored,
+             SUM(n_at_t) OVER ()
+             - COALESCE(SUM(n_at_t) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM per_t
+    ), frac AS (
+      SELECT *, CAST(n_risk - d1 - d2 AS DOUBLE) / n_risk AS f FROM risk
+    ), surv AS (
+      SELECT *,
+             CASE WHEN COALESCE(MIN(f) OVER prev, 1.0) <= 0 THEN 0.0
+                  ELSE EXP(COALESCE(SUM(LN(GREATEST(f, 1e-300))) OVER prev, 0.0))
+             END AS s_prev
+      FROM frac
+      WINDOW prev AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT t, n_risk, n_censored,
+           d1, ROUND(SUM(s_prev * d1 / n_risk) OVER cum, 6) AS cif1,
+           d2, ROUND(SUM(s_prev * d2 / n_risk) OVER cum, 6) AS cif2
+    FROM surv
+    WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY t
+    """,
+    tags=("X3", "CUMINC"),
+)
+def surv_cuminc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competing-risks cumulative incidence (Aalen-Johansen; reference
+    `cuminc`, event-history.R:247-248): cause 1 = finished, cause 2 =
+    in-process closure, censored otherwise. Identical formulation on
+    both engines, rounded to 6 dp (see module docstring)."""
+    from ..operators.survival import competing_risks_cuminc
+
+    o = load_table(spark, sf_dir, "orders")
+    rec = o.select(
+        (F.lit(30) + F.col("o_orderkey") % 300).cast("int").alias("duration"),
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .when(F.col("o_orderstatus") == "P", 2)
+        .otherwise(0)
+        .alias("cause"),
+    )
+    return competing_risks_cuminc(rec, "duration", "cause", n_causes=2)
