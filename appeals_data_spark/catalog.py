@@ -46,7 +46,17 @@ _TS_COLS = {
 }
 
 
+# DataFrames are immutable plans — safe to memoize per (session, dir,
+# table). Saves a parquet footer/schema read per query (the constant
+# that dominates small-query latency when a session runs many queries).
+_READ_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _READ_CACHE.get(key)
+    if cached is not None:
+        return cached
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
@@ -58,6 +68,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif dtypes.get(c) == "timestamp":
             df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    _READ_CACHE[key] = df
     return df
 
 

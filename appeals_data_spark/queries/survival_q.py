@@ -270,3 +270,31 @@ def surv_cuminc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cause"),
     )
     return competing_risks_cuminc(rec, "duration", "cause", n_causes=2)
+
+
+@register(
+    "x3_linreg_closed_form",
+    oracle="""
+    SELECT ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           COUNT(*) AS n
+    FROM lineitem
+    """,
+    tags=("X3", "GLM"),
+)
+def x3_linreg_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model layer, distributed closed form (reference lm,
+    reader-pilot.R:16-33): regression as ONE aggregation of sufficient
+    statistics — slope/intercept/r2 from covariances. Rounded to 6 dp
+    against DuckDB's regr_* (same math, different summation order)."""
+    from ..ml import linreg_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = linreg_stats(li, y="l_extendedprice", x="l_quantity")
+    return s.select(
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        "n",
+    )

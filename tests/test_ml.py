@@ -1,0 +1,66 @@
+"""Model-layer tests: closed-form parity and MLlib GLM sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from appeals_data_spark.catalog import load_table
+from appeals_data_spark.ml import fit_glm, linreg_stats
+
+from conftest import SF_SMOKE
+
+
+def test_linreg_matches_numpy(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    got = linreg_stats(li, y="l_extendedprice", x="l_quantity").first()
+    pdf = li.select("l_quantity", "l_extendedprice").toPandas()
+    slope, intercept = np.polyfit(pdf["l_quantity"], pdf["l_extendedprice"], 1)
+    assert got["slope"] == pytest.approx(slope, rel=1e-9)
+    assert got["intercept"] == pytest.approx(intercept, rel=1e-9)
+    assert got["n"] == len(pdf)
+
+
+def test_glm_gaussian_matches_ols(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").limit(2000)
+    model = fit_glm(
+        li, label_col="l_extendedprice", feature_cols=["l_quantity", "l_discount"]
+    )
+    pdf = li.select("l_quantity", "l_discount", "l_extendedprice").toPandas()
+    X = np.column_stack([pdf["l_quantity"], pdf["l_discount"], np.ones(len(pdf))])
+    beta, *_ = np.linalg.lstsq(X, pdf["l_extendedprice"], rcond=None)
+    assert model.coefficients[0] == pytest.approx(beta[0], rel=1e-6)
+    assert model.coefficients[1] == pytest.approx(beta[1], rel=1e-6)
+    assert model.intercept == pytest.approx(beta[2], rel=1e-6)
+
+
+def test_glm_binomial_recovers_signal(spark):
+    # y ~ Bernoulli(sigmoid(2x - 1)) on a deterministic grid: the fitted
+    # slope must be positive and near 2 (exact MLE on noiseless grid
+    # probabilities is not expected — sampled labels via threshold).
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.range(4000)
+        .withColumn("x", (F.col("id") % 100).cast("double") / 50.0)
+        .withColumn(
+            "label",
+            (F.sin(F.col("id") * 12.9898) * 0.5 + 0.5  # deterministic pseudo-noise
+             < 1 / (1 + F.exp(-(2 * F.col("x") - 1)))).cast("double"),
+        )
+    )
+    model = fit_glm(df, label_col="label", feature_cols=["x"], family="binomial")
+    assert model.coefficients[0] > 1.0
+    assert abs(model.intercept + model.coefficients[0] * 0.5) < 1.0
+
+
+def test_glm_group_onehot(spark):
+    o = load_table(spark, SF_SMOKE, "orders")
+    model = fit_glm(
+        o.withColumn("y", o.o_totalprice.cast("double")),
+        label_col="y",
+        feature_cols=[],
+        group_col="o_orderpriority",
+    )
+    # 5 priorities, dropLast=True -> 4 one-hot coefficients
+    assert len(model.coefficients) == 4
