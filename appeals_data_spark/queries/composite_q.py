@@ -79,3 +79,68 @@ def comp_time_to_first_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("4-NOT SPECIFIED").alias("p4_notspec"),
         F.col("5-LOW").alias("p5_low"),
     ).orderBy("multi")
+
+
+@register(
+    "comp_exp_gap_fit",
+    oracle="""
+    WITH gaps AS (
+      SELECT date_diff('second', ts,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+      FROM events
+    ), buckets AS (
+      SELECT CAST(FLOOR(gap_s / 60.0) AS INT) AS t, COUNT(*) AS n
+      FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1
+    ), surv AS (
+      SELECT t,
+             CAST(SUM(n) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / SUM(n) OVER () AS s
+      FROM buckets
+    )
+    SELECT ROUND(regr_slope(LN(s), t), 6) AS neg_lambda,
+           ROUND(regr_r2(LN(s), t), 6) AS r2,
+           COUNT(*) AS n_points
+    FROM surv WHERE t BETWEEN 1 AND 30 AND s > 0
+    """,
+    tags=("COMPOSITE", "X3", "F9", "A13", "W1"),
+)
+def comp_exp_gap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential catch-up model port (event-history.R:277-307 fits
+    nls count ~ a(1-exp(-b lag)) for NOD reporting fog): linearized
+    here as ln(empirical survival of inter-event gaps) ~ -lambda t,
+    fitted with the closed-form regression aggregate. Windows -> bins
+    -> reverse running sum -> one sufficient-statistics fit: the whole
+    model pipeline never leaves the JVM."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        (
+            F.unix_timestamp(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_timestamp(F.col("ts").cast("timestamp"))
+        ).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    buckets = gaps.groupBy(
+        F.floor(F.col("gap_s") / 60.0).cast("int").alias("t")
+    ).agg(F.count("*").alias("n"))
+    w_rev = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    surv = buckets.select(
+        "t",
+        (
+            F.sum("n").over(w_rev).cast("double")
+            / F.sum("n").over(Window.partitionBy())
+        ).alias("s"),
+    ).filter(F.col("t").between(1, 30) & (F.col("s") > 0))
+    agg = surv.agg(
+        F.covar_pop("t", F.log("s")).alias("sxy"),
+        F.var_pop("t").alias("sxx"),
+        F.corr("t", F.log("s")).alias("r"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    return agg.select(
+        F.round(F.col("sxy") / F.col("sxx"), 6).alias("neg_lambda"),
+        F.round(F.col("r") * F.col("r"), 6).alias("r2"),
+        "n_points",
+    )

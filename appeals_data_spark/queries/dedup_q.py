@@ -154,3 +154,44 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 200
+    ), c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), pairs AS (
+      SELECT q.label, q.vec_id AS id_a, c.vec_id AS id_b
+      FROM q JOIN c ON c.vec_id > q.vec_id
+      WHERE list_cosine_similarity(q.v, c.v) >= 0.9
+    )
+    SELECT label, COUNT(*) AS n_near_dups
+    FROM pairs GROUP BY label ORDER BY label
+    """,
+    tags=("DEDUP", "VEC"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup audit: for a probe slice, count
+    corpus vectors above 0.9 cosine (same-cluster near-dups). Probe
+    slice broadcast; scoring JVM-side. The full-corpus path swaps the
+    probe slice for the LSH/IVF candidate generators — same scorer.
+    0.9 sits far from any pair's value, so ulp drift cannot flip
+    membership on the fixture data."""
+    from ..functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("va")
+    )
+    corpus = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        corpus.join(F.broadcast(probes), F.col("id_b") > F.col("id_a"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.9)
+        .groupBy("label")
+        .agg(F.count("*").alias("n_near_dups"))
+        .orderBy("label")
+    )

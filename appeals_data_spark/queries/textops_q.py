@@ -206,3 +206,38 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_subword_tokens",
+    oracle=r"""
+    SELECT source,
+           SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')))
+             AS total_subwords,
+           SUM(len(regexp_extract_all(text, ' ?[0-9]+'))) AS total_number_chunks,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("TEXT", "BPE"),
+)
+def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    (letter runs / digit runs / punctuation runs, optional leading
+    space) counted per doc — the subword-budget estimator of a
+    training-data pipeline. Plain character classes only, so Java and
+    RE2 agree on every match."""
+    d = load_table(spark, sf_dir, "documents")
+    pat = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.expr(f"regexp_count(text, '{pat}')")).alias("total_subwords"),
+            F.sum(F.expr("regexp_count(text, ' ?[0-9]+')")).alias(
+                "total_number_chunks"
+            ),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
