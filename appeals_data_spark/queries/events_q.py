@@ -190,3 +190,45 @@ def x4_trace_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), F.asc("trace"))
         .limit(20)
     )
+
+
+@register(
+    "x4_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+    tags=("X4", "W1", "A6"),
+)
+def x4_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event process
+    (process-mining companion to x4_trace_coverage — edeaR's
+    process-map edges, status-api-traces.R:110-120): lead over each
+    entity stream, count (state, next) pairs, row-normalize with a
+    window. p rounded at 6 dp (double division of exact ints)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("event_type")),
+            6,
+        ).alias("p"),
+    ).orderBy("event_type", "next_type")

@@ -298,3 +298,69 @@ def x3_linreg_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r2", 6).alias("r2"),
         "n",
     )
+
+
+@register(
+    "surv_weibull_fit",
+    oracle="""
+    WITH rec AS (
+      SELECT CAST(30 + o_orderkey % 300 AS INT) AS duration
+      FROM orders WHERE o_orderstatus = 'F'
+    ), per_t AS (
+      SELECT duration AS t, COUNT(*) AS n FROM rec GROUP BY duration
+    ), surv AS (
+      SELECT t,
+             1.0 - CAST(SUM(n) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / (SUM(n) OVER () + 1) AS s
+      FROM per_t
+    )
+    SELECT ROUND(regr_slope(LN(-LN(s)), LN(t)), 6) AS shape,
+           ROUND(EXP(-regr_intercept(LN(-LN(s)), LN(t))
+                     / regr_slope(LN(-LN(s)), LN(t))), 6) AS scale,
+           ROUND(regr_r2(LN(-LN(s)), LN(t)), 6) AS r2,
+           COUNT(*) AS n_points
+    FROM surv WHERE s > 0 AND s < 1
+    """,
+    tags=("X3", "WEIBULL"),
+)
+def surv_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit port (docket-model.R:65 flexsurvreg): the classic
+    probability-plot linearization ln(-ln S(t)) = k·ln t - k·ln λ,
+    with S the (n+1)-adjusted empirical survival of uncensored
+    durations, fitted by the closed-form regression aggregate. Shape
+    k = slope, scale λ = exp(-intercept/slope)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rec = o.filter(F.col("o_orderstatus") == "F").select(
+        (F.lit(30) + F.col("o_orderkey") % 300).cast("int").alias("t")
+    )
+    per_t = rec.groupBy("t").agg(F.count("*").alias("n"))
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    surv = per_t.select(
+        "t",
+        (
+            F.lit(1.0)
+            - F.sum("n").over(w_cum).cast("double")
+            / (F.sum("n").over(Window.partitionBy()) + 1)
+        ).alias("s"),
+    ).filter((F.col("s") > 0) & (F.col("s") < 1))
+    y = F.log(-F.log("s"))
+    x = F.log("t")
+    agg = surv.agg(
+        F.covar_pop(x, y).alias("sxy"),
+        F.var_pop(x).alias("sxx"),
+        F.avg(x).alias("mx"),
+        F.avg(y).alias("my"),
+        F.corr(x, y).alias("r"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    slope = F.col("sxy") / F.col("sxx")
+    intercept = F.col("my") - slope * F.col("mx")
+    return agg.select(
+        F.round(slope, 6).alias("shape"),
+        F.round(F.exp(-intercept / slope), 6).alias("scale"),
+        F.round(F.col("r") * F.col("r"), 6).alias("r2"),
+        "n_points",
+    )
