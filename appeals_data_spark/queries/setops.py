@@ -21,6 +21,15 @@ from ..registry import register
       SELECT l_suppkey, 'line_shipped', l_shipdate, l_extendedprice FROM lineitem
       UNION ALL
       SELECT user_id, event_type, ts, value FROM events
+      UNION ALL
+      SELECT l_suppkey, 'line_returned', l_shipdate, l_extendedprice
+      FROM lineitem WHERE l_returnflag = 'R'
+      UNION ALL
+      SELECT o_custkey,
+             CASE o_orderstatus WHEN 'F' THEN 'order_finished'
+                                WHEN 'P' THEN 'order_in_process' END,
+             o_orderdate, o_totalprice
+      FROM orders WHERE o_orderstatus IN ('F', 'P')
     )
     WHERE ts IS NOT NULL
     GROUP BY event_type, YEAR(ts)
@@ -31,8 +40,9 @@ from ..registry import register
 )
 def u1_union_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events_all() union — the reference's 10-way rbind
-    (R/events.R:929-988, U1) as ONE Catalyst plan over three
-    extractors. Union is plan-level: no shuffle until the groupBy."""
+    (R/events.R:929-988, U1) as ONE Catalyst plan over five
+    extractors (projection, filter, and classifier-merge shapes).
+    Union is plan-level: no shuffle until the groupBy."""
     from ..views.events import events_all
 
     ev = events_all(spark, sf_dir)

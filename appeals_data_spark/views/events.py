@@ -73,7 +73,50 @@ def user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXTRACTORS = (order_events, shipment_events, user_events)
+def return_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned lines are events on the supplier (filter-extractor
+    shape: most of the reference's extractors are base table + WHERE,
+    events.R:38-43)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return _conform(
+        li.filter(F.col("l_returnflag") == "R").select(
+            F.col("l_suppkey").alias("entity_id"),
+            F.lit("line_returned").alias("event_type"),
+            F.col("l_shipdate").alias("ts"),
+            F.col("l_extendedprice").alias("amount"),
+        )
+    )
+
+
+# End-state classifier: code -> event label, inner join => also filters
+# (the reference's EventEndStateClassifier merge, R/events.R:863-865 +
+# constants.R:15-18 — J14). A literal broadcast dim, not a when-chain,
+# so adding end states is data, not code.
+END_STATE_CLASSIFIER = (("F", "order_finished"), ("P", "order_in_process"))
+
+
+def end_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    classifier = spark.createDataFrame(
+        list(END_STATE_CLASSIFIER), "o_orderstatus string, event_type string"
+    )
+    return _conform(
+        o.join(F.broadcast(classifier), "o_orderstatus").select(
+            F.col("o_custkey").alias("entity_id"),
+            F.col("event_type"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_totalprice").alias("amount"),
+        )
+    )
+
+
+EXTRACTORS = (
+    order_events,
+    shipment_events,
+    user_events,
+    return_events,
+    end_state_events,
+)
 
 
 def events_all(spark: SparkSession, sf_dir: str) -> DataFrame:
