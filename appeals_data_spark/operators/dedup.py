@@ -117,7 +117,7 @@ def minhash_band_hashes(
     return _minhash_fold(col, num_hashes, k_shingle, _finish)
 
 
-def minhash_band_pairs(
+def minhash_features(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -125,15 +125,67 @@ def minhash_band_pairs(
     bands: int = 8,
     k_shingle: int = 3,
 ) -> DataFrame:
+    """Per-doc LSH features: (doc_id, bands, shingle_set).
+
+    Codegen-friendly formulation: explode shingles, then ONE grouped
+    aggregation with ``num_hashes`` ``min(xxhash64(shingle, i))``
+    columns plus ``collect_set`` for the exact-verification set. Every
+    expression stays inside whole-stage codegen and the mins combine
+    map-side — unlike a higher-order-function fold, which Spark
+    evaluates interpreted and which re-runs per plan branch. Hash
+    values are identical to hashing per-seed (min over shingles of
+    xxhash64(s, i)), so results are stable across both formulations.
+
+    At 100 TB this is the signature table you'd materialize once per
+    corpus snapshot; the groupBy key is doc_id, so the shuffle is
+    O(|docs| × num_hashes × 8B) — tiny next to the text itself.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles(text_col, k_shingle)
+    sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("")))
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("_s"))
+    sig = ex.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("_s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)],
+        F.collect_set("_s").alias("shingle_set"),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select("doc_id", F.array(*band_structs).alias("bands"), "shingle_set")
+
+
+def minhash_band_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+    features: DataFrame | None = None,
+) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) via banded minhash buckets.
 
     rows_per_band = num_hashes // bands. Two docs are candidates iff
     at least one band's sub-signature matches exactly — the classic
-    S-curve knob.
+    S-curve knob. Pass a persisted ``minhash_features`` frame to avoid
+    re-evaluating the signature fold per join branch.
     """
-    banded = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(minhash_band_hashes(text_col, num_hashes, bands, k_shingle)).alias("bh"),
+    if features is None:
+        features = minhash_features(df, text_col, id_col, num_hashes, bands, k_shingle)
+    banded = features.select(
+        "doc_id", F.explode("bands").alias("bh")
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -163,12 +215,20 @@ def ngram_jaccard_pairs(
     candidate_pairs: DataFrame,
     k_shingle: int = 3,
     threshold: float = 0.5,
+    features: DataFrame | None = None,
 ) -> DataFrame:
-    """Verify candidate pairs with exact shingle-set Jaccard."""
-    sets_df = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(text_col, k_shingle)).alias("sh"),
-    )
+    """Verify candidate pairs with exact shingle-set Jaccard.
+
+    With a persisted ``minhash_features`` frame the shingle sets come
+    from the cache instead of a fresh tokenize+shingle pass per side.
+    """
+    if features is not None:
+        sets_df = features.select("doc_id", F.col("shingle_set").alias("sh"))
+    else:
+        sets_df = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(shingles(text_col, k_shingle)).alias("sh"),
+        )
     a = sets_df.alias("sa")
     b = sets_df.alias("sb")
     return (

@@ -109,12 +109,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: shingle -> 32-hash signature ->
     8 bands -> bucket equi-join -> distinct pairs, then exact-Jaccard
     verification. Candidate generation is an equi-join on
-    (band, band_hash): cost tracks bucket occupancy, never |docs|²."""
-    from ..operators.dedup import ngram_jaccard_pairs
+    (band, band_hash): cost tracks bucket occupancy, never |docs|².
+
+    The per-doc feature frame (bands + shingle set) is computed in one
+    fold pass and persisted — the interpreted HOF fold would otherwise
+    re-run on every branch of the self-join and the verify joins. At
+    100 TB the features frame is the signature table you'd materialize
+    once per corpus snapshot."""
+    from ..operators.dedup import minhash_features, ngram_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    cand = minhash_band_pairs(d, "text", "doc_id", num_hashes=32, bands=8)
-    verified = ngram_jaccard_pairs(d, "text", "doc_id", cand, threshold=0.0)
+    feats = minhash_features(d, "text", "doc_id", num_hashes=32, bands=8).persist()
+    cand = minhash_band_pairs(d, "text", "doc_id", features=feats)
+    verified = ngram_jaccard_pairs(d, "text", "doc_id", cand, threshold=0.0, features=feats)
     return (
         verified.groupBy(
             F.floor(F.col("jaccard") * 10).cast("int").alias("jaccard_decile")
