@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.scalars import fiscal_year
 from ..registry import register
 
 
@@ -79,6 +80,159 @@ def comp_time_to_first_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("4-NOT SPECIFIED").alias("p4_notspec"),
         F.col("5-LOW").alias("p5_low"),
     ).orderBy("multi")
+
+
+@register(
+    "comp_outcome_rates",
+    oracle="""
+    WITH lagg AS (
+      SELECT l_orderkey,
+             MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS had_return
+      FROM lineitem GROUP BY l_orderkey
+    ), base AS (
+      SELECT YEAR(o.o_orderdate + INTERVAL 3 MONTH) AS fy,
+             n.n_name AS nation,
+             COALESCE(lagg.had_return, 0) AS had_return,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS finished
+      FROM orders o
+      LEFT JOIN lagg ON o.o_orderkey = lagg.l_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT fy, nation,
+           COUNT(*) AS n_orders,
+           CAST(SUM(had_return) AS BIGINT) AS n_with_return,
+           ROUND(CAST(SUM(had_return * finished) AS DOUBLE)
+                 / NULLIF(SUM(had_return), 0), 6) AS finish_rate_with_return,
+           ROUND(CAST(SUM((1 - had_return) * finished) AS DOUBLE)
+                 / NULLIF(SUM(1 - had_return), 0), 6) AS finish_rate_no_return
+    FROM base
+    GROUP BY fy, nation
+    ORDER BY fy, nation
+    """,
+    tags=("COMPOSITE", "J1", "J7", "A2", "A5", "W10", "P9"),
+    bench=True,
+)
+def comp_outcome_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """effect-on-outcomes port (effect-on-outcomes.Rmd:55-181, SURVEY
+    §3.2): pre-aggregate the 1:N child to an exposure flag BEFORE the
+    fact join (J7 — the reference's hearing-counts subquery, keeping
+    the join 1:1), broadcast the small dim chain, bucket by fiscal year
+    (W10), and compare outcome rates between exposed and unexposed
+    groups with conditional aggregation (A2/A5). One Catalyst plan;
+    the child pre-agg combines map-side so the big join never fans out.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    lagg = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("had_return")
+    )
+    base = (
+        o.join(lagg, o.o_orderkey == lagg.l_orderkey, "left")
+        .na.fill({"had_return": 0})
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            fiscal_year(F.col("o_orderdate")).alias("fy"),
+            F.col("n_name").alias("nation"),
+            F.col("had_return"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("finished"),
+        )
+    )
+    return (
+        base.groupBy("fy", "nation")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("had_return").alias("n_with_return"),
+            F.round(
+                F.sum(F.col("had_return") * F.col("finished")).cast("double")
+                / F.nullif(F.sum("had_return"), F.lit(0)),
+                6,
+            ).alias("finish_rate_with_return"),
+            F.round(
+                F.sum((1 - F.col("had_return")) * F.col("finished")).cast("double")
+                / F.nullif(F.sum(1 - F.col("had_return")), F.lit(0)),
+                6,
+            ).alias("finish_rate_no_return"),
+        )
+        .orderBy("fy", "nation")
+    )
+
+
+@register(
+    "comp_backlog_reconstruction",
+    oracle="""
+    WITH ev AS (
+      SELECT o_custkey AS entity_id, 'order_placed' AS event_type,
+             o_orderdate AS ts FROM orders
+      UNION ALL
+      SELECT l_suppkey, 'line_shipped', l_shipdate FROM lineitem
+      UNION ALL
+      SELECT user_id, event_type, ts FROM events
+      UNION ALL
+      SELECT l_suppkey, 'line_returned', l_shipdate
+      FROM lineitem WHERE l_returnflag = 'R'
+      UNION ALL
+      SELECT o_custkey,
+             CASE o_orderstatus WHEN 'F' THEN 'order_finished'
+                                WHEN 'P' THEN 'order_in_process' END,
+             o_orderdate
+      FROM orders WHERE o_orderstatus IN ('F', 'P')
+    ), spans AS (
+      SELECT entity_id,
+             MIN(CAST(ts AS DATE)) AS enter_d,
+             COALESCE(
+               MIN(CASE WHEN event_type = 'order_finished'
+                        THEN CAST(ts AS DATE) END),
+               MAX(CAST(ts AS DATE))) AS exit_d
+      FROM ev WHERE ts IS NOT NULL
+      GROUP BY entity_id
+    ), grid AS (
+      SELECT UNNEST(generate_series(DATE '1995-01-02', DATE '2001-12-31',
+                                    INTERVAL 7 DAY)) AS g
+    )
+    SELECT CAST(g AS DATE) AS grid_date,
+           (SELECT COUNT(*) FROM spans
+             WHERE enter_d <= CAST(g AS DATE)
+               AND exit_d > CAST(g AS DATE)) AS backlog
+    FROM grid
+    ORDER BY grid_date
+    """,
+    tags=("COMPOSITE", "U1", "W6", "J17", "A1"),
+)
+def comp_backlog_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog reconstruction from the derived event log (event-history.
+    R:34-135 + capacity.R:84-102, SURVEY §7.2 step 8): events_all() ->
+    per-entity activity span -> weekly point-in-time backlog.
+
+    The reference's W6 cleaning (drop events after the first end-state
+    event) collapses algebraically into the span aggregation: the
+    cleaned max-timestamp IS the first end-state timestamp when one
+    exists, else the last activity — so exit_d =
+    coalesce(min(ts | end state), max(ts)). That turns a window pass +
+    filter + re-aggregation into ONE groupBy with map-side partials,
+    and the grid expansion then runs join-free (operators.pit explode
+    strategy). The reference needed 10 Oracle round-trips plus three
+    dplyr passes for the same answer."""
+    from ..operators.pit import date_grid, pit_backlog
+    from ..views.events import events_all
+
+    ev = events_all(spark, sf_dir)
+    spans = ev.groupBy("entity_id").agg(
+        F.min(F.col("ts").cast("date")).alias("enter_d"),
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("event_type") == "order_finished", F.col("ts").cast("date")
+                )
+            ),
+            F.max(F.col("ts").cast("date")),
+        ).alias("exit_d"),
+    )
+    grid = date_grid(spark, "1995-01-02", "2001-12-31", 7)
+    return pit_backlog(spans, grid, "enter_d", "exit_d", step_days=7)
 
 
 @register(
