@@ -92,6 +92,69 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_click_attribution",
+    oracle=f"""
+    SELECT c.user_id AS user_id,
+           COUNT(*) AS n_pairs,
+           {SQL_DSUM.format(col="p.value")} AS attributed_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY c.user_id
+    ORDER BY user_id
+    """,
+    tags=("STREAM", "J6", "J16"),
+)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->purchase attribution within a 1-hour horizon — batch twin
+    of streaming.purchase_attribution (stream-stream interval join).
+    Equi-join on user_id with an event-time range residual: SMJ in
+    batch, watermark-bounded state buffers in streaming; the plan
+    expression is shared."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value"
+    )
+    pairs = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") < F.col("click_ts") + F.expr("interval 1 hour")),
+    )
+    return (
+        pairs.groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"), dsum("value").alias("attributed_value"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "stream_dedup_user_types",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("STREAM", "DEDUP", "A3", "A4"),
+)
+def stream_dedup_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (user, type) pairs per type — batch twin of
+    streaming.deduped_stream: the drained streaming-dedup survivors
+    aggregate to exactly these counts (survivor *rows* are
+    nondeterministic in both engines, counts are not — A4)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
     "stream_user_totals",
     oracle=f"""
     SELECT user_id,

@@ -15,7 +15,9 @@ files.
 """
 
 from .event_stream import (  # noqa: F401
+    deduped_stream,
     event_stream,
+    purchase_attribution,
     running_user_totals_stateful,
     session_window_stats,
     tumbling_counts,

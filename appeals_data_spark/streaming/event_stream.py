@@ -137,6 +137,59 @@ def running_user_totals_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+def deduped_stream(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    within_watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup — the stream-side of the dedup family.
+
+    - ``within_watermark=None``: ``dropDuplicates`` — exact, but state
+      grows with key cardinality (fine when keys are bounded, e.g.
+      user x type).
+    - ``within_watermark="2 hours"``: ``dropDuplicatesWithinWatermark``
+      — state is evicted once the watermark passes, so a duplicate
+      arriving later than the horizon can re-emit. This is the 100 TB
+      default: bounded state, dedup guaranteed within the horizon.
+    """
+    s = stream.select(*keys, "ts")
+    if within_watermark is None:
+        return s.dropDuplicates(list(keys))
+    return s.withWatermark("ts", within_watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def purchase_attribution(
+    stream: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval self-join: each purchase is attributed to
+    clicks by the same user within [click_ts, click_ts + horizon).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both ends, so Spark can size the join state buffers and
+    evict matched-out rows — the canonical bounded stream-stream join.
+    Batch twin: ``stream_click_attribution`` (same join, aggregated).
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts >= click_ts "
+            f"AND p_ts < click_ts + interval {horizon}"
+        ),
+    )
+
+
 def run_to_memory(
     spark: SparkSession, result: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -14,7 +14,9 @@ import pytest
 
 from appeals_data_spark.registry import all_queries
 from appeals_data_spark.streaming import (
+    deduped_stream,
     event_stream,
+    purchase_attribution,
     running_user_totals_stateful,
     session_window_stats,
     tumbling_counts,
@@ -79,6 +81,66 @@ def test_stateful_user_totals_parity(spark, events_dir):
         assert got[k][0] == want[k][0]
         # pandas double summation order differs from exact-decimal batch
         assert got[k][1] == pytest.approx(want[k][1], abs=1e-6)
+
+
+def test_stream_dedup_parity(spark, events_dir):
+    import pyspark.sql.functions as F
+
+    out = run_to_memory(
+        spark,
+        deduped_stream(event_stream(spark, events_dir)),
+        "t_dedup",
+        output_mode="append",
+    )
+    got = _rows(
+        out.groupBy("event_type").agg(F.count("*").alias("n_users")),
+        ["event_type", "n_users"],
+    )
+    batch = all_queries()["stream_dedup_user_types"].builder(spark, SF_SMOKE)
+    assert got == _rows(batch, ["event_type", "n_users"])
+
+
+def test_stream_dedup_within_watermark_bounds_state(spark, events_dir):
+    # Watermarked dedup may re-emit a key once its state is evicted, so
+    # the survivor count is >= exact dedup and <= the raw event count.
+    out = run_to_memory(
+        spark,
+        deduped_stream(event_stream(spark, events_dir), within_watermark="2 hours"),
+        "t_dedup_wm",
+        output_mode="append",
+    )
+    exact = all_queries()["stream_dedup_user_types"].builder(spark, SF_SMOKE)
+    n_exact = sum(r["n_users"] for r in exact.collect())
+    n_raw = all_queries()["stream_user_totals"].builder(spark, SF_SMOKE)
+    n_raw = sum(r["n_events"] for r in n_raw.collect())
+    assert n_exact <= out.count() <= n_raw
+
+
+def test_click_attribution_parity(spark, events_dir):
+    import pyspark.sql.functions as F
+
+    pairs = run_to_memory(
+        spark,
+        purchase_attribution(event_stream(spark, events_dir)),
+        "t_attr",
+        output_mode="append",
+    )
+    got = {
+        r["user_id"]: (r["n_pairs"], r["attributed_value"])
+        for r in pairs.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "attributed_value"
+            ),
+        )
+        .collect()
+    }
+    batch = all_queries()["stream_click_attribution"].builder(spark, SF_SMOKE)
+    want = {
+        r["user_id"]: (r["n_pairs"], r["attributed_value"]) for r in batch.collect()
+    }
+    assert got == want
 
 
 def test_watermark_drops_stale_windows(spark, events_dir):
