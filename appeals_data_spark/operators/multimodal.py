@@ -99,3 +99,71 @@ def extract_features(media: DataFrame) -> DataFrame:
     """
     slim = media.select("doc_id", "blob", F.col("meta.mime").alias("mime"))
     return slim.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, blob binary, new_width int, new_height int"
+
+
+def resize_media(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """1:1 payload transform: cap the longer image side at ``max_dim``.
+
+    The geometry (scale = min(1, max_dim / max(w, h)), truncating int
+    dims) is real; the pixel resample is stubbed — a production build
+    decodes via ``decode_media``, resamples, and re-encodes the blob.
+    Binary-in/binary-out through Arrow with metadata recomputed
+    JVM-side afterwards: the exact shape a real thumbnailing stage has.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scale = (max_dim / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    # stub: real impl re-encodes the decoded, resampled image
+                    "blob": pdf["blob"],
+                    "new_width": (pdf["width"] * scale).astype("int32"),
+                    "new_height": (pdf["height"] * scale).astype("int32"),
+                }
+            )
+
+    slim = media.select(
+        "doc_id",
+        "blob",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return slim.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, source string, frame_idx int, frame_blob binary"
+
+
+def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
+    """1:N frame sampling: emit every k-th frame of each video payload.
+
+    Demonstrates the fan-out mapInPandas shape (output rows > input
+    rows) a video pipeline needs; frames are deterministic byte slices
+    of the payload standing in for decoded frames (``decode_media`` is
+    the production hook). Emitted rows per doc = ceil(n_frames / k).
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "source": [], "frame_idx": [], "frame_blob": []}
+            for did, src, blob, nf in zip(
+                pdf["doc_id"], pdf["source"], pdf["blob"], pdf["n_frames"]
+            ):
+                b = bytes(blob)
+                stride = max(1, len(b) // int(nf)) if len(b) else 1
+                for idx in range(0, int(nf), every_k):
+                    out["doc_id"].append(did)
+                    out["source"].append(src)
+                    out["frame_idx"].append(idx)
+                    out["frame_blob"].append(b[idx * stride : (idx + 1) * stride])
+            yield pd.DataFrame(out)
+
+    slim = media.select(
+        "doc_id", "source", "blob", F.col("meta.n_frames").alias("n_frames")
+    )
+    return slim.mapInPandas(_frames, schema=FRAME_SCHEMA)

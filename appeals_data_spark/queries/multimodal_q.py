@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.multimodal import as_media, extract_features
+from ..operators.multimodal import (
+    as_media,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
 from ..registry import register
 
 
@@ -47,6 +52,76 @@ def mm_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").alias("total_bytes"),
             F.countDistinct("digest").alias("n_distinct_payloads"),
             F.sum(F.when(F.col("n_bytes") >= 200, 1).otherwise(0)).alias("n_large"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "mm_resize_dims",
+    oracle="""
+    WITH dims AS (
+      SELECT source,
+             (n_chars % 640) + 32 AS w,
+             (n_chars % 480) + 32 AS h
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CAST(FLOOR(w * LEAST(1.0, 256.0 / GREATEST(w, h))) AS BIGINT))
+             AS total_new_width,
+           SUM(CAST(FLOOR(h * LEAST(1.0, 256.0 / GREATEST(w, h))) AS BIGINT))
+             AS total_new_height
+    FROM dims
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("MM", "UDF", "X6"),
+)
+def mm_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail-stage audit: media -> resize_media (cap longer side at
+    256, Arrow binary-in/binary-out) -> summed post-resize dimensions
+    per source. The oracle recomputes the geometry in SQL; identical
+    IEEE doubles on both sides make the truncated ints exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_media(as_media(docs), max_dim=256)
+    return (
+        resized.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("new_width").alias("total_new_width"),
+            F.sum("new_height").alias("total_new_height"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CAST(CEIL(CAST((n_chars % 24) + 1 AS DOUBLE) / 4) AS BIGINT))
+             AS n_frames_sampled
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("MM", "UDF", "X6"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: media -> sample_frames (every 4th frame,
+    1:N fan-out through mapInPandas) -> frames per source. The oracle
+    predicts the fan-out arithmetic (ceil(n_frames / 4) with n_frames =
+    n_chars % 24 + 1) straight from the documents table."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(as_media(docs), every_k=4)
+    return (
+        frames.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_frames_sampled"),
         )
         .orderBy("source")
     )

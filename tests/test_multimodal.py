@@ -9,6 +9,8 @@ from appeals_data_spark.operators.multimodal import (
     as_media,
     decode_media,
     extract_features,
+    resize_media,
+    sample_frames,
 )
 
 from conftest import SF_SMOKE
@@ -40,3 +42,33 @@ def test_feature_extraction_deterministic(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00", "image/png")
+
+
+def test_resize_caps_longer_side(spark):
+    media = as_media(load_table(spark, SF_SMOKE, "documents"))
+    out = resize_media(media, max_dim=256)
+    rows = out.collect()
+    assert len(rows) == media.count()
+    orig = {r["doc_id"]: (r["meta"]["width"], r["meta"]["height"]) for r in media.collect()}
+    for r in rows:
+        w, h = r["new_width"], r["new_height"]
+        ow, oh = orig[r["doc_id"]]
+        assert max(w, h) <= 256
+        # never upscale; aspect handling truncates, so small dims shrink
+        assert w <= ow and h <= oh
+        assert isinstance(r["blob"], (bytes, bytearray))
+
+
+def test_frame_sampling_fanout(spark):
+    media = as_media(load_table(spark, SF_SMOKE, "documents"))
+    frames = sample_frames(media, every_k=4)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in frames.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
+    }
+    meta = {r["doc_id"]: r["meta"]["n_frames"] for r in media.collect()}
+    assert per_doc.keys() == meta.keys()
+    for did, nf in meta.items():
+        assert per_doc[did] == (nf + 3) // 4  # ceil(n_frames / 4)
+    idx = frames.filter("doc_id = %d" % next(iter(meta))).collect()
+    assert all(r["frame_idx"] % 4 == 0 for r in idx)
