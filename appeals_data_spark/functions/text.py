@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
@@ -61,6 +62,54 @@ def rolling_fingerprint(col: str | Column) -> Column:
     normalized (lowercased, whitespace-collapsed) text."""
     c = F.col(col) if isinstance(col, str) else col
     return F.xxhash64(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def winnow_fingerprints(
+    df, text_col: str, id_col: str, k: int = 5, w: int = 4
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): base-31 polynomial hash of every char k-gram of the
+    normalized text, then the min hash of each sliding window of ``w``
+    consecutive k-grams; the distinct window-mins are the fingerprint
+    set. Guarantees any shared substring of length >= k + w - 1
+    produces a shared fingerprint.
+
+    The classic O(1) "rolling" update is an artifact of scalar loops;
+    in a columnar engine the same hash family is evaluated directly
+    per position (explode + codegen'd arithmetic) and the window min
+    is a frame aggregate — no Python, no UDF, exact SQL twin in any
+    engine with ``ord``/``substr``. Returns (doc_id, fp) distinct
+    pairs.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    base = df.select(F.col(id_col).alias("doc_id"), t.alias("_t")).filter(
+        F.length("_t") >= k
+    )
+    pos = base.select(
+        "doc_id",
+        F.length("_t").alias("_lt"),
+        F.col("_t"),
+        F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("p"),
+    )
+    h = None
+    for j in range(k):
+        term = F.ascii(F.col("_t").substr(F.col("p") + j, F.lit(1))) * (31**j)
+        h = term if h is None else h + term
+    grams = pos.select("doc_id", "_lt", "p", h.cast("long").alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, w - 1)
+    return (
+        grams.select(
+            "doc_id",
+            "p",
+            "_lt",
+            F.min("h").over(win).alias("fp"),
+        )
+        # winnowing only selects from FULL windows of w k-grams
+        .filter(F.col("p") <= F.col("_lt") - (k - 1) - (w - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
 
 
 def lang_id_heuristic(col: str | Column) -> Column:

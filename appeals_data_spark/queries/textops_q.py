@@ -209,6 +209,64 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_winnow_fingerprints",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, source, t, length(t) AS lt,
+             UNNEST(generate_series(1, length(t) - 4)) AS p
+      FROM d WHERE length(t) >= 5
+    ), grams AS (
+      SELECT doc_id, source, p, lt,
+             ord(substr(t, p, 1))
+             + 31 * ord(substr(t, p + 1, 1))
+             + 961 * ord(substr(t, p + 2, 1))
+             + 29791 * ord(substr(t, p + 3, 1))
+             + 923521 * ord(substr(t, p + 4, 1)) AS h
+      FROM pos
+    ), wins AS (
+      SELECT doc_id, source, p, lt,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams
+    ), fps AS (
+      SELECT DISTINCT doc_id, source, fp FROM wins WHERE p <= lt - 7
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS total_doc_fps,
+           COUNT(DISTINCT fp) AS n_distinct_fps
+    FROM fps GROUP BY source ORDER BY source
+    """,
+    tags=("TEXT", "FP", "DEDUP"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=5 char-grams, window
+    w=4): any shared substring of length >= 8 chars yields a shared
+    fingerprint — the substring-level dedup/plagiarism primitive that
+    whole-doc hashing (text_fingerprint_md5) can't provide. The
+    base-31 polynomial hash has an exact SQL twin, so this is the one
+    fingerprint family with a full value-level oracle."""
+    from ..functions.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
+    return (
+        fps.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("total_doc_fps"),
+            F.countDistinct("fp").alias("n_distinct_fps"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "text_subword_tokens",
     oracle=r"""
     SELECT source,

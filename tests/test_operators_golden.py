@@ -174,6 +174,31 @@ def test_minhash_lsh_finds_near_duplicate(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_winnow_guarantee_shared_substring(spark):
+    # Winnowing guarantee: a shared substring of length >= k + w - 1
+    # (= 8 here) always yields a shared fingerprint; disjoint alphabets
+    # share nothing.
+    from appeals_data_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it"),
+            (2, "xx the quick brown dog sits"),
+            (3, "zzzzzzzzzzzzzzzzzzzz"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fps = winnow_fingerprints(df, "text", "doc_id", k=5, w=4)
+    by_doc = {
+        i: {r.fp for r in fps.filter(F.col("doc_id") == i).collect()} for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2]  # share "the quick brown " (16 chars)
+    assert not (by_doc[1] & by_doc[3])
+    # doc shorter than k + w - 1 full-window minimum yields no rows
+    tiny = spark.createDataFrame([(9, "abcdefg")], "doc_id bigint, text string")
+    assert winnow_fingerprints(tiny, "text", "doc_id", k=5, w=4).count() == 0
+
+
 def test_jaccard_expr(spark):
     df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>")
     assert abs(df.select(jaccard(F.col("x"), F.col("y")).alias("j")).collect()[0].j - 0.5) < 1e-12
