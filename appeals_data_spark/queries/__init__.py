@@ -16,6 +16,7 @@ Module -> SURVEY.md §2 family map:
   sources_q   S5-S9 CSV dim sources (sinks exercised in tests)
   streaming_q batch twins of the Structured Streaming mode (§2.10)
   multimodal_q binary payload + mapInPandas feature extraction
+  skew_q      salted join/aggregation (hot-key mitigation)
 """
 
 from . import (  # noqa: F401
@@ -34,4 +35,5 @@ from . import (  # noqa: F401
     dedup_q,
     textops_q,
     vector_q,
+    skew_q,
 )

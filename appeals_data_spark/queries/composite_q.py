@@ -236,6 +236,80 @@ def comp_backlog_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "comp_docket_projection",
+    oracle="""
+    WITH grid AS (
+      SELECT UNNEST(generate_series(DATE '1995-01-02', DATE '2001-12-31',
+                                    INTERVAL 28 DAY)) AS g
+    ), pending AS (
+      SELECT CAST(g AS DATE) AS grid_date,
+             CAST(o_orderdate AS DATE) AS od,
+             o_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY g
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rn
+      FROM grid JOIN orders
+        ON CAST(o_orderdate AS DATE) <= CAST(g AS DATE)
+       AND CAST(o_orderdate AS DATE)
+           + CAST(30 + o_orderkey % 60 AS INTEGER) > CAST(g AS DATE)
+    )
+    SELECT grid_date, od AS docket_line_date
+    FROM pending WHERE rn = 100
+    ORDER BY grid_date
+    """,
+    tags=("COMPOSITE", "J17", "A14", "O3"),
+)
+def comp_docket_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docket-line projection (docket-model.R:285-312): for each grid
+    date, the order date of the 100th-oldest then-pending case — the
+    reference's "date of the 4000th pending appeal" time series.
+
+    Physical shape: each interval map-side-emits the grid points it
+    covers (no grid join), then ONE shuffle partitions by grid_date for
+    the rank. Shuffle volume is Σ covered points (~interval/step per
+    row), so at 100 TB you widen the grid step or pre-filter the cohort
+    — never a grid x fact cross join. Synthetic pendency = 30 +
+    orderkey%60 days, as in j17_pit_backlog."""
+    step, start, end, k = 28, "1995-01-02", "2001-12-31", 100
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_orderkey"),
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.lit(30) + F.col("o_orderkey") % 60).cast("int"),
+        ).alias("exit_d"),
+    )
+    off = F.datediff(F.col("od"), F.lit(start).cast("date"))
+    first_covered = F.date_add(
+        F.lit(start).cast("date"), ((off + step - 1) / step).cast("int") * step
+    )
+    covered = (
+        iv.withColumn("__first", first_covered)
+        .filter(F.col("__first") <= F.date_sub("exit_d", 1))
+        .select(
+            "o_orderkey",
+            "od",
+            F.explode(
+                F.sequence(
+                    F.col("__first"),
+                    F.date_sub("exit_d", 1),
+                    F.expr(f"interval {step} days"),
+                )
+            ).alias("grid_date"),
+        )
+        .filter(F.col("grid_date").between(F.lit(start), F.lit(end)))
+    )
+    w = Window.partitionBy("grid_date").orderBy("od", "o_orderkey")
+    return (
+        covered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+        .select("grid_date", F.col("od").alias("docket_line_date"))
+        .orderBy("grid_date")
+    )
+
+
+@register(
     "comp_exp_gap_fit",
     oracle="""
     WITH gaps AS (
