@@ -1,0 +1,78 @@
+"""Physical-plan regression gate over EVERY registered query.
+
+tools/audit_plans.py is the interactive feedback loop; this test
+freezes its invariants so a plan regression (a join degrading to a
+cartesian product, a scan losing column pruning, a nested-loop join
+appearing on a non-tiny side) fails CI instead of surfacing as a
+mystery slowdown at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from appeals_data_spark.registry import all_queries
+
+from conftest import SF_SMOKE
+
+# Queries where BroadcastNestedLoopJoin is acceptable because one side
+# is tiny BY CONSTRUCTION (a handful of ANN probe vectors / centroids,
+# a month grid, a 1-row scalar aggregate, a wildcard dim of a few
+# hundred taxonomy rows). Anything else showing a BNLJ is a bug.
+BNLJ_OK = {
+    "a15_interval_overlap_months",  # 80-row month grid side
+    "dedup_embedding_cosine",  # top-k probe side
+    "j18_cross_join_grid",  # deliberate grid cross join (J18)
+    "j4_wildcard_hierarchy_join",  # disjunctive taxonomy dim (must broadcast)
+    "o4_complete_weeks_only",  # 1-row max-week scalar
+    "p14_complete_cases",  # 1-row threshold scalar
+    "u3_array_intersect_sources",  # collect_set'd tiny side
+    "vec_brute_force_topk",  # 8 probe vectors
+    "vec_ivf_topk",  # probes x centroids
+    "vec_label_centroid_assign",  # centroid side
+}
+
+MAX_SCAN_FIELDS = 10  # widest table has 16 cols; every query projects fewer
+
+
+def _plans(spark):
+    for name, q in sorted(all_queries().items()):
+        df = q.builder(spark, SF_SMOKE)
+        yield name, df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark):
+    return dict(_plans(spark))
+
+
+def test_no_cartesian_products(all_plans):
+    offenders = [n for n, p in all_plans.items() if "CartesianProduct" in p]
+    assert not offenders, offenders
+
+
+def test_nested_loop_joins_only_on_tiny_sides(all_plans):
+    offenders = [
+        n
+        for n, p in all_plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_OK
+    ]
+    assert not offenders, offenders
+    stale = [n for n in BNLJ_OK if "BroadcastNestedLoopJoin" not in all_plans[n]]
+    assert not stale, f"BNLJ_OK entries no longer needed: {stale}"
+
+
+def test_scans_are_column_pruned(all_plans):
+    offenders = {}
+    for name, plan in all_plans.items():
+        for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+            n_fields = len([f for f in schema.split(",") if ":" in f])
+            if n_fields > MAX_SCAN_FIELDS:
+                offenders[name] = n_fields
+    assert not offenders, offenders

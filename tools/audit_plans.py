@@ -42,14 +42,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
     names = args or [n for n, q in sorted(qs.items()) if q.bench]
+    codegen_re = re.compile(r"codegen id : (\d+)")
     for name in names:
         plan = plan_string(spark, qs[name].builder(spark, sf_dir))
+        n_codegen = len(set(codegen_re.findall(plan)))
         print(
             f"== {name}: Exchange={plan.count('Exchange')} "
             f"BHJ={plan.count('BroadcastHashJoin')} "
             f"SMJ={plan.count('SortMergeJoin')} "
             f"BNLJ={plan.count('BroadcastNestedLoopJoin')} "
-            f"Codegen={plan.count('WholeStageCodegen')}"
+            f"Cartesian={plan.count('CartesianProduct')} "
+            f"Codegen={n_codegen}"
         )
         for p in re.findall(r"PushedFilters: \[(.+?)\]", plan)[:6]:
             print("   PushedFilters:", p[:110])
