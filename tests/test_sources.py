@@ -38,6 +38,34 @@ def test_csv_roundtrip_with_schema(spark, tmp_path):
     assert _sorted_rows(back) == _sorted_rows(src)
 
 
+def test_claims_ingest_exchange_roundtrip(spark, tmp_path):
+    """S6 external exchange: raw BGS-format CSV (M/D/YYYY strings,
+    suffixed corlids) -> normalized, month-partitioned parquet."""
+    from appeals_data_spark.sources import CLAIMS_COLUMNS, ingest_claims_csv
+
+    csv = tmp_path / "claims.csv"
+    blank = [""] * 14  # cols 4..17 and 19.. unused by this test
+    rows = [
+        ",".join(CLAIMS_COLUMNS),
+        ",".join(["123456S", "bc1", "3/7/1996"] + blank[:14] + ["10/2/1996", "jo1", "397", "", ""]),
+        ",".join(["98765C", "bc2", "12/31/1995"] + blank[:14] + ["1/6/1996", "jo2", "316", "", ""]),
+    ]
+    csv.write_text("\n".join(rows) + "\n")
+    out = str(tmp_path / "claims_pq")
+    claims = ingest_claims_csv(spark, str(csv), out_path=out)
+
+    got = {r["benefit_claim_id"]: r for r in claims.collect()}
+    assert dict(claims.dtypes)["claim_receive_date"] == "date"
+    assert str(got["bc1"]["claim_receive_date"]) == "1996-03-07"
+    assert got["bc1"]["file_number"] == "00123456"
+    assert got["bc1"]["corlid_suffix"] == "S"
+    assert got["bc1"]["is_amc"] is True
+    assert got["bc2"]["file_number"] == "00098765"
+    assert got["bc2"]["is_amc"] is False
+    # landed layout is month-partitioned for date-window pruning
+    assert any("receive_month=" in str(p) for p in (tmp_path / "claims_pq").iterdir())
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     """Date-partitioned layout (catalog.write_partitioned story): a
     month filter must prune to that partition's files only."""
