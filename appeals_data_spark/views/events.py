@@ -97,9 +97,22 @@ END_STATE_CLASSIFIER = (("F", "order_finished"), ("P", "order_in_process"))
 
 def end_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    classifier = spark.createDataFrame(
-        list(END_STATE_CLASSIFIER), "o_orderstatus string, event_type string"
-    )
+    # Literal dim as a plan-level explode (no createDataFrame: that
+    # path ships rows through a Python->JVM RDD round-trip per call;
+    # a lit/struct array is just expression tree).
+    classifier = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(code).alias("o_orderstatus"),
+                        F.lit(label).alias("event_type"),
+                    )
+                    for code, label in END_STATE_CLASSIFIER
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
     return _conform(
         o.join(F.broadcast(classifier), "o_orderstatus").select(
             F.col("o_custkey").alias("entity_id"),
