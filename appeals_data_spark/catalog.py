@@ -72,6 +72,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def literal_dim(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Tiny literal dimension as a PLAN-LEVEL expression.
+
+    ``spark.createDataFrame`` ships local rows through a Python->JVM
+    RDD round-trip on every call (~1s of fixed cost); for a
+    classifier/code dim of a few rows, an exploded array of lit
+    structs is pure expression tree — free to build, always broadcast-
+    eligible. ``schema`` is "name type, name type, ..." in row order.
+    """
+    fields = [f.strip().split()[0] for f in schema.split(",")]
+    structs = [
+        F.struct(*[F.lit(v).alias(n) for n, v in zip(fields, row)]) for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .selectExpr(*[f"CAST({n} AS {t.strip().split(' ', 1)[1]}) AS {n}"
+                      for n, t in zip(fields, schema.split(","))])
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

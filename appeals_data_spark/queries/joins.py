@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import literal_dim, load_table
 from ..functions.scalars import SQL_DISC_PRICE, disc_price, dsum
 from ..registry import register
 
@@ -173,7 +173,8 @@ def j4_wildcard_hierarchy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part")
-    dim = spark.createDataFrame(
+    dim = literal_dim(
+        spark,
         [(b, s, c, i + 1) for i, (b, s, c) in enumerate(_WILDCARD_DIM)],
         "brand_pat string, status_pat string, category string, prio int",
     )
@@ -216,7 +217,8 @@ def j5_concat_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     `'DG'||ISSLEV1 = FTKEY` VFTYPES join (J5). Computed equi-key, so
     despite the expression it hash-joins (broadcast)."""
     p = load_table(spark, sf_dir, "part")
-    dim = spark.createDataFrame(
+    dim = literal_dim(
+        spark,
         [("BR11", "brand eleven"), ("BR22", "brand twenty-two"),
          ("BR33", "brand thirty-three"), ("BR44", "brand forty-four")],
         "ftkey string, ftdesc string",

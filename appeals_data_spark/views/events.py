@@ -20,7 +20,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import literal_dim, load_table
 
 EVENT_SCHEMA_COLS = ["entity_id", "event_type", "ts", "amount"]
 
@@ -97,22 +97,9 @@ END_STATE_CLASSIFIER = (("F", "order_finished"), ("P", "order_in_process"))
 
 def end_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    # Literal dim as a plan-level explode (no createDataFrame: that
-    # path ships rows through a Python->JVM RDD round-trip per call;
-    # a lit/struct array is just expression tree).
-    classifier = spark.range(1).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(code).alias("o_orderstatus"),
-                        F.lit(label).alias("event_type"),
-                    )
-                    for code, label in END_STATE_CLASSIFIER
-                ]
-            )
-        ).alias("r")
-    ).select("r.*")
+    classifier = literal_dim(
+        spark, END_STATE_CLASSIFIER, "o_orderstatus string, event_type string"
+    )
     return _conform(
         o.join(F.broadcast(classifier), "o_orderstatus").select(
             F.col("o_custkey").alias("entity_id"),
