@@ -94,6 +94,19 @@ def literal_dim(spark: SparkSession, rows, schema: str) -> DataFrame:
     )
 
 
+def sized_for_compute(df: DataFrame) -> DataFrame:
+    """Size partitions to the COMPUTE, not the bytes.
+
+    A small parquet export arrives as one split, which would run every
+    downstream compute-heavy stage (Arrow/Python passes, per-row hash
+    folds) single-threaded. The repartition is a cheap narrow shuffle
+    relative to per-row compute cost; at 100 TB the export is already
+    many splits and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

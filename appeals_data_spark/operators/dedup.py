@@ -140,10 +140,14 @@ def minhash_features(
     corpus snapshot; the groupBy key is doc_id, so the shuffle is
     O(|docs| × num_hashes × 8B) — tiny next to the text itself.
     """
+    from ..catalog import sized_for_compute
+
     rows_per_band = num_hashes // bands
     sh = shingles(text_col, k_shingle)
     sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("")))
-    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("_s"))
+    ex = sized_for_compute(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(sh).alias("_s")
+    )
     sig = ex.groupBy("doc_id").agg(
         *[F.min(F.xxhash64("_s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)],
         F.collect_set("_s").alias("shingle_set"),

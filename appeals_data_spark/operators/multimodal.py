@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import sized_for_compute as _sized
+
 MEDIA_META_SCHEMA = "struct<mime:string,width:int,height:int,n_frames:int>"
 
 FEATURE_SCHEMA = (
@@ -98,7 +100,7 @@ def extract_features(media: DataFrame) -> DataFrame:
     fit payload batches in executor memory.
     """
     slim = media.select("doc_id", "blob", F.col("meta.mime").alias("mime"))
-    return slim.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+    return _sized(slim).mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
 
 
 RESIZE_SCHEMA = "doc_id long, blob binary, new_width int, new_height int"
@@ -133,7 +135,7 @@ def resize_media(media: DataFrame, max_dim: int = 256) -> DataFrame:
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
     )
-    return slim.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+    return _sized(slim).mapInPandas(_resize, schema=RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id long, source string, frame_idx int, frame_blob binary"
@@ -166,4 +168,4 @@ def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
     slim = media.select(
         "doc_id", "source", "blob", F.col("meta.n_frames").alias("n_frames")
     )
-    return slim.mapInPandas(_frames, schema=FRAME_SCHEMA)
+    return _sized(slim).mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -31,8 +31,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = {name: q for name, q in all_queries().items() if q.bench}
-    # warm the JVM + file system metadata outside the timed region
+    # warm the JVM, FS metadata, and the Arrow/Python worker pool
+    # outside the timed region (first use otherwise bills several
+    # seconds of one-time spin-up to an arbitrary query)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(64).repartition(8).mapInPandas(
+        lambda batches: batches, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, q in sorted(qs.items()):
