@@ -301,6 +301,61 @@ def x3_linreg_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x6_grouped_model_fit",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("X6", "X3", "GLM"),
+)
+def x6_grouped_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model loop as applyInPandas (X6) — the reference's
+    per-year glmer loop (effect-on-outcomes.Rmd:234-263, SURVEY §3.2
+    stage 4): one OLS fit per (returnflag, linestatus) group, each
+    group's rows Arrow-shipped to a pandas closed-form fit. This is
+    the grouped-map escape hatch for models with no sufficient-
+    statistics form; the sufficient-statistics path for the SAME model
+    is x3_linreg_closed_form (prefer it when algebra allows — it never
+    leaves the JVM)."""
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    out_schema = (
+        "l_returnflag string, l_linestatus string, n long, "
+        "slope double, intercept double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["l_quantity"].to_numpy(dtype="float64")
+        y = pdf["l_extendedprice"].to_numpy(dtype="float64")
+        mx, my = x.mean(), y.mean()
+        sxx = ((x - mx) ** 2).sum()
+        slope = float(((x - mx) * (y - my)).sum() / sxx)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "l_linestatus": [pdf["l_linestatus"].iloc[0]],
+                "n": [len(pdf)],
+                "slope": [round(slope, 6)],
+                "intercept": [round(float(my - slope * mx), 6)],
+            }
+        )
+
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .applyInPandas(fit, schema=out_schema)
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
     "surv_weibull_fit",
     oracle="""
     WITH rec AS (
