@@ -102,21 +102,44 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 6,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only same-bucket candidates."""
-    cb = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    """Approximate top-k: score only same-bucket candidates.
+
+    ``n_tables`` independent hash tables (seed offset per table) union
+    their candidate sets — the classic recall knob: a true neighbor is
+    missed only if it hashes apart in EVERY table, so recall ~
+    1-(1-p)^L for per-table collision probability p. Candidate volume
+    (and cost) grows ~linearly in L; the per-table bucket join stays an
+    equi-join, never quadratic.
+    """
+    tables = F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t")
+
+    def _bucketed(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        b = df.select(
+            F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias), tables
+        )
+        return b.select(
+            id_alias,
+            vec_alias,
+            "t",
+            lsh_bucket(F.col(vec_alias), dim, n_planes, F.col("t") * 1000 + seed)
+            .alias("bucket"),
+        )
+
+    cb = _bucketed(corpus, "corpus_id", "c_vec")
+    qb = _bucketed(queries, "query_id", "q_vec")
+    scored = (
+        cb.join(F.broadcast(qb), ["t", "bucket"])
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "corpus_id"])
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
     )
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
-    )
-    scored = cb.join(F.broadcast(qb), "bucket").filter(
-        F.col("corpus_id") != F.col("query_id")
-    ).select("query_id", "corpus_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -58,14 +58,18 @@ def vec_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("VEC", "ANN", "LSH"),
 )
 def vec_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH buckets: candidates
-    share a 6-bit signed-projection bucket, so scored pairs track
-    bucket occupancy (~|corpus|/64 per query) instead of |corpus|."""
+    """Approximate top-k via random-hyperplane LSH: 4 independent
+    4-bit hash tables union their candidates (recall ~ 1-(1-p)^L vs a
+    single table's p), so scored pairs track ~L|corpus|/16 per query
+    instead of |corpus|. Plane count trades bucket occupancy (cost)
+    against per-table recall; table count buys recall back linearly in
+    cost. Recall vs brute-force ground truth is asserted in
+    tests/test_ann_recall.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return lsh_topk(emb, queries, dim=_DIM, k=5).select(
-        "query_id", "rank", "corpus_id"
-    )
+    return lsh_topk(
+        emb, queries, dim=_DIM, k=5, n_planes=4, n_tables=4
+    ).select("query_id", "rank", "corpus_id")
 
 
 # Shared oracle fragment: per-label centroids as DOUBLE lists.
