@@ -30,6 +30,15 @@ from ..registry import register
                                 WHEN 'P' THEN 'order_in_process' END,
              o_orderdate, o_totalprice
       FROM orders WHERE o_orderstatus IN ('F', 'P')
+      UNION ALL
+      SELECT user_id, 'session_started', ts, CAST(NULL AS DOUBLE)
+      FROM (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      ) WHERE prev_ts IS NULL
+           OR ts >= prev_ts + INTERVAL 30 MINUTE
     )
     WHERE ts IS NOT NULL
     GROUP BY event_type, YEAR(ts)
@@ -40,9 +49,10 @@ from ..registry import register
 )
 def u1_union_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events_all() union — the reference's 10-way rbind
-    (R/events.R:929-988, U1) as ONE Catalyst plan over five
-    extractors (projection, filter, and classifier-merge shapes).
-    Union is plan-level: no shuffle until the groupBy."""
+    (R/events.R:929-988, U1) as ONE Catalyst plan over six extractors
+    (projection, filter, classifier-merge, and window-parsed shapes —
+    the session extractor shuffles for its lag window; the rest stay
+    narrow until the groupBy)."""
     from ..views.events import events_all
 
     ev = events_all(spark, sf_dir)

@@ -110,12 +110,39 @@ def end_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_start_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-parsed extractor: a 'session_started' event wherever a
+    user's gap from the previous raw event exceeds 30 minutes (or the
+    stream begins). Mirrors the reference's derived extractors, which
+    parse the PRIORLOC history with lag/lead windows rather than
+    projecting stored columns (events.R:106-268, W1-W2)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return _conform(
+        e.withColumn("_prev", prev)
+        .filter(
+            F.col("_prev").isNull()
+            | (F.col("ts") >= F.col("_prev") + F.expr("interval 30 minutes"))
+        )
+        .select(
+            F.col("user_id").alias("entity_id"),
+            F.lit("session_started").alias("event_type"),
+            F.col("ts"),
+            F.lit(None).cast("double").alias("amount"),
+        )
+    )
+
+
 EXTRACTORS = (
     order_events,
     shipment_events,
     user_events,
     return_events,
     end_state_events,
+    session_start_events,
 )
 
 
