@@ -139,7 +139,7 @@ def a3_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1, 2
     )
     SELECT month, o_orderstatus, n,
-           SUM(n) OVER (PARTITION BY month) AS total,
+           CAST(SUM(n) OVER (PARTITION BY month) AS BIGINT) AS total,
            CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY month) AS rate
     FROM m
     ORDER BY month, o_orderstatus
@@ -380,9 +380,9 @@ def a15_fiscal_year_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT month_start,
-           SUM(GREATEST(0, date_diff('day',
+           CAST(SUM(GREATEST(0, date_diff('day',
                  GREATEST(month_start, o_start),
-                 LEAST(month_end, o_end)))) AS active_order_days
+                 LEAST(month_end, o_end)))) AS BIGINT) AS active_order_days
     FROM months JOIN spans
       ON o_start < month_end AND o_end > month_start
     GROUP BY month_start

@@ -473,8 +473,8 @@ def j18_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           SUM(COALESCE(cnt_lines, 0)) AS total_lines,
-           SUM(COALESCE(cnt_returned, 0)) AS total_returned,
+           CAST(SUM(COALESCE(cnt_lines, 0)) AS BIGINT) AS total_lines,
+           CAST(SUM(COALESCE(cnt_returned, 0)) AS BIGINT) AS total_returned,
            COUNT(CASE WHEN COALESCE(cnt_open, 0) > 0 THEN 1 END) AS n_with_open
     FROM orders LEFT JOIN line_counts ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
@@ -587,8 +587,8 @@ def j20_rule_cascade_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN n_purchases > 0 THEN 'purchaser' ELSE 'browser' END
              AS segment,
            COUNT(*) AS n_users,
-           SUM(COALESCE(n_orders, 0)) AS total_orders,
-           SUM(n_events) AS total_events
+           CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders,
+           CAST(SUM(n_events) AS BIGINT) AS total_events
     FROM activity LEFT JOIN accounts USING (user_id)
     GROUP BY segment ORDER BY segment
     """,

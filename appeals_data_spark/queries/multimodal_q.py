@@ -26,9 +26,10 @@ from ..registry import register
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
-           SUM(CASE WHEN octet_length(encode(text)) >= 200 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN octet_length(encode(text)) >= 200
+                     THEN 1 ELSE 0 END) AS BIGINT)
              AS n_large
     FROM documents
     GROUP BY source
@@ -68,9 +69,11 @@ def mm_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CAST(FLOOR(w * LEAST(1.0, 256.0 / GREATEST(w, h))) AS BIGINT))
+           CAST(SUM(CAST(FLOOR(w * LEAST(1.0, 256.0 / GREATEST(w, h)))
+                        AS BIGINT)) AS BIGINT)
              AS total_new_width,
-           SUM(CAST(FLOOR(h * LEAST(1.0, 256.0 / GREATEST(w, h))) AS BIGINT))
+           CAST(SUM(CAST(FLOOR(h * LEAST(1.0, 256.0 / GREATEST(w, h)))
+                        AS BIGINT)) AS BIGINT)
              AS total_new_height
     FROM dims
     GROUP BY source
@@ -102,7 +105,8 @@ def mm_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CAST(CEIL(CAST((n_chars % 24) + 1 AS DOUBLE) / 4) AS BIGINT))
+           CAST(SUM(CAST(CEIL(CAST((n_chars % 24) + 1 AS DOUBLE) / 4)
+                        AS BIGINT)) AS BIGINT)
              AS n_frames_sampled
     FROM documents
     GROUP BY source

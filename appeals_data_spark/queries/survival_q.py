@@ -44,10 +44,12 @@ def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rec GROUP BY duration
     )
     SELECT t,
-           SUM(n_event + n_censored) OVER ()
+           CAST(SUM(n_event + n_censored) OVER ()
              - COALESCE(SUM(n_event + n_censored) OVER (ORDER BY t
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk,
-           n_event, n_censored
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n_risk,
+           CAST(n_event AS BIGINT) AS n_event,
+           CAST(n_censored AS BIGINT) AS n_censored
     FROM per_t
     ORDER BY t
     """,
@@ -86,7 +88,10 @@ def surv_km_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(n_risk - n_event AS DOUBLE) / n_risk AS f
       FROM risk
     )
-    SELECT stratum, t, n_risk, n_event, n_censored,
+    SELECT stratum, t,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_event AS BIGINT) AS n_event,
+           CAST(n_censored AS BIGINT) AS n_censored,
            ROUND(CASE WHEN MIN(f) OVER cum <= 0 THEN 0.0
                  ELSE EXP(SUM(LN(GREATEST(f, 1e-300))) OVER cum) END, 6)
              AS survival
@@ -120,7 +125,7 @@ def surv_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT stratum,
            quantile_cont(duration, 0.5) AS median_duration,
-           SUM(event) AS n_events,
+           CAST(SUM(event) AS BIGINT) AS n_events,
            COUNT(*) AS n
     FROM rec
     GROUP BY stratum
@@ -245,9 +250,12 @@ def closure_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM frac
       WINDOW prev AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
-    SELECT t, n_risk, n_censored,
-           d1, ROUND(SUM(s_prev * d1 / n_risk) OVER cum, 6) AS cif1,
-           d2, ROUND(SUM(s_prev * d2 / n_risk) OVER cum, 6) AS cif2
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           CAST(d1 AS BIGINT) AS d1,
+           ROUND(SUM(s_prev * d1 / n_risk) OVER cum, 6) AS cif1,
+           CAST(d2 AS BIGINT) AS d2,
+           ROUND(SUM(s_prev * d2 / n_risk) OVER cum, 6) AS cif2
     FROM surv
     WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY t

@@ -25,10 +25,11 @@ _SW = "(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
     oracle=f"""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+             AS total_tokens,
            MAX(len(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens,
-           SUM(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                               x -> x IN {_SW}))) AS total_stopwords
+           CAST(SUM(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x IN {_SW}))) AS BIGINT) AS total_stopwords
     FROM documents
     GROUP BY source
     ORDER BY source
@@ -105,10 +106,10 @@ def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_char_classes",
     oracle="""
     SELECT source,
-           SUM(length(text)) AS total_chars,
-           SUM(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS total_alpha,
-           SUM(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS total_digit,
-           SUM(length(text) - length(regexp_replace(text, '\\s', '', 'g'))) AS total_space
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS BIGINT) AS total_alpha,
+           CAST(SUM(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT) AS total_digit,
+           CAST(SUM(length(text) - length(regexp_replace(text, '\\s', '', 'g'))) AS BIGINT) AS total_space
     FROM documents
     GROUP BY source
     ORDER BY source
@@ -270,9 +271,10 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_subword_tokens",
     oracle=r"""
     SELECT source,
-           SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')))
+           CAST(SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT)
              AS total_subwords,
-           SUM(len(regexp_extract_all(text, ' ?[0-9]+'))) AS total_number_chunks,
+           CAST(SUM(len(regexp_extract_all(text, ' ?[0-9]+'))) AS BIGINT)
+             AS total_number_chunks,
            COUNT(*) AS n_docs
     FROM documents
     GROUP BY source

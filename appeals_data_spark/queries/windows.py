@@ -28,8 +28,9 @@ from ..registry import register
     SELECT event_type,
            COUNT(*) AS n,
            COUNT(next_ts) AS n_with_next,
-           SUM(CASE WHEN next_ts IS NOT NULL
-                    THEN date_diff('second', ts, next_ts) ELSE 0 END) AS total_gap_seconds
+           CAST(SUM(CASE WHEN next_ts IS NOT NULL
+                    THEN date_diff('second', ts, next_ts) ELSE 0 END) AS BIGINT)
+             AS total_gap_seconds
     FROM seq
     GROUP BY event_type
     ORDER BY event_type
@@ -73,7 +74,7 @@ def w1_lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seq
     )
     SELECT user_id,
-           SUM(is_start) AS n_sessions,
+           CAST(SUM(is_start) AS BIGINT) AS n_sessions,
            COUNT(*) AS n_events
     FROM flagged
     GROUP BY user_id

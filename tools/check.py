@@ -43,6 +43,38 @@ def _norm(v):
     return v
 
 
+# DuckDB declared type -> Spark dtypes the driver's hasher treats as the
+# same physical value stream. Anything not listed (notably HUGEINT, the
+# int128 result of an uncast integer SUM) is a mismatch even when the
+# Python-normalized values agree — the driver hashes typed results.
+# Empirically (CORRECTNESS_r01): int-width differences hash equal on the
+# driver (w4/w7 rank BIGINT-vs-int passed), HUGEINT does not.
+_INTS = {"tinyint", "smallint", "int", "bigint"}
+_TYPE_COMPAT = {
+    "BIGINT": _INTS,
+    "INTEGER": _INTS,
+    "SMALLINT": _INTS,
+    "TINYINT": _INTS,
+    "UBIGINT": _INTS,
+    "DOUBLE": {"double"},
+    "FLOAT": {"float", "double"},
+    "VARCHAR": {"string"},
+    "DATE": {"date"},
+    "TIMESTAMP": {"timestamp_ntz", "timestamp"},
+    "TIMESTAMP_NS": {"timestamp_ntz", "timestamp"},
+    "BOOLEAN": {"boolean"},
+}
+
+
+def _types_compatible(duck_t: str, spark_t: str) -> bool:
+    duck_t = duck_t.upper()
+    if duck_t.startswith("DECIMAL"):
+        return spark_t.replace(" ", "") == duck_t.lower().replace(" ", "")
+    if duck_t.endswith("[]"):
+        return spark_t.startswith("array<")
+    return spark_t in _TYPE_COMPAT.get(duck_t, set())
+
+
 def _rows_key(rows, cols):
     # order-insensitive: sort columns by name, then sort rows
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -97,6 +129,13 @@ def main() -> int:
         if sorted(c.lower() for c in scols) != sorted(dcols):
             ok = False
             msgs.append(f"schema {sorted(scols)} vs {sorted(dcols)}")
+        else:
+            sdtypes = {c.lower(): t for c, t in sdf.dtypes}
+            for col, dt in zip(rel.columns, rel.types):
+                st = sdtypes[col.lower()]
+                if not _types_compatible(str(dt), st):
+                    ok = False
+                    msgs.append(f"type {col}: duckdb {dt} vs spark {st}")
         if len(srows) != len(drows):
             ok = False
             msgs.append(f"rows {len(srows)} vs {len(drows)}")
