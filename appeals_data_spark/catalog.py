@@ -104,7 +104,17 @@ def sized_for_compute(df: DataFrame) -> DataFrame:
     many splits and this is a no-op.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    # df.rdd.getNumPartitions() would force a plan->RDD conversion per
+    # call (driver-side latency on every query); the file listing is
+    # already cached on the plan's FileIndex and answers the same
+    # question — a scan can't have more initial splits than files when
+    # files are small, and when it has at least `target` files the
+    # repartition is a no-op anyway.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    return df.repartition(target) if n_files < target else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

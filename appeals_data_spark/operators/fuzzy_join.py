@@ -40,13 +40,10 @@ def fuzzy_asof_join(
     Returns left columns + right columns + ``match_type``
     ('precise' | 'fuzzy' | null).
     """
-    lday = F.date_trunc("day", F.col(left_ts))
-    rday = F.date_trunc("day", F.col(right_ts))
-    cond = (left[on] == right[on]) & (
-        F.abs(F.datediff(lday.cast("date"), rday.cast("date"))) <= tolerance_days
-    )
+    # Equi-join on the entity id only; the ±tolerance window is a
+    # residual filter after the join (day-level diff computed below,
+    # where the columns are unambiguous).
     cand = left.join(right.withColumnRenamed(on, f"__r_{on}"), left[on] == F.col(f"__r_{on}"), "inner")
-    # Recompute day-level diff post-join (columns now unambiguous).
     diff = F.abs(
         F.datediff(
             F.date_trunc("day", F.col(left_ts)).cast("date"),

@@ -47,20 +47,33 @@ def pit_backlog(
     exit_col: str | Column,
     step_days: int = 7,
     strategy: str = "explode",
+    grid_start: str | None = None,
+    grid_end: str | None = None,
 ) -> DataFrame:
     """Count intervals open at each grid date: enter <= d < exit.
 
     ``grid`` must be the output of :func:`date_grid` (column
-    ``grid_date``, fixed ``step_days`` aligned to its start).
+    ``grid_date``, fixed ``step_days`` aligned to its start). Pass the
+    same ``grid_start`` the grid was built from — the caller always
+    knows it, and omitting it costs a driver-side 1-row collect per
+    call to rediscover it. With ``grid_end`` set, a NULL exit means
+    "still open" (the reference's `exit is null | exit >= d`,
+    capacity.R:84-86) via a beyond-grid sentinel; without it, NULL-exit
+    intervals are dropped — callers with open intervals must pass it.
     """
     enter = F.col(enter_col) if isinstance(enter_col, str) else enter_col
     exit_ = F.col(exit_col) if isinstance(exit_col, str) else exit_col
+    if grid_end is not None:
+        exit_ = F.coalesce(exit_, F.date_add(F.lit(grid_end).cast("date"), 1))
     if strategy == "explode":
-        first = grid.agg(F.min("grid_date")).collect()[0][0]
+        if grid_start is not None:
+            first = F.lit(grid_start).cast("date")
+        else:
+            first = F.lit(grid.agg(F.min("grid_date")).collect()[0][0])
         # first grid point >= enter: ceil-align to the grid phase
-        off = F.datediff(enter, F.lit(first))
+        off = F.datediff(enter, first)
         first_covered = F.date_add(
-            F.lit(first), ((off + step_days - 1) / step_days).cast("int") * step_days
+            first, ((off + step_days - 1) / step_days).cast("int") * step_days
         )
         last_covered = F.date_sub(exit_, 1)
         covered = (
@@ -75,7 +88,7 @@ def pit_backlog(
                     )
                 ).alias("grid_date")
             )
-            .filter(F.col("grid_date") >= F.lit(first))
+            .filter(F.col("grid_date") >= first)
         )
         counts = covered.groupBy("grid_date").agg(F.count("*").alias("backlog"))
     else:

@@ -48,17 +48,6 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(dim: int, plane_idx: int, seed: int = 42) -> Column:
-    """Deterministic pseudo-random unit-free hyperplane: component j is
-    a signed value derived from xxhash64(seed, plane_idx, j)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            F.xxhash64(F.lit(seed), F.lit(plane_idx), j) % 1000003
-        ).cast("double"),
-    )
-
-
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
     """Random-hyperplane LSH bucket id (n_planes sign bits packed)."""
     bits = F.transform(

@@ -40,7 +40,13 @@ def salted_join(
     (a column that varies within a key, e.g. the row id); the small
     side is replicated ``buckets`` times. The shuffle key becomes
     (key, salt) so a hot key spreads over ``buckets`` tasks.
+
+    Only inner/left are valid: replicating the small side would emit
+    each unmatched small-side row ``buckets`` times under right/full
+    outer, and breaks semi/anti shapes.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports how='inner'|'left', got {how!r}")
     lg = large.withColumn("_salt", _salt_of(discriminator, buckets=buckets))
     sm = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

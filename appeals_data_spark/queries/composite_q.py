@@ -180,6 +180,15 @@ def comp_outcome_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 WHEN 'P' THEN 'order_in_process' END,
              o_orderdate
       FROM orders WHERE o_orderstatus IN ('F', 'P')
+      UNION ALL
+      SELECT user_id, 'session_started', ts
+      FROM (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      ) WHERE prev_ts IS NULL
+           OR ts >= prev_ts + INTERVAL 30 MINUTE
     ), spans AS (
       SELECT entity_id,
              MIN(CAST(ts AS DATE)) AS enter_d,
@@ -232,7 +241,10 @@ def comp_backlog_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("exit_d"),
     )
     grid = date_grid(spark, "1995-01-02", "2001-12-31", 7)
-    return pit_backlog(spans, grid, "enter_d", "exit_d", step_days=7)
+    return pit_backlog(
+        spans, grid, "enter_d", "exit_d", step_days=7,
+        grid_start="1995-01-02", grid_end="2001-12-31",
+    )
 
 
 @register(

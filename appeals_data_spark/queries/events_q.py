@@ -147,7 +147,10 @@ def j17_pit_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("exit_d"),
     )
     grid = date_grid(spark, "1995-01-02", "2001-12-31", 7)
-    return pit_backlog(intervals, grid, "enter_d", "exit_d", step_days=7)
+    return pit_backlog(
+        intervals, grid, "enter_d", "exit_d", step_days=7,
+        grid_start="1995-01-02", grid_end="2001-12-31",
+    )
 
 
 @register(

@@ -28,12 +28,31 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # A vanilla session defaults to 10 MB — at bench scale every dim
+    # fits well under 64 MB, so keep joins broadcast instead of SMJ.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow transfer for the pandas-UDF operators and toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an existing session (driver-provided)."""
-    for k, v in RUNTIME_CONFS.items():
+    """Apply runtime confs to an existing session (driver-provided).
+
+    All of RUNTIME_CONFS is runtime-settable, so even the external
+    driver's vanilla ``SparkSession`` picks up the engine's tuning the
+    first time it touches the catalog. Shuffle partitions are sized to
+    the session's actual core count — a vanilla session would otherwise
+    run every shuffle at the 200-partition default, which at local
+    scale is pure scheduling overhead per query.
+    """
+    confs = dict(RUNTIME_CONFS)
+    try:
+        par = spark.sparkContext.defaultParallelism
+        confs["spark.sql.shuffle.partitions"] = str(max(2 * par, 32))
+    except Exception:
+        pass
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:
