@@ -16,7 +16,6 @@ from ..operators.dedup import (
     jaccard,
     minhash_band_pairs,
     normalized_text,
-    simhash64,
 )
 from ..registry import register
 
@@ -111,17 +110,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification. Candidate generation is an equi-join on
     (band, band_hash): cost tracks bucket occupancy, never |docs|².
 
-    The per-doc feature frame (bands + shingle set) is computed in one
-    fold pass and persisted — the interpreted HOF fold would otherwise
-    re-run on every branch of the self-join and the verify joins. At
-    100 TB the features frame is the signature table you'd materialize
-    once per corpus snapshot."""
+    The signature agg runs WITHOUT collect_set (map-side partials are
+    32 longs per doc, not near-full shingle sets); exact verification
+    re-shingles only the candidate docs (semi-join on the candidate id
+    set — a vanishing fraction of the corpus when the S-curve is doing
+    its job). At 100 TB the features frame is the signature table you'd
+    materialize once per corpus snapshot."""
     from ..operators.dedup import minhash_features, ngram_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    feats = minhash_features(d, "text", "doc_id", num_hashes=32, bands=8).persist()
-    cand = minhash_band_pairs(d, "text", "doc_id", features=feats)
-    verified = ngram_jaccard_pairs(d, "text", "doc_id", cand, threshold=0.0, features=feats)
+    feats = minhash_features(
+        d, "text", "doc_id", num_hashes=32, bands=8, with_shingles=False
+    )
+    cand = minhash_band_pairs(d, "text", "doc_id", features=feats).persist()
+    # left_semi is existence-based — no distinct needed on the id list
+    cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+    d_cand = d.join(cand_ids, "doc_id", "left_semi")
+    verified = ngram_jaccard_pairs(d_cand, "text", "doc_id", cand, threshold=0.0)
     return (
         verified.groupBy(
             F.floor(F.col("jaccard") * 10).cast("int").alias("jaccard_decile")
@@ -140,12 +145,15 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup scan: 64-bit fingerprints, candidates blocked
     on the top-16-bit prefix, scored by Hamming distance. Blocking
     keeps the self-join linear-ish; at 100 TB use 4 rotated prefix
-    blocks to guarantee recall at distance <= 3."""
+    blocks to guarantee recall at distance <= 3. Fingerprints come from
+    the codegen bit-vote aggregation (simhash_fingerprints), not the
+    interpreted HOF column form."""
+    from ..operators.dedup import simhash_fingerprints
+
     d = load_table(spark, sf_dir, "documents")
-    fp = d.select(
-        F.col("doc_id"),
-        simhash64("text").alias("fp"),
-    ).withColumn("block", F.shiftrightunsigned("fp", 48))
+    fp = simhash_fingerprints(d, "text", "doc_id").withColumn(
+        "block", F.shiftrightunsigned("fp", 48)
+    )
     a, b = fp.alias("a"), fp.alias("b")
     pairs = a.join(
         b,

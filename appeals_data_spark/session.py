@@ -49,7 +49,7 @@ def tune(spark: SparkSession) -> SparkSession:
     confs = dict(RUNTIME_CONFS)
     try:
         par = spark.sparkContext.defaultParallelism
-        confs["spark.sql.shuffle.partitions"] = str(max(2 * par, 32))
+        confs["spark.sql.shuffle.partitions"] = str(max(par, 32))
     except Exception:
         pass
     for k, v in confs.items():
@@ -71,7 +71,7 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
-        shuffle_partitions = max(2 * cpus, 32)
+        shuffle_partitions = max(cpus, 32)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

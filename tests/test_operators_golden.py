@@ -157,6 +157,25 @@ def test_simhash_similar_texts_close(spark):
     assert near <= 16  # one-token difference stays close
 
 
+def test_simhash_fingerprints_match_column_form(spark):
+    """The codegen bit-vote aggregation must be bit-identical to the
+    HOF column form (including the token-less doc -> fp 0 case)."""
+    from appeals_data_spark.operators.dedup import simhash_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "sphinx of black quartz judge my vow"),
+            (4, ""),  # token-less
+        ],
+        "doc_id bigint, text string",
+    )
+    hof = {r.doc_id: r.fp for r in df.select("doc_id", simhash64("text").alias("fp")).collect()}
+    agg = {r.doc_id: r.fp for r in simhash_fingerprints(df, "text", "doc_id").collect()}
+    assert hof == agg
+
+
 def test_minhash_lsh_finds_near_duplicate(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     df = spark.createDataFrame(
