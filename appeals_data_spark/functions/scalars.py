@@ -64,6 +64,27 @@ SQL_DISC_PRICE = (
 SQL_CHARGE = SQL_DISC_PRICE + " * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
 
 
+# -- R-compatible conditionals ------------------------------------------------
+
+
+def r_ifelse(cond: Column, yes, no) -> Column:
+    """R ``ifelse`` semantics: NULL condition -> NULL result.
+
+    Spark's ``when(cond, yes).otherwise(no)`` sends a NULL condition to
+    the ``otherwise`` branch; R's ``ifelse`` propagates NA. The
+    reference relies on that NA propagation when deriving event labels
+    from nullable columns (e.g. ``ifelse(HEARING_DISP == "H", ...)``
+    with NULL dispositions, events.R:540-549) — labels for unknown
+    dispositions must stay unknown, not default to the else-label.
+    Expressed as two ``when`` arms with no ``otherwise`` so the NULL
+    case falls through to NULL inside codegen.
+    """
+    return F.when(cond, yes).when(~cond, no)
+
+
+SQL_R_IFELSE = "CASE WHEN {cond} THEN {yes} WHEN NOT ({cond}) THEN {no} END"
+
+
 # -- date helpers -------------------------------------------------------------
 
 

@@ -189,6 +189,26 @@ def comp_outcome_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
       ) WHERE prev_ts IS NULL
            OR ts >= prev_ts + INTERVAL 30 MINUTE
+      UNION ALL
+      SELECT user_id,
+             CASE WHEN disp = 'H' THEN 'HEARING'
+                  WHEN disp <> 'H' THEN 'HEARING_EXCEPTION' END,
+             CASE WHEN disp IS NOT NULL AND disp <> 'H'
+                       AND clsdate IS NOT NULL THEN clsdate ELSE ts END
+      FROM (
+        SELECT user_id, ts, value,
+               CASE WHEN value > 30 THEN 'H'
+                    WHEN value > 20 THEN 'X' END AS disp,
+               CASE WHEN value > 10 THEN ts + INTERVAL 3 DAY END AS clsdate
+        FROM events WHERE event_type = 'signup'
+      )
+      UNION ALL
+      SELECT user_id, 'to_transcript', ts
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, 'from_transcript',
+             ts + to_minutes(CAST(FLOOR(value) AS BIGINT))
+      FROM events WHERE event_type = 'error'
     ), spans AS (
       SELECT entity_id,
              MIN(CAST(ts AS DATE)) AS enter_d,
@@ -383,4 +403,86 @@ def comp_exp_gap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sxy") / F.col("sxx"), 6).alias("neg_lambda"),
         F.round(F.col("r") * F.col("r"), 6).alias("r2"),
         "n_points",
+    )
+
+
+@register(
+    "comp_decision_locs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             FIRST_VALUE(CASE WHEN event_type NOT IN ('click', 'view')
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS storage_loc
+      FROM events
+    ), dec AS (
+      SELECT user_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM seq
+      WHERE event_type = 'signup' AND storage_loc = 'purchase'
+    )
+    SELECT user_id AS entity_id,
+           'SIGNED_DECISION' AS event_type,
+           ts AS decision_ts
+    FROM dec WHERE rn = 1
+    ORDER BY entity_id
+    """,
+    tags=("COMPOSITE", "W3", "W5", "J8"),
+)
+def comp_decision_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.parseDecisionLocs, the reference's hardest extractor
+    (events.R:207-236): segment each case's location log into
+    dispatch runs (cumsum of non-dispatch rows, W3), compute each
+    row's post-run storage location via the rank-from-end index
+    arithmetic ``LOC[i + dispatch_rows]`` (a variable-distance
+    forward lead, W5), and emit SIGNED_DECISION for decision-loc rows
+    whose run ends at central dispatch — latest per case (J8 argmax).
+
+    Spark-first collapse: within a case ordered by (ts, id), every row
+    of a dispatch run has the same ``i + dispatch_rows`` target — the
+    first row AFTER the run, which is by construction the next
+    NON-dispatch row (dispatch runs are maximal). So the W3 run id and
+    W5 variable lead algebraically reduce to one forward-looking
+    ``first(non-dispatch LOC, ignorenulls) OVER (1 FOLLOWING,
+    UNBOUNDED)`` on the SAME user-partitioned sort — one shuffle
+    total, no (case, run) re-partition. Deviation pinned: the
+    reference indexes the GLOBAL arranged frame, so a run at the end
+    of one case reads the next case's first row as its storage loc;
+    we keep lookups within the case (boundary runs get NULL).
+
+    Mapping onto the clickstream: dispatch locs (``A.+|SUP|OPR``) ->
+    {click, view}; decision locs (``D[1-5]``) -> signup; central
+    dispatch ('30') -> purchase; LOCDIN/LOCDOUT -> ts.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wfwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    storage = F.first(
+        F.when(~F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(wfwd)
+    seq = e.select("user_id", "event_id", "event_type", "ts").withColumn(
+        "storage_loc", storage
+    )
+    dec = seq.filter(
+        (F.col("event_type") == "signup") & (F.col("storage_loc") == "purchase")
+    )
+    w_latest = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        dec.withColumn("rn", F.row_number().over(w_latest))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("entity_id"),
+            F.lit("SIGNED_DECISION").alias("event_type"),
+            F.col("ts").alias("decision_ts"),
+        )
+        .orderBy("entity_id")
     )

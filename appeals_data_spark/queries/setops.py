@@ -39,6 +39,27 @@ from ..registry import register
         FROM events
       ) WHERE prev_ts IS NULL
            OR ts >= prev_ts + INTERVAL 30 MINUTE
+      UNION ALL
+      SELECT user_id,
+             CASE WHEN disp = 'H' THEN 'HEARING'
+                  WHEN disp <> 'H' THEN 'HEARING_EXCEPTION' END,
+             CASE WHEN disp IS NOT NULL AND disp <> 'H'
+                       AND clsdate IS NOT NULL THEN clsdate ELSE ts END,
+             value
+      FROM (
+        SELECT user_id, ts, value,
+               CASE WHEN value > 30 THEN 'H'
+                    WHEN value > 20 THEN 'X' END AS disp,
+               CASE WHEN value > 10 THEN ts + INTERVAL 3 DAY END AS clsdate
+        FROM events WHERE event_type = 'signup'
+      )
+      UNION ALL
+      SELECT user_id, 'to_transcript', ts, value
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, 'from_transcript',
+             ts + to_minutes(CAST(FLOOR(value) AS BIGINT)), value
+      FROM events WHERE event_type = 'error'
     )
     WHERE ts IS NOT NULL
     GROUP BY event_type, YEAR(ts)
@@ -49,10 +70,11 @@ from ..registry import register
 )
 def u1_union_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events_all() union — the reference's 10-way rbind
-    (R/events.R:929-988, U1) as ONE Catalyst plan over six extractors
-    (projection, filter, classifier-merge, and window-parsed shapes —
-    the session extractor shuffles for its lag window; the rest stay
-    narrow until the groupBy)."""
+    (R/events.R:929-988, U1) as ONE Catalyst plan over eight extractors
+    (projection, filter, classifier-merge, window-parsed, NA-propagating
+    relabel+patch, and paired from/to unpivot shapes — the session
+    extractor shuffles for its lag window; the rest stay narrow until
+    the groupBy)."""
     from ..views.events import events_all
 
     ev = events_all(spark, sf_dir)

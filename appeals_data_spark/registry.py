@@ -89,6 +89,7 @@ _SWEEP_FIRST = [
     "comp_backlog_reconstruction",
     "comp_docket_projection",
     "comp_exp_gap_fit",
+    "comp_decision_locs",
     "j10_fuzzy_asof_match",
     "j16_window_similarity_count",
     "j17_pit_backlog",

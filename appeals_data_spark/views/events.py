@@ -136,6 +136,81 @@ def session_start_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hearing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relabel+patch extractor (events.R:540-549):
+    ``EVENT_TYPE = ifelse(HEARING_DISP == "H", "HEARING",
+    "HEARING_EXCEPTION")`` with R's NA-PROPAGATING ifelse — a NULL
+    disposition yields a NULL label, never the else branch (the
+    when/otherwise trap; see functions.scalars.r_ifelse) — then the
+    CLSDATE patch: exceptions with a non-null close date take it as
+    their event date. NULL-labelled rows are NOT patched (R's
+    ``EVENT_TYPE == "HEARING_EXCEPTION"`` is NA for them; dplyr-style
+    NA-as-false — the literal base-R subscript-assignment would error
+    on NA subscripts, so the reference implicitly never sees NULL
+    dispositions with close dates; we pin the defined behavior).
+
+    The synthetic tables have no nullable disposition column, so one is
+    derived deterministically from the clickstream: 'signup' rows act
+    as hearing records, disp = H/X/NULL banded on value, close date =
+    ts+3d for value>10.
+    """
+    from ..functions.scalars import r_ifelse
+
+    e = load_table(spark, sf_dir, "events")
+    h = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("value") > 30, "H").when(F.col("value") > 20, "X").alias("disp"),
+        F.when(
+            F.col("value") > 10, F.col("ts") + F.expr("interval 3 days")
+        ).alias("clsdate"),
+    )
+    label = r_ifelse(
+        F.col("disp") == "H", F.lit("HEARING"), F.lit("HEARING_EXCEPTION")
+    )
+    patched = F.when(
+        (label == "HEARING_EXCEPTION") & F.col("clsdate").isNotNull(),
+        F.col("clsdate"),
+    ).otherwise(F.col("ts"))
+    return _conform(
+        h.select(
+            F.col("user_id").alias("entity_id"),
+            label.alias("event_type"),
+            patched.alias("ts"),
+            F.col("value").alias("amount"),
+        )
+    )
+
+
+def transcription_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired from/to location extractor (events.R:116-126 abeyance
+    gather; also .parseAbeyanceLocs:164-180): one location-log row
+    emits TWO events — TO_X at the check-out date and FROM_X at the
+    check-in date — via ``DataFrame.unpivot`` (tidyr ``gather``).
+    'error' rows stand in for transcription-loc rows; the check-in
+    date is derived as ts + floor(value) minutes.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("entity_id"),
+        F.col("value").alias("amount"),
+        F.col("ts").alias("to_transcript"),
+        (
+            F.col("ts")
+            + F.make_interval(mins=F.floor("value").cast("int"))
+        ).alias("from_transcript"),
+    )
+    return _conform(
+        base.unpivot(
+            ids=["entity_id", "amount"],
+            values=["to_transcript", "from_transcript"],
+            variableColumnName="event_type",
+            valueColumnName="ts",
+        )
+    )
+
+
 EXTRACTORS = (
     order_events,
     shipment_events,
@@ -143,6 +218,8 @@ EXTRACTORS = (
     return_events,
     end_state_events,
     session_start_events,
+    hearing_events,
+    transcription_events,
 )
 
 

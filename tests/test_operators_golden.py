@@ -221,3 +221,48 @@ def test_winnow_guarantee_shared_substring(spark):
 def test_jaccard_expr(spark):
     df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>")
     assert abs(df.select(jaccard(F.col("x"), F.col("y")).alias("j")).collect()[0].j - 0.5) < 1e-12
+
+
+def test_decision_locs_composite_semantics(spark):
+    """Pin .parseDecisionLocs run/storage semantics (events.R:207-236)
+    via the registered composite's window logic on a hand-built log.
+    dispatch locs = {click, view}; decision loc = signup; central
+    dispatch = purchase."""
+    from datetime import datetime
+
+    from appeals_data_spark.queries.composite_q import comp_decision_locs
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # user 1: signup -> click -> view -> purchase  => decision (storage=purchase)
+        (1, 1, "signup", t(0)),
+        (2, 1, "click", t(1)),
+        (3, 1, "view", t(2)),
+        (4, 1, "purchase", t(3)),
+        # user 1 later: signup -> click -> error       => run ends at error, no decision
+        (5, 1, "signup", t(10)),
+        (6, 1, "click", t(11)),
+        (7, 1, "error", t(12)),
+        # user 2: signup at end of case (run hits case boundary) => storage NULL, none
+        (8, 2, "signup", t(0)),
+        (9, 2, "click", t(1)),
+        # user 3: two qualifying decisions => only the LATEST survives
+        (10, 3, "signup", t(0)),
+        (11, 3, "purchase", t(1)),
+        (12, 3, "signup", t(2)),
+        (13, 3, "view", t(3)),
+        (14, 3, "purchase", t(4)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts timestamp")
+    # route the builder through a temp-table shim: monkeypatch load_table
+    import appeals_data_spark.queries.composite_q as cq
+
+    orig = cq.load_table
+    cq.load_table = lambda s, d, n: df if n == "events" else orig(s, d, n)
+    try:
+        out = {r.entity_id: r.decision_ts for r in comp_decision_locs(spark, "unused").collect()}
+    finally:
+        cq.load_table = orig
+    assert out == {1: t(0), 3: t(2)}, out

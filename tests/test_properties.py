@@ -104,3 +104,62 @@ def test_sessionize_invariants(spark, rows):
             else:
                 # (3) within-gap events stay in the same session
                 assert b["session_seq"] == a["session_seq"]
+
+
+# -- NA / collation semantics (SURVEY §7.3 risk list) ------------------------
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.sampled_from(["H", "X", "h", ""])), min_size=1, max_size=8
+    )
+)
+@_hyp
+def test_r_ifelse_null_propagation(spark, disps):
+    """r_ifelse must mirror R's ifelse: NA condition -> NA result,
+    NEVER the else-branch (the when/otherwise trap)."""
+    from pyspark.sql import functions as F
+
+    from appeals_data_spark.functions.scalars import r_ifelse
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(disps)], "i int, disp string")
+    out = {
+        r["i"]: r["label"]
+        for r in df.select(
+            "i",
+            r_ifelse(
+                F.col("disp") == "H", F.lit("HEARING"), F.lit("HEARING_EXCEPTION")
+            ).alias("label"),
+        ).collect()
+    }
+    for i, d in enumerate(disps):
+        expected = None if d is None else ("HEARING" if d == "H" else "HEARING_EXCEPTION")
+        assert out[i] == expected, (d, out[i])
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=382), max_size=6
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=382), max_size=4),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=382), max_size=4),
+)
+@_hyp
+def test_string_between_binary_collation(spark, values, lo, hi):
+    """P5 char-range filters must follow binary (code-point) ordering —
+    the default in Spark, DuckDB, AND Python str comparison — never a
+    locale collation (accented chars included in the alphabet)."""
+    from pyspark.sql import functions as F
+
+    if lo > hi:
+        lo, hi = hi, lo
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i int, s string")
+    got = {
+        r["i"] for r in df.filter(F.col("s").between(F.lit(lo), F.lit(hi))).collect()
+    }
+    expected = {i for i, v in enumerate(values) if lo <= v <= hi}
+    assert got == expected
