@@ -53,6 +53,38 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 _LONG_MAX = 9223372036854775807
 
 
+def portable_hash48(col: str | Column, salt) -> Column:
+    """48-bit hash with an EXACT DuckDB twin: BIGINT value of the first
+    12 hex chars of md5(s || '#' || salt).
+
+    xxhash64 (the fast path) has no DuckDB implementation, so the
+    xxhash-based sketches can only be golden/rows-only checked. This
+    family trades a little speed for a full cross-engine oracle: 12
+    hex digits = 48 bits, small enough that the SQL twin can rebuild
+    the integer with exact double arithmetic (< 2^53). Collisions are
+    ~2x likelier than a 64-bit family but IDENTICAL in both engines,
+    so differential results still match bit-for-bit.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    salt_c = salt.cast("string") if isinstance(salt, Column) else F.lit(str(salt))
+    return F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(c, F.lit("#"), salt_c), "utf-8")), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def sql_portable_hash48(expr: str, salt: str) -> str:
+    """DuckDB fragment computing :func:`portable_hash48` exactly."""
+    return (
+        "CAST(list_sum(list_transform(range(12), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({expr} || '#' || '{salt}'), "
+        "i+1, 1)) - 1) * (16.0 ** (11 - i)))) AS BIGINT)"
+    )
+
+
 def _minhash_fold(col: str | Column, num_hashes: int, k_shingle: int, finish) -> Column:
     """One-pass minhash: fold the shingle array (evaluated once — it is
     an *argument* of ``aggregate``, not captured inside a lambda, which
@@ -125,8 +157,14 @@ def minhash_features(
     bands: int = 8,
     k_shingle: int = 3,
     with_shingles: bool = True,
+    hash_fn=None,
+    band_hash_fn=None,
 ) -> DataFrame:
     """Per-doc LSH features: (doc_id, bands[, shingle_set]).
+
+    ``hash_fn(col, i)`` / ``band_hash_fn(col)`` swap the hash family
+    (default xxhash64; pass :func:`portable_hash48` wrappers for the
+    DuckDB-oracle-able variant).
 
     Pass ``with_shingles=False`` when verification fetches shingle sets
     separately (candidate docs only): dropping ``collect_set`` from the
@@ -150,6 +188,10 @@ def minhash_features(
     """
     from ..catalog import sized_for_compute
 
+    if hash_fn is None:
+        hash_fn = lambda c, i: F.xxhash64(c, F.lit(i))  # noqa: E731
+    if band_hash_fn is None:
+        band_hash_fn = F.xxhash64
     rows_per_band = num_hashes // bands
     sh = shingles(text_col, k_shingle)
     sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("")))
@@ -157,7 +199,7 @@ def minhash_features(
         F.col(id_col).alias("doc_id"), F.explode(sh).alias("_s")
     )
     mins = [
-        F.min(F.xxhash64("_s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+        F.min(hash_fn(F.col("_s"), i)).alias(f"h{i}") for i in range(num_hashes)
     ]
     if with_shingles:
         sig = ex.groupBy("doc_id").agg(*mins, F.collect_set("_s").alias("shingle_set"))
@@ -166,7 +208,7 @@ def minhash_features(
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(
+            band_hash_fn(
                 F.concat_ws(
                     ",",
                     *[
@@ -307,7 +349,11 @@ def simhash64(col: str | Column) -> Column:
 
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_bits: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
     """(doc_id, fp) simhash table in the codegen formulation.
 
@@ -320,22 +366,24 @@ def simhash_fingerprints(
     set iff vote > 0; a token-less doc gets fp = 0 (all votes 0) via
     ``explode_outer``'s NULL row contributing 0 to every vote.
     """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     t = tokens(text_col)
     ex = df.select(
         F.col(id_col).alias("doc_id"), F.explode_outer(t).alias("_t")
     )
-    h = F.xxhash64("_t")
+    h = hash_fn(F.col("_t"))
     votes = [
         F.sum(
             F.when(F.col("_t").isNull(), 0)
             .when(h.bitwiseAND(_bit_mask(F.lit(b))) != 0, 1)
             .otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     agg = ex.groupBy("doc_id").agg(*votes)
     fp = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         fp = fp.bitwiseOR(
             F.when(F.col(f"v{b}") > 0, _bit_mask(F.lit(b))).otherwise(
                 F.lit(0).cast("long")

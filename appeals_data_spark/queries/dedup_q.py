@@ -1,8 +1,12 @@
 """Deduplication queries over the documents corpus (training-data ops).
 
-Exact + n-gram Jaccard carry full DuckDB oracles. MinHash-LSH and
-SimHash are registered rows-only (their hash family — xxhash64 — has no
-DuckDB twin), with golden unit tests in tests/test_dedup.py instead.
+Exact + n-gram Jaccard carry full DuckDB oracles. The xxhash64
+MinHash-LSH / SimHash fast paths are registered rows-only (xxhash64 has
+no DuckDB twin) with golden unit tests; their *_portable twins run the
+identical pipeline structure on the md5-derived 48-bit hash family
+(operators.dedup.portable_hash48), which DuckDB reproduces exactly —
+so signature, banding, candidate generation, and verification are
+fully differentially checked.
 """
 
 from __future__ import annotations
@@ -209,4 +213,179 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count("*").alias("n_near_dups"))
         .orderBy("label")
+    )
+
+
+def _sql_h48(expr: str, salt: str) -> str:
+    from ..operators.dedup import sql_portable_hash48
+
+    return sql_portable_hash48(expr, salt)
+
+
+_MINHASH_PORTABLE_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(len(toks)-2),
+                         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                  ELSE [''] END AS shset
+      FROM docs
+    ), ex AS (
+      SELECT doc_id, unnest(shset) AS s FROM sh
+    ), seeded AS (
+      -- NB: two unnests in one SELECT would zip positionally in
+      -- DuckDB; the seed expansion must be a cross join.
+      SELECT doc_id, s, seed
+      FROM ex CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+    ), hv AS (
+      SELECT doc_id, seed, MIN({_sql_h48('s', '')
+        .replace("|| '#' || ''", "|| '#' || CAST(seed AS VARCHAR)")}) AS h
+      FROM seeded GROUP BY doc_id, seed
+    ), sig AS (
+      SELECT doc_id, list(CAST(h AS VARCHAR) ORDER BY seed) AS sig
+      FROM hv GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, unnest(range(4)) AS band, sig FROM sig
+    ), bh AS (
+      SELECT doc_id, band,
+             {_sql_h48(
+                "sig[band*4+1] || ',' || sig[band*4+2] || ',' || "
+                "sig[band*4+3] || ',' || sig[band*4+4]", 'b')} AS band_hash
+      FROM banded
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bh a JOIN bh b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT id_a, id_b,
+             CASE WHEN len(list_distinct(sa.shset || sb.shset)) = 0 THEN 1.0
+                  ELSE CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+                       / len(list_distinct(sa.shset || sb.shset)) END AS j
+      FROM cand
+      JOIN sh sa ON cand.id_a = sa.doc_id
+      JOIN sh sb ON cand.id_b = sb.doc_id
+    )
+    SELECT CAST(FLOOR(j * 10) AS INT) AS jaccard_decile,
+           COUNT(*) AS n_pairs
+    FROM verified GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "dedup_minhash_portable",
+    oracle=_MINHASH_PORTABLE_ORACLE,
+    tags=("DEDUP", "LSH"),
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE minhash-LSH structure under a full cross-engine
+    oracle: same shingle -> signature -> banded candidates -> exact
+    Jaccard pipeline as dedup_minhash_lsh, but on the 48-bit
+    md5-derived hash family (operators.dedup.portable_hash48) that
+    DuckDB reproduces bit-for-bit — signature mins, band bucket
+    membership, candidate pair set, and verified-Jaccard histogram all
+    differentially checked. 16 hashes x 4 bands; the xxhash64 variant
+    stays the production fast path (golden + recall tests).
+    """
+    from ..operators.dedup import (
+        minhash_features,
+        ngram_jaccard_pairs,
+        portable_hash48,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = minhash_features(
+        d,
+        "text",
+        "doc_id",
+        num_hashes=16,
+        bands=4,
+        with_shingles=False,
+        hash_fn=portable_hash48,
+        band_hash_fn=lambda c: portable_hash48(c, "b"),
+    )
+    cand = minhash_band_pairs(d, "text", "doc_id", features=feats).persist()
+    cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+    d_cand = d.join(cand_ids, "doc_id", "left_semi")
+    verified = ngram_jaccard_pairs(d_cand, "text", "doc_id", cand, threshold=0.0)
+    return (
+        verified.groupBy(
+            F.floor(F.col("jaccard") * 10).cast("int").alias("jaccard_decile")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("jaccard_decile")
+    )
+
+
+_SIMHASH_VOTES = ",\n             ".join(
+    f"SUM(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(32)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+)
+
+_SIMHASH_PORTABLE_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS t FROM docs
+    ), hashed AS (
+      SELECT doc_id, {_sql_h48('t', 's')} AS h FROM tok
+    ), votes AS (
+      SELECT doc_id,
+             {_SIMHASH_VOTES}
+      FROM hashed GROUP BY doc_id
+    ), fps AS (
+      SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS fp FROM votes
+    ), allfp AS (
+      SELECT d.doc_id, COALESCE(f.fp, 0) AS fp
+      FROM docs d LEFT JOIN fps f USING (doc_id)
+    ), pairs AS (
+      SELECT CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+      FROM allfp a JOIN allfp b
+        ON a.fp // 16777216 = b.fp // 16777216 AND a.doc_id < b.doc_id
+    )
+    SELECT hamming, COUNT(*) AS n_pairs
+    FROM pairs GROUP BY hamming ORDER BY hamming
+"""
+
+
+@register(
+    "dedup_simhash_portable",
+    oracle=_SIMHASH_PORTABLE_ORACLE,
+    tags=("DEDUP", "SIMHASH"),
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash structure under a full cross-engine oracle: 32-bit
+    fingerprints on the portable 48-bit hash family, blocked on the
+    top-8-bit prefix, Hamming histogram over in-block pairs — bit
+    votes, fingerprint assembly, blocking, and popcount all
+    differentially checked against DuckDB (token-less docs pinned to
+    fp = 0 on both sides). The 64-bit xxhash variant stays the
+    production fast path."""
+    from ..operators.dedup import portable_hash48, simhash_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(
+        d, "text", "doc_id", n_bits=32, hash_fn=lambda c: portable_hash48(c, "s")
+    ).withColumn("block", F.shiftrightunsigned("fp", 24))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"))
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("hamming")
     )

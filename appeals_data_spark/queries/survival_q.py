@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.scalars import fiscal_year
 from ..operators.survival import kaplan_meier, km_counts
 from ..registry import register
 
@@ -427,3 +428,90 @@ def surv_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("r") * F.col("r"), 6).alias("r2"),
         "n_points",
     )
+
+
+@register(
+    "x6_grouped_glm",
+    oracle="""
+    WITH base AS (
+      SELECT YEAR(o_orderdate + INTERVAL 3 MONTH) AS fy,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS x
+      FROM orders
+    ), cells AS (
+      SELECT fy, COUNT(*) AS n,
+             AVG(CASE WHEN x = 0 THEN CAST(y AS DOUBLE) END) AS p0,
+             AVG(CASE WHEN x = 1 THEN CAST(y AS DOUBLE) END) AS p1
+      FROM base GROUP BY fy
+    )
+    SELECT fy, n,
+           ROUND(LN(p0 / (1 - p0)), 6) AS intercept,
+           ROUND(LN(p1 / (1 - p1)) - LN(p0 / (1 - p0)), 6) AS coef_treat,
+           ROUND(p0, 6) AS baseline_rate,
+           ROUND(p1, 6) AS treat_rate
+    FROM cells ORDER BY fy
+    """,
+    tags=("X6", "GLM", "W10"),
+)
+def x6_grouped_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fiscal-year logistic fit via applyInPandas — the reference's
+    per-year glmer loop (effect-on-outcomes.Rmd:234-263: one binomial
+    model per fy, treatment fixed effect, then population-level
+    predicted rates with treatment held constant). Each fy group
+    Arrow-ships to a pandas Newton/IRLS fit of
+    logit P(finished) = b0 + b1*urgent — genuinely iterative in the
+    worker, the shape a glmer/statsmodels fit plugs into.
+
+    Oracle-able because the single-binary-predictor logistic MLE is
+    saturated: b0 = logit(mean y | x=0), b1 = logit diff, and the
+    held-constant predicted rates are the cell means — DuckDB computes
+    them in closed form; IRLS converges to the same optimum to machine
+    precision, so 6-dp rounding matches. The mixed-effects flavor
+    (partial pooling) has no closed form/SQL twin — ml.glm documents
+    the one-hot fixed-effects approximation for that.
+    """
+    import numpy as np
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        fiscal_year(F.col("o_orderdate")).alias("fy"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("x"),
+    )
+    out_schema = (
+        "fy int, n long, intercept double, coef_treat double, "
+        "baseline_rate double, treat_rate double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        y = pdf["y"].to_numpy(dtype="float64")
+        x = pdf["x"].to_numpy(dtype="float64")
+        X = np.column_stack([np.ones_like(x), x])
+        beta = np.zeros(2)
+        for _ in range(50):
+            p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+            w = p * (1.0 - p)
+            XtWX = X.T @ (X * w[:, None])
+            grad = X.T @ (y - p)
+            step = np.linalg.solve(XtWX, grad)
+            beta = beta + step
+            if np.abs(step).max() < 1e-12:
+                break
+        p0 = 1.0 / (1.0 + np.exp(-beta[0]))
+        p1 = 1.0 / (1.0 + np.exp(-(beta[0] + beta[1])))
+        return pd.DataFrame(
+            {
+                "fy": [int(pdf["fy"].iloc[0])],
+                "n": [len(pdf)],
+                "intercept": [round(float(beta[0]), 6)],
+                "coef_treat": [round(float(beta[1]), 6)],
+                "baseline_rate": [round(float(p0), 6)],
+                "treat_rate": [round(float(p1), 6)],
+            }
+        )
+
+    return base.groupBy("fy").applyInPandas(fit, schema=out_schema).orderBy("fy")

@@ -186,3 +186,103 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, nprobe=3).select(
         "query_id", "rank", "corpus_id"
     )
+
+
+def _portable_planes(n_planes: int = 6, dim: int = 64) -> list[list[int]]:
+    """Deterministic hyperplane components shared verbatim by the Spark
+    plan and the DuckDB oracle: component j of plane p is the portable
+    48-bit md5 hash of "p|j" mapped into [-500001, 500001]. Pure
+    constants (like a stopword list), so both engines fold them."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}|{j}#p".encode()).hexdigest()[:12], 16) % 1000003
+            - 500001
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+_PLANES = _portable_planes()
+
+_LSH_PORTABLE_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {" + ".join(
+                 f"CASE WHEN list_sum(list_transform(range(64), i -> "
+                 f"(CAST(embedding[i+1] AS DOUBLE)) * ([{','.join(map(str, plane))}][i+1])))"
+                 f" > 0 THEN {1 << p} ELSE 0 END"
+                 for p, plane in enumerate(_PLANES)
+             )} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS corpus_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.vec_id
+             ) AS rank
+      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.query_id
+    )
+    SELECT query_id, rank, corpus_id
+    FROM scored WHERE rank <= 5
+    ORDER BY query_id, rank
+"""
+
+
+@register(
+    "vec_lsh_portable",
+    oracle=_LSH_PORTABLE_ORACLE,
+    tags=("VEC", "ANN", "LSH"),
+)
+def vec_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k under a full cross-engine oracle: ONE
+    6-plane hash table whose plane components are shared integer
+    constants (md5-derived, see _portable_planes), so bucket
+    assignment, candidate membership, and the in-bucket cosine ranking
+    are all differentially checked in DuckDB. The xxhash64 multi-table
+    variant (vec_lsh_topk) stays the production path with its measured
+    recall gate."""
+    from ..functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def bucket_of(vec):
+        b = F.lit(0)
+        for p, plane in enumerate(_PLANES):
+            comp = F.array(*[F.lit(c) for c in plane])
+            dot = F.aggregate(
+                F.zip_with(vec, comp, lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            b = b + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return b
+
+    bucketed = emb.select(
+        "vec_id", "embedding", bucket_of(F.col("embedding")).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "corpus_id")
+        .orderBy("query_id", "rank")
+    )

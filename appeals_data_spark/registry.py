@@ -102,6 +102,7 @@ _SWEEP_FIRST = [
     "surv_cuminc",
     "x3_linreg_closed_form",
     "x6_grouped_model_fit",
+    "x6_grouped_glm",
     "surv_weibull_fit",
     "dedup_exact_summary",
     "dedup_ngram_jaccard_adjacent",
@@ -118,6 +119,10 @@ _SWEEP_FIRST = [
     "vec_ivf_topk",
     "skew_salted_agg",
     "skew_salted_join",
+    # round-2 additions: portable-hash twins of the sketch pipelines
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "vec_lsh_portable",
     # never swept, rows-only (weakest driver signal -> last)
     "dedup_minhash_lsh",
     "dedup_simhash_hamming",
