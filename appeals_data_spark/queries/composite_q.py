@@ -161,54 +161,12 @@ def comp_outcome_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "comp_backlog_reconstruction",
-    oracle="""
+def _backlog_oracle() -> str:
+    from ..views.events import EVENTS_ALL_SQL
+
+    return f"""
     WITH ev AS (
-      SELECT o_custkey AS entity_id, 'order_placed' AS event_type,
-             o_orderdate AS ts FROM orders
-      UNION ALL
-      SELECT l_suppkey, 'line_shipped', l_shipdate FROM lineitem
-      UNION ALL
-      SELECT user_id, event_type, ts FROM events
-      UNION ALL
-      SELECT l_suppkey, 'line_returned', l_shipdate
-      FROM lineitem WHERE l_returnflag = 'R'
-      UNION ALL
-      SELECT o_custkey,
-             CASE o_orderstatus WHEN 'F' THEN 'order_finished'
-                                WHEN 'P' THEN 'order_in_process' END,
-             o_orderdate
-      FROM orders WHERE o_orderstatus IN ('F', 'P')
-      UNION ALL
-      SELECT user_id, 'session_started', ts
-      FROM (
-        SELECT user_id, ts,
-               LAG(ts) OVER (PARTITION BY user_id
-                             ORDER BY ts, event_id) AS prev_ts
-        FROM events
-      ) WHERE prev_ts IS NULL
-           OR ts >= prev_ts + INTERVAL 30 MINUTE
-      UNION ALL
-      SELECT user_id,
-             CASE WHEN disp = 'H' THEN 'HEARING'
-                  WHEN disp <> 'H' THEN 'HEARING_EXCEPTION' END,
-             CASE WHEN disp IS NOT NULL AND disp <> 'H'
-                       AND clsdate IS NOT NULL THEN clsdate ELSE ts END
-      FROM (
-        SELECT user_id, ts, value,
-               CASE WHEN value > 30 THEN 'H'
-                    WHEN value > 20 THEN 'X' END AS disp,
-               CASE WHEN value > 10 THEN ts + INTERVAL 3 DAY END AS clsdate
-        FROM events WHERE event_type = 'signup'
-      )
-      UNION ALL
-      SELECT user_id, 'to_transcript', ts
-      FROM events WHERE event_type = 'error'
-      UNION ALL
-      SELECT user_id, 'from_transcript',
-             ts + to_minutes(CAST(FLOOR(value) AS BIGINT))
-      FROM events WHERE event_type = 'error'
+      SELECT entity_id, event_type, ts FROM ({EVENTS_ALL_SQL})
     ), spans AS (
       SELECT entity_id,
              MIN(CAST(ts AS DATE)) AS enter_d,
@@ -228,7 +186,12 @@ def comp_outcome_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                AND exit_d > CAST(g AS DATE)) AS backlog
     FROM grid
     ORDER BY grid_date
-    """,
+    """
+
+
+@register(
+    "comp_backlog_reconstruction",
+    oracle=_backlog_oracle(),
     tags=("COMPOSITE", "U1", "W6", "J17", "A1"),
 )
 def comp_backlog_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:

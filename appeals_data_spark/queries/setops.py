@@ -9,72 +9,33 @@ from ..catalog import load_table
 from ..registry import register
 
 
-@register(
-    "u1_union_event_log",
-    oracle="""
+def _u1_oracle() -> str:
+    from ..views.events import EVENTS_ALL_SQL
+
+    return f"""
     SELECT event_type, YEAR(ts) AS yr, COUNT(*) AS n,
            CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
-    FROM (
-      SELECT o_custkey AS entity_id, 'order_placed' AS event_type,
-             o_orderdate AS ts, o_totalprice AS amount FROM orders
-      UNION ALL
-      SELECT l_suppkey, 'line_shipped', l_shipdate, l_extendedprice FROM lineitem
-      UNION ALL
-      SELECT user_id, event_type, ts, value FROM events
-      UNION ALL
-      SELECT l_suppkey, 'line_returned', l_shipdate, l_extendedprice
-      FROM lineitem WHERE l_returnflag = 'R'
-      UNION ALL
-      SELECT o_custkey,
-             CASE o_orderstatus WHEN 'F' THEN 'order_finished'
-                                WHEN 'P' THEN 'order_in_process' END,
-             o_orderdate, o_totalprice
-      FROM orders WHERE o_orderstatus IN ('F', 'P')
-      UNION ALL
-      SELECT user_id, 'session_started', ts, CAST(NULL AS DOUBLE)
-      FROM (
-        SELECT user_id, ts,
-               LAG(ts) OVER (PARTITION BY user_id
-                             ORDER BY ts, event_id) AS prev_ts
-        FROM events
-      ) WHERE prev_ts IS NULL
-           OR ts >= prev_ts + INTERVAL 30 MINUTE
-      UNION ALL
-      SELECT user_id,
-             CASE WHEN disp = 'H' THEN 'HEARING'
-                  WHEN disp <> 'H' THEN 'HEARING_EXCEPTION' END,
-             CASE WHEN disp IS NOT NULL AND disp <> 'H'
-                       AND clsdate IS NOT NULL THEN clsdate ELSE ts END,
-             value
-      FROM (
-        SELECT user_id, ts, value,
-               CASE WHEN value > 30 THEN 'H'
-                    WHEN value > 20 THEN 'X' END AS disp,
-               CASE WHEN value > 10 THEN ts + INTERVAL 3 DAY END AS clsdate
-        FROM events WHERE event_type = 'signup'
-      )
-      UNION ALL
-      SELECT user_id, 'to_transcript', ts, value
-      FROM events WHERE event_type = 'error'
-      UNION ALL
-      SELECT user_id, 'from_transcript',
-             ts + to_minutes(CAST(FLOOR(value) AS BIGINT)), value
-      FROM events WHERE event_type = 'error'
-    )
+    FROM ({EVENTS_ALL_SQL})
     WHERE ts IS NOT NULL
     GROUP BY event_type, YEAR(ts)
     ORDER BY event_type, yr
-    """,
+    """
+
+
+@register(
+    "u1_union_event_log",
+    oracle=_u1_oracle(),
     tags=("U1", "R1", "S1"),
     bench=True,
 )
 def u1_union_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events_all() union — the reference's 10-way rbind
-    (R/events.R:929-988, U1) as ONE Catalyst plan over eight extractors
-    (projection, filter, classifier-merge, window-parsed, NA-propagating
-    relabel+patch, and paired from/to unpivot shapes — the session
-    extractor shuffles for its lag window; the rest stay narrow until
-    the groupBy)."""
+    (R/events.R:929-988, U1) as ONE Catalyst plan over twelve
+    extractors (projection, filter, classifier-merge, window-parsed,
+    NA-propagating relabel+patch, paired from/to unpivot, labeled
+    date-column gather, child-min aggregate with and without a parent
+    flag gate, and gather+relabel+dedup shapes — the window/agg
+    extractors shuffle; the rest stay narrow until the groupBy)."""
     from ..views.events import events_all
 
     ev = events_all(spark, sf_dir)

@@ -211,6 +211,120 @@ def transcription_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def milestone_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's workhorse extractor shape: N wide date columns
+    gathered into labeled events with a column->label map and a
+    non-null filter (event_getDateCols, events.R:22-53; used for
+    NOD/SOC/FORM9/CERTIFICATION/DOCKET and six more types,
+    events.R:934-946,960-971). ``o_orderstatus <> 'P'`` mirrors the
+    ``BFAC = '1'`` original-action gate.
+
+    The synthetic orders table has one date column, so the extra
+    milestone dates are derived deterministically (as hearing_events
+    does for dispositions): DOCKET always at +7d, SOC at +30d for
+    orders over 50k, CERTIFICATION at +60d for finished orders — the
+    NULL branches exercise getDateCols' is-not-null drop."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderstatus") != "P").select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_totalprice").alias("amount"),
+        (F.col("o_orderdate") + F.expr("interval 7 days")).alias("DOCKET"),
+        F.when(
+            F.col("o_totalprice") > 50000,
+            F.col("o_orderdate") + F.expr("interval 30 days"),
+        ).alias("SOC"),
+        F.when(
+            F.col("o_orderstatus") == "F",
+            F.col("o_orderdate") + F.expr("interval 60 days"),
+        ).alias("CERTIFICATION"),
+    )
+    return _conform(
+        base.unpivot(
+            ids=["entity_id", "amount"],
+            values=["DOCKET", "SOC", "CERTIFICATION"],
+            variableColumnName="event_type",
+            valueColumnName="ts",
+        )
+    )
+
+
+def creation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-child-timestamp shape (event_vacolsCreation, events.R:
+    310-316: ``min(LOCDOUT) per LOCKEY`` subquery joined to the
+    parent): a user's first raw event becomes 'account_created'.
+    Map-side-combinable min, no join needed for the unfiltered form."""
+    e = load_table(spark, sf_dir, "events")
+    return _conform(
+        e.groupBy(F.col("user_id").alias("entity_id"))
+        .agg(F.min("ts").alias("ts"))
+        .select(
+            "entity_id",
+            F.lit("account_created").alias("event_type"),
+            "ts",
+            F.lit(None).cast("double").alias("amount"),
+        )
+    )
+
+
+def substitution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same child-min aggregate gated on a parent flag
+    (event_substitution, events.R:331-340: ``BFSUB = 'S'``): users
+    whose customer row sits in the BUILDING segment. The flag filter
+    is a broadcast semi-join against the filtered parent — pushdown
+    keeps the parent scan two columns wide."""
+    e = load_table(spark, sf_dir, "events")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("entity_id"))
+    )
+    mins = e.groupBy(F.col("user_id").alias("entity_id")).agg(
+        F.min("ts").alias("ts")
+    )
+    return _conform(
+        mins.join(F.broadcast(c), "entity_id", "left_semi").select(
+            "entity_id",
+            F.lit("segment_substitution").alias("event_type"),
+            "ts",
+            F.lit(None).cast("double").alias("amount"),
+        )
+    )
+
+
+def ssoc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gather + uniform relabel + per-(entity, date) dedup
+    (event_ssoc, events.R:397-409: five SSOC date columns gathered,
+    EVENT_TYPE overwritten to one label, uniqued by BFCORLID+DATE).
+    Follow-up statement dates are derived at +90d/+120d tiers; the
+    dedup is a single shuffle on (entity_id, ts)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_custkey").alias("entity_id"),
+        F.when(
+            F.col("o_totalprice") > 100000,
+            F.col("o_orderdate") + F.expr("interval 90 days"),
+        ).alias("ssoc1"),
+        F.when(
+            F.col("o_totalprice") > 150000,
+            F.col("o_orderdate") + F.expr("interval 120 days"),
+        ).alias("ssoc2"),
+    )
+    long = base.unpivot(
+        ids=["entity_id"],
+        values=["ssoc1", "ssoc2"],
+        variableColumnName="_src",
+        valueColumnName="ts",
+    )
+    return _conform(
+        long.select(
+            "entity_id",
+            F.lit("SSOC").alias("event_type"),
+            "ts",
+            F.lit(None).cast("double").alias("amount"),
+        ).dropDuplicates(["entity_id", "ts"])
+    )
+
+
 EXTRACTORS = (
     order_events,
     shipment_events,
@@ -220,7 +334,97 @@ EXTRACTORS = (
     session_start_events,
     hearing_events,
     transcription_events,
+    milestone_events,
+    creation_events,
+    substitution_events,
+    ssoc_events,
 )
+
+# DuckDB twin of events_all(): one branch per extractor, same order,
+# columns (entity_id, event_type, ts, amount). Interpolated into every
+# oracle that consumes the event view (u1_union_event_log,
+# comp_backlog_reconstruction) so extractor changes can't silently
+# diverge from a hand-copied union.
+EVENTS_ALL_SQL = """
+      SELECT o_custkey AS entity_id, 'order_placed' AS event_type,
+             o_orderdate AS ts, o_totalprice AS amount FROM orders
+      UNION ALL
+      SELECT l_suppkey, 'line_shipped', l_shipdate, l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT user_id, event_type, ts, value FROM events
+      UNION ALL
+      SELECT l_suppkey, 'line_returned', l_shipdate, l_extendedprice
+      FROM lineitem WHERE l_returnflag = 'R'
+      UNION ALL
+      SELECT o_custkey,
+             CASE o_orderstatus WHEN 'F' THEN 'order_finished'
+                                WHEN 'P' THEN 'order_in_process' END,
+             o_orderdate, o_totalprice
+      FROM orders WHERE o_orderstatus IN ('F', 'P')
+      UNION ALL
+      SELECT user_id, 'session_started', ts, CAST(NULL AS DOUBLE)
+      FROM (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      ) WHERE prev_ts IS NULL
+           OR ts >= prev_ts + INTERVAL 30 MINUTE
+      UNION ALL
+      SELECT user_id,
+             CASE WHEN disp = 'H' THEN 'HEARING'
+                  WHEN disp <> 'H' THEN 'HEARING_EXCEPTION' END,
+             CASE WHEN disp IS NOT NULL AND disp <> 'H'
+                       AND clsdate IS NOT NULL THEN clsdate ELSE ts END,
+             value
+      FROM (
+        SELECT user_id, ts, value,
+               CASE WHEN value > 30 THEN 'H'
+                    WHEN value > 20 THEN 'X' END AS disp,
+               CASE WHEN value > 10 THEN ts + INTERVAL 3 DAY END AS clsdate
+        FROM events WHERE event_type = 'signup'
+      )
+      UNION ALL
+      SELECT user_id, 'to_transcript', ts, value
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, 'from_transcript',
+             ts + to_minutes(CAST(FLOOR(value) AS BIGINT)), value
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT o_custkey, lab, d, o_totalprice
+      FROM (
+        SELECT o_custkey, o_totalprice, lab,
+               CASE lab
+                 WHEN 'DOCKET' THEN o_orderdate + INTERVAL 7 DAY
+                 WHEN 'SOC' THEN CASE WHEN o_totalprice > 50000
+                      THEN o_orderdate + INTERVAL 30 DAY END
+                 ELSE CASE WHEN o_orderstatus = 'F'
+                      THEN o_orderdate + INTERVAL 60 DAY END
+               END AS d
+        FROM orders
+        CROSS JOIN (SELECT UNNEST(['DOCKET', 'SOC', 'CERTIFICATION']) AS lab)
+        WHERE o_orderstatus <> 'P'
+      )
+      UNION ALL
+      SELECT user_id, 'account_created', MIN(ts), CAST(NULL AS DOUBLE)
+      FROM events GROUP BY user_id
+      UNION ALL
+      SELECT user_id, 'segment_substitution', MIN(ts), CAST(NULL AS DOUBLE)
+      FROM events
+      WHERE user_id IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+      GROUP BY user_id
+      UNION ALL
+      SELECT DISTINCT o_custkey, 'SSOC', d, CAST(NULL AS DOUBLE)
+      FROM (
+        SELECT o_custkey, CASE WHEN o_totalprice > 100000
+               THEN o_orderdate + INTERVAL 90 DAY END AS d FROM orders
+        UNION ALL
+        SELECT o_custkey, CASE WHEN o_totalprice > 150000
+               THEN o_orderdate + INTERVAL 120 DAY END FROM orders
+      ) WHERE d IS NOT NULL
+"""
 
 
 def events_all(spark: SparkSession, sf_dir: str) -> DataFrame:
