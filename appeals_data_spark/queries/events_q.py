@@ -7,6 +7,8 @@ traces — built on the reusable operators package.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -235,3 +237,160 @@ def x4_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p"),
     ).orderBy("event_type", "next_type")
+
+
+_PRIORLOC_CODES = ["55", "18", "14", "92", "20", "48", "96", "D1", "I1", "I2"]
+
+
+@register(
+    "comp_priorloc_parsers",
+    oracle="""
+    WITH base AS (
+      SELECT user_id AS entity_id, event_id, ts AS locdout,
+             ts + to_minutes(CAST(FLOOR(value) AS BIGINT)) AS locdin,
+             CASE raw WHEN 'I1' THEN '55' WHEN 'I2' THEN '48'
+                      ELSE raw END AS loc
+      FROM (
+        SELECT *,
+               (['55','18','14','92','20','48','96','D1','I1','I2'])
+                 [CAST(event_id % 10 AS INT) + 1] AS raw
+        FROM events
+      )
+    ), wl AS (
+      SELECT *,
+             LEAD(loc) OVER (PARTITION BY entity_id
+                             ORDER BY locdout, event_id) AS loc_next,
+             LAG(loc) OVER (PARTITION BY entity_id
+                            ORDER BY locdout, event_id) AS loc_prev
+      FROM base
+    ), ev AS (
+      SELECT entity_id, 'TRANSLATION_REQ' AS event_type, locdout AS ts
+      FROM wl WHERE loc = '18'
+      UNION ALL
+      SELECT entity_id, 'TO_TRANSLATION', locdout FROM wl WHERE loc = '14'
+      UNION ALL
+      SELECT entity_id, 'FROM_TRANSLATION', locdin FROM wl WHERE loc = '14'
+      UNION ALL
+      SELECT entity_id, 'TO_VSO', locdin
+      FROM wl WHERE loc <> '55' AND loc_next = '55'
+      UNION ALL
+      SELECT entity_id, 'FROM_VSO', locdout
+      FROM wl WHERE loc = '55' AND loc_next <> '55'
+      UNION ALL
+      SELECT entity_id, 'TO_OMO', locdout
+      FROM wl WHERE loc_prev = '92' AND loc = '20'
+      UNION ALL
+      SELECT entity_id, 'FROM_OMO', locdin
+      FROM wl WHERE loc_prev = '92' AND loc = '20'
+      UNION ALL
+      SELECT entity_id, 'QR', locdin FROM wl WHERE loc = '48'
+      UNION ALL
+      SELECT entity_id, 'REMAND_RETURN', locdout
+      FROM (
+        SELECT entity_id, locdout,
+               ROW_NUMBER() OVER (PARTITION BY entity_id
+                                  ORDER BY locdout DESC, event_id DESC) AS rn
+        FROM wl WHERE loc = '96'
+      ) WHERE rn = 1
+    )
+    SELECT event_type, YEAR(ts) AS yr, COUNT(*) AS n
+    FROM ev GROUP BY event_type, YEAR(ts)
+    ORDER BY event_type, yr
+    """,
+    tags=("COMPOSITE", "U1", "W1", "W2", "J8"),
+)
+def comp_priorloc_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRIORLOC parser family (events.R:106-268) as ONE plan over a
+    synthesized location log: TRANSLATION_REQ + TO/FROM_TRANSLATION
+    (.parseTranslationLocs:106-128 — membership filter + from/to pair),
+    TO/FROM_VSO (.parseVSOLocs:131-163 — lead-boundary detection; the
+    NULL lead on a stream's last row drops the row, matching R's
+    NA-comparison filter), TO/FROM_OMO (.parseOMOLocs:183-206 —
+    two-step lag pattern: an OMO request immediately followed by the
+    outside-BVA location), QR (.parseQRLocs:241-252 — filter at
+    check-in), and REMAND_RETURN (.parseRemReturnLocs:255-268 — latest
+    occurrence per entity, deterministic tiebreak on event_id).
+
+    Also folds in event_getPriorLocs' STAFF normalization
+    (events.R:92-99): 'individual' codes are replaced by their parent
+    location before any parsing.
+
+    The reference runs five separate dplyr passes each with its own
+    arrange(); here one window pass computes lead+lag once and every
+    parser is a filter over it — a single shuffle on entity_id,
+    reused by all nine event types (plus one more for the REMAND_RETURN
+    argmax, same key so AQE-local)."""
+    e = load_table(spark, sf_dir, "events")
+    raw = F.element_at(
+        F.array(*[F.lit(c) for c in _PRIORLOC_CODES]),
+        (F.pmod(F.col("event_id"), F.lit(10)) + 1).cast("int"),
+    )
+    loc = (
+        F.when(raw == "I1", F.lit("55"))
+        .when(raw == "I2", F.lit("48"))
+        .otherwise(raw)
+    )
+    base = e.select(
+        F.col("user_id").alias("entity_id"),
+        "event_id",
+        F.col("ts").alias("locdout"),
+        (
+            F.col("ts") + F.make_interval(mins=F.floor("value").cast("int"))
+        ).alias("locdin"),
+        loc.alias("loc"),
+    )
+    w = Window.partitionBy("entity_id").orderBy("locdout", "event_id")
+    wl = base.withColumn("loc_next", F.lead("loc").over(w)).withColumn(
+        "loc_prev", F.lag("loc").over(w)
+    )
+
+    def pick(cond, label, ts_col):
+        return wl.filter(cond).select(
+            "entity_id", F.lit(label).alias("event_type"), F.col(ts_col).alias("ts")
+        )
+
+    translation_req = pick(F.col("loc") == "18", "TRANSLATION_REQ", "locdout")
+    to_translation = pick(F.col("loc") == "14", "TO_TRANSLATION", "locdout")
+    from_translation = pick(F.col("loc") == "14", "FROM_TRANSLATION", "locdin")
+    to_vso = pick(
+        (F.col("loc") != "55") & (F.col("loc_next") == "55"), "TO_VSO", "locdin"
+    )
+    from_vso = pick(
+        (F.col("loc") == "55") & (F.col("loc_next") != "55"), "FROM_VSO", "locdout"
+    )
+    omo_cond = (F.col("loc_prev") == "92") & (F.col("loc") == "20")
+    to_omo = pick(omo_cond, "TO_OMO", "locdout")
+    from_omo = pick(omo_cond, "FROM_OMO", "locdin")
+    qr = pick(F.col("loc") == "48", "QR", "locdin")
+    rr_w = Window.partitionBy("entity_id").orderBy(
+        F.desc("locdout"), F.desc("event_id")
+    )
+    remand_return = (
+        wl.filter(F.col("loc") == "96")
+        .withColumn("_rn", F.row_number().over(rr_w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "entity_id",
+            F.lit("REMAND_RETURN").alias("event_type"),
+            F.col("locdout").alias("ts"),
+        )
+    )
+    ev = reduce(
+        DataFrame.unionByName,
+        [
+            translation_req,
+            to_translation,
+            from_translation,
+            to_vso,
+            from_vso,
+            to_omo,
+            from_omo,
+            qr,
+            remand_return,
+        ],
+    )
+    return (
+        ev.groupBy("event_type", F.year("ts").alias("yr"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "yr")
+    )

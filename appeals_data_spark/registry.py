@@ -90,6 +90,7 @@ _SWEEP_FIRST = [
     "comp_docket_projection",
     "comp_exp_gap_fit",
     "comp_decision_locs",
+    "comp_priorloc_parsers",
     "j10_fuzzy_asof_match",
     "j16_window_similarity_count",
     "j17_pit_backlog",
