@@ -515,3 +515,82 @@ def x6_grouped_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return base.groupBy("fy").applyInPandas(fit, schema=out_schema).orderBy("fy")
+
+
+@register(
+    "x6_partial_pooling",
+    oracle="""
+    WITH per AS (
+      SELECT c_nationkey AS grp, COUNT(*) AS n,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS k
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+    ), rates AS (
+      SELECT grp, n, k, CAST(k AS DOUBLE) / n AS p FROM per
+    ), gstats AS (
+      SELECT AVG(p) AS pbar,
+             GREATEST(0.0, VAR_SAMP(p)
+               - AVG(p) * (1 - AVG(p)) * AVG(1.0 / n)) AS tau2
+      FROM rates
+    )
+    SELECT grp, n, ROUND(p, 6) AS raw_rate,
+           ROUND((tau2 * p + (pbar * (1 - pbar) / n) * pbar)
+                 / (tau2 + pbar * (1 - pbar) / n), 6) AS shrunk_rate
+    FROM rates, gstats
+    ORDER BY grp
+    """,
+    tags=("X6", "X3", "GLM"),
+)
+def x6_partial_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-intercept partial pooling — the statistical core of the
+    reference's glmer mixed models (effect-on-outcomes.Rmd:236
+    ``glmer(outcome ~ treatment + (1|group))``) in the closed-form
+    empirical-Bayes formulation a differential oracle can check:
+    per-group finish rates shrink toward the grand mean with weight
+    tau^2 / (tau^2 + sigma_g^2), where tau^2 is the method-of-moments
+    between-group variance (clamped at 0 — complete pooling when
+    groups look homogeneous) and sigma_g^2 = pbar(1-pbar)/n_g the
+    within-group sampling variance. Small groups shrink hard, large
+    groups keep their raw rate — exactly the glmer behavior the
+    reference relies on for sparse fiscal years.
+
+    Physically: one fact-dim join, one groupBy, then a broadcast of
+    the 1-row global stats back onto the 25-row group table — no
+    second shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("k"),
+        )
+    )
+    rates = per.withColumn("p", F.col("k").cast("double") / F.col("n"))
+    glob = rates.agg(
+        F.avg("p").alias("pbar"),
+        F.greatest(
+            F.lit(0.0),
+            # avg over groups of pbar(1-pbar)/n_g == pbar(1-pbar)*avg(1/n_g)
+            F.var_samp("p")
+            - F.avg("p") * (1 - F.avg("p")) * F.avg(F.lit(1.0) / F.col("n")),
+        ).alias("tau2"),
+    )
+    s2 = F.col("pbar") * (1 - F.col("pbar")) / F.col("n")
+    return (
+        rates.crossJoin(F.broadcast(glob))
+        .select(
+            "grp",
+            "n",
+            F.round("p", 6).alias("raw_rate"),
+            F.round(
+                (F.col("tau2") * F.col("p") + s2 * F.col("pbar"))
+                / (F.col("tau2") + s2),
+                6,
+            ).alias("shrunk_rate"),
+        )
+        .orderBy("grp")
+    )

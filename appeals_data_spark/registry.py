@@ -104,6 +104,7 @@ _SWEEP_FIRST = [
     "x3_linreg_closed_form",
     "x6_grouped_model_fit",
     "x6_grouped_glm",
+    "x6_partial_pooling",
     "surv_weibull_fit",
     "dedup_exact_summary",
     "dedup_ngram_jaccard_adjacent",

@@ -32,6 +32,7 @@ BNLJ_OK = {
     "vec_brute_force_topk",  # 8 probe vectors
     "vec_ivf_topk",  # probes x centroids
     "vec_label_centroid_assign",  # centroid side
+    "x6_partial_pooling",  # 1-row global shrinkage stats side
 }
 
 MAX_SCAN_FIELDS = 10  # widest table has 16 cols; every query projects fewer
