@@ -248,16 +248,24 @@ def milestone_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _first_event_mins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(entity_id, ts) of each user's first raw event. Shared by the
+    creation and substitution extractors so the two branches of the
+    events_all union canonicalize to the SAME aggregate subtree and
+    Spark's ReuseExchange runs the shuffle once."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.col("user_id").alias("entity_id")).agg(
+        F.min("ts").alias("ts")
+    )
+
+
 def creation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-child-timestamp shape (event_vacolsCreation, events.R:
     310-316: ``min(LOCDOUT) per LOCKEY`` subquery joined to the
     parent): a user's first raw event becomes 'account_created'.
     Map-side-combinable min, no join needed for the unfiltered form."""
-    e = load_table(spark, sf_dir, "events")
     return _conform(
-        e.groupBy(F.col("user_id").alias("entity_id"))
-        .agg(F.min("ts").alias("ts"))
-        .select(
+        _first_event_mins(spark, sf_dir).select(
             "entity_id",
             F.lit("account_created").alias("event_type"),
             "ts",
@@ -272,17 +280,15 @@ def substitution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose customer row sits in the BUILDING segment. The flag filter
     is a broadcast semi-join against the filtered parent — pushdown
     keeps the parent scan two columns wide."""
-    e = load_table(spark, sf_dir, "events")
     c = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select(F.col("c_custkey").alias("entity_id"))
     )
-    mins = e.groupBy(F.col("user_id").alias("entity_id")).agg(
-        F.min("ts").alias("ts")
-    )
     return _conform(
-        mins.join(F.broadcast(c), "entity_id", "left_semi").select(
+        _first_event_mins(spark, sf_dir)
+        .join(F.broadcast(c), "entity_id", "left_semi")
+        .select(
             "entity_id",
             F.lit("segment_substitution").alias("event_type"),
             "ts",
