@@ -389,3 +389,122 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+@register(
+    "dedup_canonical_corpus",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, source,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ws,
+             regexp_split_to_array(lower(trim(text)), '\\s+')[1]
+               || '|' || CAST(n_chars // 40 AS VARCHAR) AS blk
+      FROM documents
+    ), exact_e AS (
+      SELECT * FROM (
+        SELECT MIN(doc_id) OVER (PARTITION BY nt) AS src, doc_id AS dst
+        FROM base
+      ) WHERE src <> dst
+    ), near_e AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
+    ), edges AS (
+      SELECT src, dst FROM exact_e UNION SELECT src, dst FROM near_e
+    ), und AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM und
+    ), reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT re.node, u.dst AS r FROM reach re JOIN und u ON u.src = re.r
+    ), comp AS (
+      SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN c.component IS NOT NULL
+                          AND c.component <> d.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - SUM(CASE WHEN c.component IS NOT NULL
+                          AND c.component <> d.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    GROUP BY source ORDER BY source
+    """,
+    tags=("DEDUP", "J19", "COMPOSITE"),
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup pipeline — the flagship training-data shape:
+    exact groups (hash of normalized text) + blocked near-dup pairs
+    (first-token x length-bucket blocking, word-set Jaccard >= 0.5)
+    -> undirected duplicate graph -> connected components (label
+    propagation, operators.closure) -> canonical doc = component min
+    -> per-source keep/drop accounting.
+
+    Scale shape: exact edges are one window over a 64-bit hash key;
+    blocking bounds the pair join (block sizes are data-capped — at
+    sf0.1: max block 28 docs, 33k candidate pairs from 5k docs, never
+    |docs|^2); components iterate join+min with localCheckpoint
+    lineage cuts, O(duplicate-graph diameter) rounds on a graph of
+    only linked docs (vanishing fraction of corpus). The production
+    variant swaps blocking for minhash bands (dedup_minhash_lsh) —
+    same downstream graph machinery."""
+    from pyspark.sql.window import Window
+
+    from ..operators.closure import connected_components
+    from ..operators.dedup import jaccard
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.xxhash64(normalized_text("text")).alias("th"),
+        F.array_distinct(toks).alias("ws"),
+        F.concat(
+            F.element_at(toks, 1),
+            F.lit("|"),
+            F.floor(F.col("n_chars") / 40).cast("string"),
+        ).alias("blk"),
+    )
+    exact_e = (
+        base.withColumn("src", F.min("doc_id").over(Window.partitionBy("th")))
+        .filter(F.col("doc_id") != F.col("src"))
+        .select("src", F.col("doc_id").alias("dst"))
+    )
+    a, b = base.alias("a"), base.alias("b")
+    near_e = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jaccard(F.col("a.ws"), F.col("b.ws")) >= 0.5)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    comp = connected_components(exact_e.unionByName(near_e).distinct())
+    dropped = (
+        d.select("doc_id", "source")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "source",
+            (
+                F.col("component").isNotNull()
+                & (F.col("component") != F.col("doc_id"))
+            )
+            .cast("int")
+            .alias("is_dropped"),
+        )
+    )
+    return (
+        dropped.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_dropped").alias("n_dropped"),
+            (F.count("*") - F.sum("is_dropped")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -107,6 +107,7 @@ _SWEEP_FIRST = [
     "x6_partial_pooling",
     "surv_weibull_fit",
     "dedup_exact_summary",
+    "dedup_canonical_corpus",
     "dedup_ngram_jaccard_adjacent",
     "dedup_embedding_cosine",
     "text_token_stats",
