@@ -176,3 +176,55 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_event_union",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS entity_id, event_type, ts FROM events
+      UNION ALL
+      SELECT user_id,
+             CASE WHEN disp = 'H' THEN 'HEARING'
+                  WHEN disp <> 'H' THEN 'HEARING_EXCEPTION' END,
+             CASE WHEN disp IS NOT NULL AND disp <> 'H'
+                       AND clsdate IS NOT NULL THEN clsdate ELSE ts END
+      FROM (
+        SELECT user_id, ts, value,
+               CASE WHEN value > 30 THEN 'H'
+                    WHEN value > 20 THEN 'X' END AS disp,
+               CASE WHEN value > 10 THEN ts + INTERVAL 3 DAY END AS clsdate
+        FROM events WHERE event_type = 'signup'
+      )
+      UNION ALL
+      SELECT user_id, 'to_transcript', ts
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, 'from_transcript',
+             ts + to_minutes(CAST(FLOOR(value) AS BIGINT))
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+    FROM ev WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("STREAM", "U1", "R1"),
+)
+def stream_event_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.extracted_event_stream + tumbling
+    counts: the reference's event-extractor union (events.R:923-991)
+    running as a STREAM — the stateless extractor shapes (projection,
+    NA-propagating relabel+patch, from/to fan-out) are per-row, so the
+    identical expressions serve both engines; pytest proves
+    stream == batch on the same files."""
+    from ..streaming.event_stream import extracted_event_stream
+
+    e = load_table(spark, sf_dir, "events")
+    ev = extracted_event_stream(e)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )

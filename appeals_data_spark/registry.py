@@ -81,6 +81,7 @@ _SWEEP_FIRST = [
     "stream_click_attribution",
     "stream_dedup_user_types",
     "stream_user_totals",
+    "stream_event_union",
     "mm_feature_rollup",
     "mm_resize_dims",
     "mm_frame_sample",

@@ -53,6 +53,81 @@ def event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def extracted_event_stream(stream: DataFrame) -> DataFrame:
+    """Stateless extractor union over the live stream — the streaming
+    form of ``views.events.events_all`` restricted to the shapes that
+    need no state: raw projection, the NA-propagating hearing
+    relabel+patch (events.R:540-549), and the from/to transcript
+    fan-out (events.R:116-126), all per-row transforms that compose
+    with any downstream watermark/window. The batch-dim extractors
+    (orders/lineitem) would enter as stream-static joins — also
+    stateless. Batch twin: ``stream_event_union`` (hourly counts,
+    DuckDB oracle); parity pinned in tests/test_streaming.py."""
+    from ..functions.scalars import r_ifelse
+
+    raw = stream.select(
+        F.col("user_id").alias("entity_id"),
+        "event_type",
+        "ts",
+        F.col("value").alias("amount"),
+    )
+    h = stream.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("value") > 30, "H")
+        .when(F.col("value") > 20, "X")
+        .alias("disp"),
+        F.when(
+            F.col("value") > 10, F.col("ts") + F.expr("interval 3 days")
+        ).alias("clsdate"),
+    )
+    label = r_ifelse(
+        F.col("disp") == "H", F.lit("HEARING"), F.lit("HEARING_EXCEPTION")
+    )
+    patched = F.when(
+        (label == "HEARING_EXCEPTION") & F.col("clsdate").isNotNull(),
+        F.col("clsdate"),
+    ).otherwise(F.col("ts"))
+    hearing = h.select(
+        F.col("user_id").alias("entity_id"),
+        label.alias("event_type"),
+        patched.alias("ts"),
+        F.col("value").alias("amount"),
+    )
+    tr = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("entity_id"),
+            F.col("value").alias("amount"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("to_transcript").alias("event_type"),
+                        F.col("ts").alias("ts"),
+                    ),
+                    F.struct(
+                        F.lit("from_transcript").alias("event_type"),
+                        (
+                            F.col("ts")
+                            + F.make_interval(mins=F.floor("value").cast("int"))
+                        ).alias("ts"),
+                    ),
+                )
+            ).alias("ev"),
+        )
+        .select(
+            "entity_id",
+            F.col("ev.event_type").alias("event_type"),
+            F.col("ev.ts").alias("ts"),
+            "amount",
+        )
+    )
+    return (
+        raw.unionByName(hearing).unionByName(tr).filter(F.col("ts").isNotNull())
+    )
+
+
 def tumbling_counts(
     stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

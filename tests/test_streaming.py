@@ -156,3 +156,29 @@ def test_watermark_drops_stale_windows(spark, events_dir):
     batch = all_queries()["stream_tumbling_counts"].builder(spark, SF_SMOKE)
     n_out, n_batch = out.count(), batch.count()
     assert 0 < n_out <= n_batch
+
+
+def test_extracted_event_union_parity(spark, events_dir):
+    from appeals_data_spark.streaming.event_stream import (
+        extracted_event_stream,
+    )
+    from pyspark.sql import functions as F
+
+    counts = (
+        extracted_event_stream(event_stream(spark, events_dir))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+    )
+    stream_out = run_to_memory(spark, counts, "t_event_union")
+    batch = all_queries()["stream_event_union"].builder(spark, SF_SMOKE)
+    cols = ["window_start", "event_type", "n"]
+
+    def rows(df):
+        # the NA-propagating hearing label yields NULL event_type rows
+        return sorted(
+            (tuple(r[c] for c in cols) for r in df.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    assert rows(stream_out) == rows(batch)
