@@ -216,3 +216,44 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def lloyd_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means refinement: assign every vector to its nearest
+    centroid (cosine, ties to lowest label), recompute per-cell
+    per-dimension means, repeat. The iterative-algorithm pattern next
+    to operators.closure: per round one broadcast assignment pass +
+    one narrow aggregation, with localCheckpoint cutting lineage so
+    the plan stays flat across rounds.
+
+    Centroid components are rounded to ``round_dp`` each round:
+    cross-engine (and cross-partitioning) mean aggregation differs in
+    the last ulp, and an unrounded boundary vector could flip cells —
+    rounding pins assignments bit-for-bit for the differential twin,
+    and k-means is insensitive to 1e-6 centroid perturbations.
+    """
+    for _ in range(n_iter):
+        assigned = assign_to_centroids(corpus, centroids, 1, id_col, vec_col)
+        unpacked = assigned.select(
+            "c_label", F.posexplode(vec_col).alias("pos", "x")
+        )
+        centroids = (
+            unpacked.groupBy("c_label", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), round_dp).alias("cx"))
+            .groupBy("c_label")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                    lambda s: s["cx"],
+                ).alias("cvec")
+            )
+            .localCheckpoint()
+        )
+    return centroids

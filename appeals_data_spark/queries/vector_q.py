@@ -286,3 +286,83 @@ def vec_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "corpus_id")
         .orderBy("query_id", "rank")
     )
+
+
+def _sql_kmeans_assign(emb: str, cents: str) -> str:
+    """One nearest-centroid assignment round (ties to lowest label)."""
+    return f"""(
+      SELECT vec_id, c_label FROM (
+        SELECT e.vec_id, c.c_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.c_label
+               ) AS rn
+        FROM {emb} e CROSS JOIN {cents} c
+      ) WHERE rn = 1
+    )"""
+
+
+_KMEANS_ORACLE = f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS c_label, v AS cvec FROM emb WHERE vec_id < 4
+    ), a0 AS {_sql_kmeans_assign('emb', 'c0')},
+    u1 AS (
+      SELECT a0.c_label, generate_subscripts(e.v, 1) AS pos,
+             unnest(e.v) AS x
+      FROM a0 JOIN emb e USING (vec_id)
+    ), c1 AS (
+      SELECT c_label, list(cx ORDER BY pos) AS cvec
+      FROM (SELECT c_label, pos, ROUND(AVG(x), 6) AS cx
+            FROM u1 GROUP BY c_label, pos) t
+      GROUP BY c_label
+    ), a1 AS {_sql_kmeans_assign('emb', 'c1')},
+    u2 AS (
+      SELECT a1.c_label, generate_subscripts(e.v, 1) AS pos,
+             unnest(e.v) AS x
+      FROM a1 JOIN emb e USING (vec_id)
+    ), c2 AS (
+      SELECT c_label, list(cx ORDER BY pos) AS cvec
+      FROM (SELECT c_label, pos, ROUND(AVG(x), 6) AS cx
+            FROM u2 GROUP BY c_label, pos) t
+      GROUP BY c_label
+    ), a2 AS {_sql_kmeans_assign('emb', 'c2')}
+    SELECT c_label AS cluster, COUNT(*) AS n_vecs
+    FROM a2 GROUP BY c_label ORDER BY cluster
+"""
+
+
+@register(
+    "vec_kmeans_lloyd",
+    oracle=_KMEANS_ORACLE,
+    tags=("VEC", "KMEANS", "J19", "IVF"),
+)
+def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means centroid build (k=4, 2 Lloyd rounds, cosine assignment,
+    first-k seeding) — the iterative refinement that produces a real
+    IVF coarse quantizer (vec_ivf_topk's label centroids are the
+    degenerate supervised case). The oracle unrolls both rounds in SQL
+    — assignment, per-dim means, re-assignment all differentially
+    checked; centroid rounding at 6 dp pins cross-engine assignment
+    stability (see lloyd_refine docstring).
+
+    Scale shape per round: one broadcast-centroid pass over the corpus
+    (narrow) + one (cell, dim)-keyed aggregation — no |corpus|^2
+    anywhere; rounds are O(diameter-free), fixed at 2 here. The
+    production form iterates to movement tolerance with the same
+    localCheckpoint discipline as operators.closure."""
+    from ..operators.similarity import assign_to_centroids, lloyd_refine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("c_label"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("cvec"),
+    )
+    final_cents = lloyd_refine(emb, init, n_iter=2)
+    assigned = assign_to_centroids(emb, final_cents, 1)
+    return (
+        assigned.groupBy(F.col("c_label").alias("cluster"))
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("cluster")
+    )

@@ -121,6 +121,7 @@ _SWEEP_FIRST = [
     "vec_brute_force_topk",
     "vec_label_centroid_assign",
     "vec_ivf_topk",
+    "vec_kmeans_lloyd",
     "skew_salted_agg",
     "skew_salted_join",
     # round-2 additions: portable-hash twins of the sketch pipelines
