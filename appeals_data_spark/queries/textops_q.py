@@ -301,3 +301,103 @@ def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SW_LIST = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "text_gopher_filters",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+      FROM documents
+    ), feats AS (
+      SELECT source,
+             len(toks) AS wc,
+             CAST(n_nonspace AS DOUBLE) / len(toks) AS mean_wlen,
+             len(list_intersect(list_distinct(toks), {_SW_LIST})) AS n_stop,
+             CASE WHEN len(toks) >= 3 THEN
+               1.0 - CAST(len(list_distinct(list_transform(range(len(toks)-2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+                    AS DOUBLE) / (len(toks) - 2)
+             ELSE 0.0 END AS dup3
+      FROM d
+    ), flags AS (
+      SELECT source,
+             CASE WHEN wc BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS p_len,
+             CASE WHEN mean_wlen BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS p_wlen,
+             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS p_stop,
+             CASE WHEN dup3 <= 0.3 THEN 1 ELSE 0 END AS p_rep
+      FROM feats
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(p_len) AS BIGINT) AS pass_length,
+           CAST(SUM(p_wlen) AS BIGINT) AS pass_word_len,
+           CAST(SUM(p_stop) AS BIGINT) AS pass_stopwords,
+           CAST(SUM(p_rep) AS BIGINT) AS pass_repetition,
+           CAST(SUM(p_len * p_wlen * p_stop * p_rep) AS BIGINT) AS pass_all
+    FROM flags
+    GROUP BY source ORDER BY source
+    """,
+    tags=("TEXT", "QUALITY", "A2"),
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style document quality gate — the pre-training filter
+    battery as one pass of JVM-side expressions (Rae et al. 2021 §A1.1
+    rules adapted to the synthetic corpus): word-count bounds, mean
+    word length bounds, minimum distinct-stopword hits, and
+    within-document 3-gram repetition ratio. Per-source pass counts
+    per rule plus the conjunction — the shape a 100 TB corpus sweep
+    reports before dropping documents. No shuffle until the final
+    per-source aggregate; every feature is computed in one projection
+    (mean word length = non-space chars / words, avoiding a per-word
+    fold; repetition = 1 - distinct/total shingles)."""
+    from ..functions.text import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sh = shingles("text", 3)
+    feats = d.select(
+        "source",
+        F.size(toks).alias("wc"),
+        (
+            F.length(F.regexp_replace("text", r"\s", "")).cast("double")
+            / F.size(toks)
+        ).alias("mean_wlen"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS])
+            )
+        ).alias("n_stop"),
+        F.when(
+            F.size(sh) > 0,
+            1.0
+            - F.size(F.array_distinct(sh)).cast("double") / F.size(sh),
+        )
+        .otherwise(0.0)
+        .alias("dup3"),
+    )
+    flags = feats.select(
+        "source",
+        F.col("wc").between(50, 100000).cast("int").alias("p_len"),
+        F.col("mean_wlen").between(3, 10).cast("int").alias("p_wlen"),
+        (F.col("n_stop") >= 2).cast("int").alias("p_stop"),
+        (F.col("dup3") <= 0.3).cast("int").alias("p_rep"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("p_len").alias("pass_length"),
+            F.sum("p_wlen").alias("pass_word_len"),
+            F.sum("p_stop").alias("pass_stopwords"),
+            F.sum("p_rep").alias("pass_repetition"),
+            F.sum(
+                F.col("p_len") * F.col("p_wlen") * F.col("p_stop") * F.col("p_rep")
+            ).alias("pass_all"),
+        )
+        .orderBy("source")
+    )

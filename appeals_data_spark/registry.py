@@ -118,6 +118,7 @@ _SWEEP_FIRST = [
     "text_fingerprint_md5",
     "text_winnow_fingerprints",
     "text_subword_tokens",
+    "text_gopher_filters",
     "vec_brute_force_topk",
     "vec_label_centroid_assign",
     "vec_ivf_topk",
