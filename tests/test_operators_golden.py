@@ -266,3 +266,31 @@ def test_decision_locs_composite_semantics(spark):
     finally:
         cq.load_table = orig
     assert out == {1: t(0), 3: t(2)}, out
+
+
+def test_lloyd_refine_drops_empty_cluster(spark):
+    # Two tight groups near +x and +y, three seeds: the outlier seed
+    # (-x) captures nothing after round 1 and must vanish from the
+    # centroid table rather than crash or emit NULL vectors.
+    from appeals_data_spark.operators.similarity import (
+        assign_to_centroids,
+        lloyd_refine,
+    )
+
+    rows = [
+        (0, [1.0, 0.1]), (1, [1.0, 0.2]), (2, [0.9, 0.0]),
+        (3, [0.1, 1.0]), (4, [0.0, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # seeds: one per true group plus a decoy no vector is nearest to
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, -1.0])],
+        "c_label bigint, cvec array<double>",
+    )
+    cents = lloyd_refine(emb, seeds, n_iter=2)
+    got = {r.c_label: r.cvec for r in cents.collect()}
+    assert set(got) == {0, 1}  # decoy cluster dropped
+    assert all(all(v is not None for v in vec) for vec in got.values())
+    final = assign_to_centroids(emb, cents, 1)
+    counts = {r.c_label: 1 for r in final.collect()}
+    assert set(counts) == {0, 1}
