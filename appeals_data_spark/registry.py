@@ -109,26 +109,29 @@ _SWEEP_FIRST = [
     "surv_weibull_fit",
     "dedup_exact_summary",
     "dedup_canonical_corpus",
+    # portable-hash twins of the sketch pipelines + the re-shaped event
+    # union: the round-2 headline verification work — keep inside the
+    # driver's round-1-observed 50-entry sweep budget
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "vec_lsh_portable",
+    "u1_union_event_log",
     "dedup_ngram_jaccard_adjacent",
     "dedup_embedding_cosine",
+    "vec_brute_force_topk",
+    "vec_kmeans_lloyd",
+    "vec_label_centroid_assign",
+    "vec_ivf_topk",
     "text_token_stats",
+    "text_gopher_filters",
     "text_quality_flags",
     "text_char_classes",
     "text_lang_confusion",
     "text_fingerprint_md5",
     "text_winnow_fingerprints",
     "text_subword_tokens",
-    "text_gopher_filters",
-    "vec_brute_force_topk",
-    "vec_label_centroid_assign",
-    "vec_ivf_topk",
-    "vec_kmeans_lloyd",
     "skew_salted_agg",
     "skew_salted_join",
-    # round-2 additions: portable-hash twins of the sketch pipelines
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "vec_lsh_portable",
     # never swept, rows-only (weakest driver signal -> last)
     "dedup_minhash_lsh",
     "dedup_simhash_hamming",
