@@ -284,3 +284,52 @@ def w5_variable_distance_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("event_type", "ahead_type")
     )
+
+
+@register(
+    "w11_rolling_mean",
+    oracle="""
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT wk, n,
+           ROUND(AVG(CAST(n AS DOUBLE)) OVER (
+             ORDER BY wk ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+             AS n_ma4,
+           ROUND(AVG(rev) OVER (
+             ORDER BY wk ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+             AS rev_ma4
+    FROM weekly ORDER BY wk
+    """,
+    tags=("W9", "A12", "S11"),
+)
+def w11_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 4-week moving average of weekly order volume/revenue —
+    the engine-side smoother replacing the reference's plot-side
+    geom_smooth(loess) curves (impact.R:149, capacity.R:241-242, S11:
+    smoothing was a ggplot visual there; a user switching to this
+    engine gets the data-side series instead). Weekly pre-aggregation
+    first, so the sliding window runs over ~350 rows, not raw orders;
+    the single unpartitioned window is bounded by the calendar, never
+    by data volume. Revenue passes through the exact-decimal contract
+    before the double-valued average; 6-dp rounding pins the
+    cross-engine division."""
+    o = load_table(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("wk")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev"),
+    )
+    w = Window.orderBy("wk").rowsBetween(-3, Window.currentRow)
+    return weekly.select(
+        "wk",
+        "n",
+        F.round(F.avg(F.col("n").cast("double")).over(w), 6).alias("n_ma4"),
+        F.round(F.avg("rev").over(w), 6).alias("rev_ma4"),
+    ).orderBy("wk")

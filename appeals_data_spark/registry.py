@@ -116,6 +116,7 @@ _SWEEP_FIRST = [
     "dedup_simhash_portable",
     "vec_lsh_portable",
     "u1_union_event_log",
+    "w11_rolling_mean",
     "dedup_ngram_jaccard_adjacent",
     "dedup_embedding_cosine",
     "vec_brute_force_topk",
