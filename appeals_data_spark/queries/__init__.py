@@ -36,4 +36,5 @@ from . import (  # noqa: F401
     textops_q,
     vector_q,
     skew_q,
+    pipeline_q,
 )

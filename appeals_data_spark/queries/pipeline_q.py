@@ -1,0 +1,300 @@
+"""Corpus-curation pipeline queries (training-data ops beyond dedup).
+
+The four stages every large-scale pretraining pipeline runs after
+cleaning/dedup, expressed Spark-first over the ``documents`` table:
+
+  benchmark decontamination  n-gram overlap vs a held-out eval set
+  mixture reweighting        per-source keep-probabilities hitting a
+                             target token mixture
+  stratified sampling        deterministic hash sampling at per-source
+                             rates (reproducible across runs/engines)
+  sequence packing           fixed-token-budget pack assignment
+
+All are pure DataFrame plans (no Python UDFs) with full DuckDB
+oracles. The reference has no corpus analog; these extend its
+query-helper model (SURVEY §2.11) to the LLM-pipeline domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.text import shingles, tokens
+from ..operators.dedup import portable_hash48, sql_portable_hash48
+from ..registry import register
+
+# Benchmark membership: a deterministic ~3.5% slice standing in for a
+# held-out eval set. At 100 TB the benchmark is its own (small) table;
+# the corpus side of the join is identical either way.
+_BENCH_MOD = 29
+
+_GRAMS_SQL = """
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(greatest(len(ws) - 2, 0)),
+               i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))) AS gs
+      FROM toks
+    )
+"""
+
+
+@register(
+    "pipe_contamination_overlap",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+    ), corpus AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % {_BENCH_MOD} <> 0
+    ), hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_grams, COUNT(b.g) AS n_hit
+      FROM corpus c LEFT JOIN bench b USING (g)
+      GROUP BY 1
+    )
+    SELECT CAST(FLOOR(CAST(n_hit AS DOUBLE) / n_grams * 10) AS INT)
+             AS contamination_decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_hit) AS BIGINT) AS grams_hit
+    FROM hits GROUP BY 1 ORDER BY contamination_decile
+    """,
+    tags=("DEDUP", "TEXT"),
+)
+def pipe_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: fraction of each corpus doc's distinct
+    word trigrams that appear in a held-out benchmark slice, bucketed
+    by decile. The planted near-duplicates of benchmark docs land in
+    deciles 9-10 (flag-and-drop set); organic trigram collisions stay
+    in 0-2 — the standard eval-set n-gram overlap gate (cf. GPT-3 /
+    Gopher appendix methodology).
+
+    Scale shape: ONE corpus scan -> explode distinct trigrams -> hash
+    join against the benchmark gram set -> two grouped aggs. The
+    benchmark side is a second, heavily filtered scan here (it would
+    be its own small table at 100 TB) and is broadcast — corpus rows
+    are never shuffled by gram, only by doc_id for the per-doc count,
+    and that agg is map-side combinable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("gs")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench.withColumn("_hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.count("_hit").alias("n_hit"))
+    )
+    return (
+        hits.groupBy(
+            F.floor(F.col("n_hit").cast("double") / F.col("n_grams") * 10)
+            .cast("int")
+            .alias("contamination_decile")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_hit").cast("long").alias("grams_hit"),
+        )
+        .orderBy("contamination_decile")
+    )
+
+
+# Target token mixture: upweight the first four sources; CASE-derived on
+# both sides so no dim table is needed. Shares sum to 1.0 over the 20
+# synthetic sources (4 * 0.10 + 16 * 0.0375).
+_TARGET_SQL = (
+    "CASE WHEN source IN ('src0','src1','src2','src3') "
+    "THEN 0.10 ELSE 0.0375 END"
+)
+
+
+def _target_share() -> F.Column:
+    return F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3"), F.lit(0.10)
+    ).otherwise(F.lit(0.0375))
+
+
+@register(
+    "pipe_mixture_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS tokens,
+             CAST({_TARGET_SQL} AS DOUBLE) AS target_share
+      FROM documents GROUP BY source
+    ), budget AS (
+      SELECT MIN(tokens / target_share) AS b FROM tok
+    )
+    SELECT source, tokens, target_share,
+           ROUND(b * target_share / tokens, 6) AS keep_prob,
+           CAST(FLOOR(b * target_share) AS BIGINT) AS budget_tokens
+    FROM tok CROSS JOIN budget
+    ORDER BY source
+    """,
+    tags=("TEXT", "A5"),
+)
+def pipe_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reweighting: per-source keep-probabilities that
+    yield the LARGEST corpus matching a target token mixture (the
+    binding source keeps prob 1.0; everything else downsamples to its
+    target share of the implied budget) — the sampling-weight step of
+    pretraining mixture design.
+
+    Scale shape: one grouped agg per source (20 rows), a 1-row global
+    min, broadcast cross join back. Nothing after the first agg ever
+    sees more than #sources rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("long").alias("tokens")
+    ).withColumn("target_share", _target_share().cast("double"))
+    budget = tok.agg(
+        F.min(F.col("tokens") / F.col("target_share")).alias("b")
+    )
+    return (
+        tok.crossJoin(F.broadcast(budget))
+        .select(
+            "source",
+            "tokens",
+            "target_share",
+            F.round(F.col("b") * F.col("target_share") / F.col("tokens"), 6)
+            .alias("keep_prob"),
+            F.floor(F.col("b") * F.col("target_share"))
+            .cast("long")
+            .alias("budget_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "pipe_stratified_sample",
+    oracle=f"""
+    WITH rated AS (
+      SELECT source, doc_id, n_chars,
+             50 + 45 * (CAST(substr(source, 4) AS INT) % 8) AS rate_pm,
+             {sql_portable_hash48("CAST(doc_id AS VARCHAR)", "strat")} % 1000
+               AS bucket
+      FROM documents
+    )
+    SELECT source, MIN(rate_pm) AS rate_pm,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN bucket < rate_pm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(SUM(CASE WHEN bucket < rate_pm THEN n_chars ELSE 0 END)
+             AS BIGINT) AS chars_sampled
+    FROM rated GROUP BY source ORDER BY source
+    """,
+    tags=("TEXT", "P13"),
+)
+def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source keep rates (per
+    mille, derived from the source index) applied via a content hash —
+    reproducible across runs, engines, and partitionings, unlike
+    ``df.sample`` whose output depends on partition layout. This is
+    the sampling primitive the mixture weights feed at scale.
+
+    Scale shape: embarrassingly parallel row filter (hash + compare,
+    all codegen) followed by one map-side-combinable agg on source.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rated = d.select(
+        "source",
+        "n_chars",
+        (
+            F.lit(50)
+            + F.lit(45) * (F.substring("source", 4, 10).cast("int") % 8)
+        ).alias("rate_pm"),
+        (portable_hash48(F.col("doc_id").cast("string"), "strat") % 1000).alias(
+            "bucket"
+        ),
+    )
+    keep = F.col("bucket") < F.col("rate_pm")
+    return (
+        rated.groupBy("source")
+        .agg(
+            F.min("rate_pm").alias("rate_pm"),
+            F.count("*").alias("n_total"),
+            F.sum(keep.cast("int")).cast("long").alias("n_sampled"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("chars_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "pipe_pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '')) AS tok
+      FROM documents
+    ), offs AS (
+      SELECT source, doc_id, tok,
+             SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - tok AS off
+      FROM tok
+    )
+    SELECT source,
+           CAST(FLOOR(CAST(off AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+             AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS pack_tokens
+    FROM offs GROUP BY source, pack_id ORDER BY source, pack_id
+    """,
+    tags=("TEXT", "W3"),
+)
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to fixed-token-budget packs by
+    cumulative offset within (source, doc_id order) — the chunked
+    approximation of greedy bin packing that stays a single window
+    expression (true first-fit is inherently sequential; offset
+    chunking is the standard distributed substitute, cf. T5/LLM data
+    loaders). Emits per-pack doc counts and token fills.
+
+    Scale shape: one window partitioned by source (at 100 TB you pack
+    per (source, shard) so no partition exceeds executor memory — the
+    window key is the knob), then a map-side-combinable agg. No joins.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", "doc_id", F.size(tokens("text")).alias("tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = tok.withColumn("off", F.sum("tok").over(w) - F.col("tok"))
+    return (
+        offs.groupBy(
+            "source",
+            F.floor(F.col("off").cast("double") / _PACK_BUDGET)
+            .cast("long")
+            .alias("pack_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("long").alias("pack_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
