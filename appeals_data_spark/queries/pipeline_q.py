@@ -237,6 +237,231 @@ def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipe_curation_funnel",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS norm_key,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+      FROM documents WHERE doc_id % {_BENCH_MOD} <> 0
+    ), feats AS (
+      SELECT doc_id, source, norm_key,
+             len(toks) AS wc,
+             CAST(n_nonspace AS DOUBLE) / len(toks) AS mean_wlen,
+             len(list_intersect(list_distinct(toks),
+                 ['the','a','of','and','to','in','is','it','for','on']))
+               AS n_stop,
+             CASE WHEN len(toks) >= 3 THEN
+               1.0 - CAST(len(list_distinct(list_transform(range(len(toks)-2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+                    AS DOUBLE) / (len(toks) - 2)
+             ELSE 0.0 END AS dup3,
+             list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gs
+      FROM raw
+    ), bench AS (
+      SELECT DISTINCT unnest(list_transform(range(greatest(len(ws) - 2, 0)),
+               i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS g
+      FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+            FROM documents WHERE doc_id % {_BENCH_MOD} = 0)
+    ), hits AS (
+      SELECT c.doc_id, COUNT(b.g) AS n_hit
+      FROM (SELECT doc_id, unnest(gs) AS g FROM feats) c
+      LEFT JOIN bench b USING (g) GROUP BY 1
+    ), flag1 AS (
+      SELECT f.source, f.doc_id, f.wc, f.norm_key,
+             CASE WHEN f.wc BETWEEN 50 AND 100000
+                   AND f.mean_wlen BETWEEN 3 AND 10
+                   AND f.n_stop >= 2 AND f.dup3 <= 0.3
+                  THEN 1 ELSE 0 END AS q,
+             CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+               / GREATEST(len(f.gs), 1) AS ratio
+      FROM feats f LEFT JOIN hits h USING (doc_id)
+    ), flag2 AS (
+      SELECT *,
+             CASE WHEN q = 1 AND doc_id = MIN(CASE WHEN q = 1 THEN doc_id END)
+                    OVER (PARTITION BY norm_key)
+                  THEN 1 ELSE 0 END AS canon
+      FROM flag1
+    ), flag3 AS (
+      SELECT *, CASE WHEN canon = 1 AND ratio < 0.8 THEN 1 ELSE 0 END AS clean
+      FROM flag2
+    ), mix AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN clean = 1 THEN wc ELSE 0 END) AS DOUBLE)
+               AS stok,
+             CAST({_TARGET_SQL} AS DOUBLE) AS ts
+      FROM flag3 GROUP BY source
+    ), budget AS (
+      SELECT MIN(stok / ts) AS b FROM mix WHERE stok > 0
+    ), thr AS (
+      SELECT source,
+             CAST(FLOOR(b * ts / stok * 1000000) AS BIGINT) AS t,
+             ROUND(b * ts / stok, 6) AS keep_prob
+      FROM mix CROSS JOIN budget WHERE stok > 0
+    ), final AS (
+      SELECT f.*, COALESCE(t.t, 0) AS t, t.keep_prob,
+             CASE WHEN f.clean = 1
+                   AND {sql_portable_hash48("CAST(f.doc_id AS VARCHAR)", "mix")}
+                       % 1000000 < COALESCE(t.t, 0)
+                  THEN 1 ELSE 0 END AS samp
+      FROM flag3 f LEFT JOIN thr t USING (source)
+    )
+    SELECT source,
+           COUNT(*) AS n_raw,
+           CAST(SUM(wc) AS BIGINT) AS tok_raw,
+           CAST(SUM(q) AS BIGINT) AS n_quality,
+           CAST(SUM(canon) AS BIGINT) AS n_canonical,
+           CAST(SUM(clean) AS BIGINT) AS n_clean,
+           MIN(keep_prob) AS keep_prob,
+           CAST(SUM(samp) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN samp = 1 THEN wc ELSE 0 END) AS BIGINT)
+             AS tok_sampled
+    FROM final GROUP BY source ORDER BY source
+    """,
+    tags=("DEDUP", "TEXT", "A2", "W4"),
+    bench=False,
+)
+def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation funnel — the whole pretraining data pipeline
+    as ONE oracled query: Gopher quality gate -> exact-dedup canonical
+    survivor -> benchmark trigram decontamination (ratio < 0.8) ->
+    mixture-weighted deterministic hash sampling. Emits the per-source
+    funnel (raw / quality / canonical / clean / sampled doc+token
+    counts) — the report a 100 TB curation sweep publishes.
+
+    Scale shape (4 shuffles, each on a narrow key): (1) window on
+    md5(norm_text) — a 32-char key, never the document body; (2)
+    trigram-hit aggregation keyed by doc_id after a broadcast join
+    against the benchmark gram set; (3) co-partitioned doc_id join of
+    hits back onto features; (4) the final per-source agg, map-side
+    combinable. Mixture thresholds are a #sources-row broadcast. All
+    flags are codegen CASE expressions; no Python anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.trim(F.col("text")))
+    toks = F.split(low, r"\s+")
+    gs = F.array_distinct(shingles(low, 3))
+    sw = F.array(*[F.lit(w) for w in
+                   ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")])
+
+    raw = d.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    feats = raw.select(
+        "doc_id",
+        "source",
+        F.md5(F.regexp_replace(low, r"\s+", " ")).alias("norm_key"),
+        F.size(toks).alias("wc"),
+        (
+            F.length(F.regexp_replace("text", r"\s", "")).cast("double")
+            / F.size(toks)
+        ).alias("mean_wlen"),
+        F.size(F.array_intersect(F.array_distinct(toks), sw)).alias("n_stop"),
+        F.when(
+            F.size(toks) >= 3,
+            F.lit(1.0)
+            - F.size(F.array_distinct(shingles(low, 3))).cast("double")
+            / (F.size(toks) - 2),
+        )
+        .otherwise(0.0)
+        .alias("dup3"),
+        gs.alias("gs"),
+    )
+    bench = (
+        d.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode(shingles(F.lower(F.trim(F.col("text"))), 3)).alias("g"))
+        .distinct()
+    )
+    hits = (
+        feats.select("doc_id", F.explode("gs").alias("g"))
+        .join(F.broadcast(bench.withColumn("_hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.count("_hit").alias("n_hit"))
+    )
+    q = (
+        F.col("wc").between(50, 100000)
+        & F.col("mean_wlen").between(3, 10)
+        & (F.col("n_stop") >= 2)
+        & (F.col("dup3") <= 0.3)
+    ).cast("int")
+    flag1 = (
+        feats.join(hits, "doc_id", "left")
+        .select(
+            "source",
+            "doc_id",
+            "wc",
+            "norm_key",
+            q.alias("q"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.greatest(F.size("gs"), F.lit(1))
+            ).alias("ratio"),
+        )
+    )
+    w = Window.partitionBy("norm_key")
+    flag3 = flag1.withColumn(
+        "canon",
+        (
+            (F.col("q") == 1)
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("q") == 1, F.col("doc_id"))).over(w)
+            )
+        ).cast("int"),
+    ).withColumn(
+        "clean", ((F.col("canon") == 1) & (F.col("ratio") < 0.8)).cast("int")
+    )
+    mix = flag3.groupBy("source").agg(
+        F.sum(F.when(F.col("clean") == 1, F.col("wc")).otherwise(0))
+        .cast("double")
+        .alias("stok")
+    ).withColumn("ts", _target_share().cast("double"))
+    budget = mix.filter(F.col("stok") > 0).agg(
+        F.min(F.col("stok") / F.col("ts")).alias("b")
+    )
+    thr = (
+        mix.filter(F.col("stok") > 0)
+        .crossJoin(F.broadcast(budget))
+        .select(
+            "source",
+            F.floor(F.col("b") * F.col("ts") / F.col("stok") * 1000000)
+            .cast("long")
+            .alias("t"),
+            F.round(F.col("b") * F.col("ts") / F.col("stok"), 6).alias(
+                "keep_prob"
+            ),
+        )
+    )
+    final = flag3.join(F.broadcast(thr), "source", "left").withColumn(
+        "samp",
+        (
+            (F.col("clean") == 1)
+            & (
+                portable_hash48(F.col("doc_id").cast("string"), "mix") % 1000000
+                < F.coalesce(F.col("t"), F.lit(0))
+            )
+        ).cast("int"),
+    )
+    return (
+        final.groupBy("source")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum("wc").cast("long").alias("tok_raw"),
+            F.sum("q").cast("long").alias("n_quality"),
+            F.sum("canon").cast("long").alias("n_canonical"),
+            F.sum("clean").cast("long").alias("n_clean"),
+            F.min("keep_prob").alias("keep_prob"),
+            F.sum("samp").cast("long").alias("n_sampled"),
+            F.sum(F.when(F.col("samp") == 1, F.col("wc")).otherwise(0))
+            .cast("long")
+            .alias("tok_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
 _PACK_BUDGET = 512
 
 

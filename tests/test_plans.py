@@ -28,6 +28,7 @@ BNLJ_OK = {
     "j4_wildcard_hierarchy_join",  # disjunctive taxonomy dim (must broadcast)
     "o4_complete_weeks_only",  # 1-row max-week scalar
     "p14_complete_cases",  # 1-row threshold scalar
+    "pipe_curation_funnel",  # 1-row token-budget scalar side
     "pipe_mixture_weights",  # 1-row token-budget scalar side
     "u3_array_intersect_sources",  # collect_set'd tiny side
     "vec_brute_force_topk",  # 8 probe vectors
