@@ -323,7 +323,7 @@ def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM final GROUP BY source ORDER BY source
     """,
     tags=("DEDUP", "TEXT", "A2", "W4"),
-    bench=False,
+    bench=True,
 )
 def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation funnel — the whole pretraining data pipeline
