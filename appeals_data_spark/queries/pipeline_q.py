@@ -333,13 +333,18 @@ def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel (raw / quality / canonical / clean / sampled doc+token
     counts) — the report a 100 TB curation sweep publishes.
 
-    Scale shape (4 shuffles, each on a narrow key): (1) window on
-    md5(norm_text) — a 32-char key, never the document body; (2)
+    Scale shape (4 logical shuffles, each on a narrow key): (1) window
+    on md5(norm_text) — a 32-char key, never the document body; (2)
     trigram-hit aggregation keyed by doc_id after a broadcast join
     against the benchmark gram set; (3) co-partitioned doc_id join of
     hits back onto features; (4) the final per-source agg, map-side
-    combinable. Mixture thresholds are a #sources-row broadcast. All
-    flags are codegen CASE expressions; no Python anywhere.
+    combinable. Mixture thresholds are a #sources-row broadcast whose
+    global min runs as a window over the per-source AGGREGATE (20
+    rows), never a second corpus pass. The initial plan repeats the
+    flag subtree under the mixture branch; AQE stage reuse dedups the
+    actual execution (verified: the norm-key window's shuffle
+    materializes once). All flags are codegen CASE expressions; no
+    Python anywhere.
     """
     d = load_table(spark, sf_dir, "documents")
     low = F.lower(F.trim(F.col("text")))
@@ -418,12 +423,14 @@ def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("stok")
     ).withColumn("ts", _target_share().cast("double"))
-    budget = mix.filter(F.col("stok") > 0).agg(
-        F.min(F.col("stok") / F.col("ts")).alias("b")
-    )
+    # Global min as a window over the #sources-row aggregate (NOT a
+    # second pass over the corpus): the unpartitioned window is bounded
+    # by the source count, so "move all data to one partition" moves 20
+    # rows, and the whole mixture computation hangs off ONE corpus agg.
+    wb = Window.partitionBy(F.lit(1))
     thr = (
         mix.filter(F.col("stok") > 0)
-        .crossJoin(F.broadcast(budget))
+        .withColumn("b", F.min(F.col("stok") / F.col("ts")).over(wb))
         .select(
             "source",
             F.floor(F.col("b") * F.col("ts") / F.col("stok") * 1000000)
@@ -459,6 +466,71 @@ def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tok_sampled"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "pipe_split_shards",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN h_split < 90 THEN 'train'
+                  WHEN h_split < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             h_shard AS shard
+      FROM (
+        SELECT doc_id, n_chars,
+               {sql_portable_hash48("CAST(doc_id AS VARCHAR)", "split")} % 100
+                 AS h_split,
+               {sql_portable_hash48("CAST(doc_id AS VARCHAR)", "shard")} % 8
+                 AS h_shard
+        FROM documents
+      )
+    )
+    SELECT split, shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM assigned GROUP BY split, shard ORDER BY split, shard
+    """,
+    tags=("TEXT", "P13"),
+)
+def pipe_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5 by content hash) plus
+    shard assignment within each split — the dataset-freeze step
+    before training. Hash-derived assignment is stable under
+    re-partitioning, engine changes, and incremental corpus appends
+    (a doc's split never changes when new docs arrive), which
+    ``randomSplit`` cannot guarantee.
+
+    Scale shape: stateless row projection (two hash expressions, all
+    codegen) then one map-side-combinable agg on (split, shard) — at
+    100 TB the physical write would be ``partitionBy(split, shard)``
+    with this exact assignment; min/max doc ids per cell pin the full
+    assignment for the differential check.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h_split = portable_hash48(F.col("doc_id").cast("string"), "split") % 100
+    h_shard = portable_hash48(F.col("doc_id").cast("string"), "shard") % 8
+    assigned = d.select(
+        "doc_id",
+        "n_chars",
+        F.when(h_split < 90, "train")
+        .when(h_split < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+        h_shard.alias("shard"),
+    )
+    return (
+        assigned.groupBy("split", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("split", "shard")
     )
 
 

@@ -28,7 +28,6 @@ BNLJ_OK = {
     "j4_wildcard_hierarchy_join",  # disjunctive taxonomy dim (must broadcast)
     "o4_complete_weeks_only",  # 1-row max-week scalar
     "p14_complete_cases",  # 1-row threshold scalar
-    "pipe_curation_funnel",  # 1-row token-budget scalar side
     "pipe_mixture_weights",  # 1-row token-budget scalar side
     "u3_array_intersect_sources",  # collect_set'd tiny side
     "vec_brute_force_topk",  # 8 probe vectors
@@ -39,6 +38,34 @@ BNLJ_OK = {
 }
 
 MAX_SCAN_FIELDS = 10  # widest table has 16 cols; every query projects fewer
+
+# Frozen shuffle budget for the bench (headline) queries: the number of
+# `Exchange` (shuffle) nodes in the INITIAL formatted plan. A diff here
+# means a join strategy or aggregation shape changed — at 100 TB every
+# extra exchange is a full-data shuffle, so budget increases must be a
+# conscious decision, not a silent regression. (Branches duplicated in
+# the initial plan are deduplicated by AQE stage reuse at runtime; the
+# budget counts the static plan, which is the stable, comparable
+# artifact.)
+SHUFFLE_BUDGET = {
+    "a12_monthly_rollup": 2,
+    "a1_pricing_summary": 2,
+    "comp_outcome_rates": 3,
+    "comp_time_to_first_ship": 5,
+    "dedup_minhash_lsh": 10,
+    "j10_fuzzy_asof_match": 3,
+    "j17_pit_backlog": 2,
+    "j1_revenue_by_nation": 3,
+    "mm_feature_rollup": 4,
+    "pipe_curation_funnel": 10,
+    "stream_session_stats": 2,
+    "surv_km_curve": 3,
+    "text_token_stats": 2,
+    "u1_union_event_log": 6,
+    "vec_brute_force_topk": 2,
+    "vec_ivf_topk": 4,
+    "w3_session_segmentation": 2,
+}
 
 
 def _plans(spark):
@@ -80,3 +107,23 @@ def test_scans_are_column_pruned(all_plans):
             if n_fields > MAX_SCAN_FIELDS:
                 offenders[name] = n_fields
     assert not offenders, offenders
+
+
+def test_bench_shuffle_budget_frozen(all_plans):
+    from appeals_data_spark.registry import all_queries
+
+    bench_names = {n for n, q in all_queries().items() if q.bench}
+    assert bench_names == set(SHUFFLE_BUDGET), (
+        "bench set changed — update SHUFFLE_BUDGET consciously: "
+        f"{bench_names ^ set(SHUFFLE_BUDGET)}"
+    )
+    actual = {
+        n: len(re.findall(r"\(\d+\) Exchange\b", all_plans[n]))
+        for n in bench_names
+    }
+    drift = {
+        n: (SHUFFLE_BUDGET[n], actual[n])
+        for n in bench_names
+        if actual[n] != SHUFFLE_BUDGET[n]
+    }
+    assert not drift, f"(budgeted, actual) shuffle-count drift: {drift}"
