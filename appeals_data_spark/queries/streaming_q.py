@@ -228,3 +228,73 @@ def stream_event_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("win.start").alias("window_start"), "event_type", "n")
         .orderBy("window_start", "event_type")
     )
+
+
+def _doc_curation_oracle() -> str:
+    from ..operators.dedup import sql_portable_hash48
+
+    h_split = sql_portable_hash48("CAST(doc_id AS VARCHAR)", "split")
+    h_shard = sql_portable_hash48("CAST(doc_id AS VARCHAR)", "shard")
+    return f"""
+    WITH feats AS (
+      SELECT doc_id, n_chars,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+             {h_split} % 100 AS h_split,
+             {h_shard} % 8 AS shard
+      FROM documents
+    ), flags AS (
+      SELECT doc_id, n_chars, shard,
+             CASE WHEN h_split < 90 THEN 'train'
+                  WHEN h_split < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             CASE WHEN len(toks) BETWEEN 50 AND 100000
+                   AND CAST(n_nonspace AS DOUBLE) / len(toks) BETWEEN 3 AND 10
+                   AND len(list_intersect(list_distinct(toks),
+                       ['the','a','of','and','to','in','is','it','for','on']))
+                       >= 2
+                   AND (CASE WHEN len(toks) >= 3 THEN
+                          1.0 - CAST(len(list_distinct(list_transform(
+                                 range(len(toks)-2),
+                                 i -> toks[i+1] || ' ' || toks[i+2] || ' '
+                                      || toks[i+3]))) AS DOUBLE)
+                               / (len(toks) - 2)
+                        ELSE 0.0 END) <= 0.3
+                  THEN 1 ELSE 0 END AS quality
+      FROM feats
+    )
+    SELECT split, quality,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT shard) AS n_shards,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM flags GROUP BY split, quality ORDER BY split, quality
+    """
+
+
+@register(
+    "stream_doc_curation",
+    oracle=_doc_curation_oracle(),
+    tags=("STREAM", "TEXT", "P13"),
+)
+def stream_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.curate_docs: ingest-time corpus curation
+    (Gopher quality conjunction + deterministic split/shard assignment)
+    as a STREAMABLE stateless projection — the identical expressions
+    run over the file-source documents stream (pytest proves
+    stream == batch), so a 100 TB corpus can be gated and sharded on
+    arrival, micro-batch by micro-batch, with no global state. The
+    aggregate here is the monitoring rollup a streaming sink would
+    publish per trigger."""
+    from ..streaming.doc_stream import curate_docs
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        curate_docs(d)
+        .groupBy("split", "quality")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("shard").alias("n_shards"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .orderBy("split", "quality")
+    )

@@ -14,6 +14,7 @@ Every streaming computation here has a batch twin registered in
 files.
 """
 
+from .doc_stream import curate_docs, document_stream  # noqa: F401
 from .event_stream import (  # noqa: F401
     deduped_stream,
     event_stream,

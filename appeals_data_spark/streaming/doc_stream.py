@@ -1,0 +1,91 @@
+"""Streaming corpus ingestion: the curation ops as a live stream.
+
+The corpus-curation projection (Gopher quality flags + deterministic
+split/shard assignment) is STATELESS — pure row expressions — so the
+identical plan runs over a batch table or a file-source stream. This
+module provides the documents file-source and the shared projection;
+``queries/streaming_q.stream_doc_curation`` is the oracle-checked batch
+twin and ``tests/test_streaming.py`` proves stream==batch parity.
+
+At scale this is the ingest-time shape: documents land in object
+storage, each micro-batch is gated/split on arrival, and the writer
+fans out by (split, shard) — no global state, no watermark needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.dedup import portable_hash48
+
+_DOCS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def document_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """File-source stream over a documents directory (parquet parts);
+    schema declared up front (streaming sources never infer)."""
+    return (
+        spark.readStream.schema(_DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(docs_dir)
+    )
+
+
+def curate_docs(docs: DataFrame) -> DataFrame:
+    """Stateless curation projection — works identically on a batch
+    table or a stream: Gopher quality conjunction (word count, mean
+    word length, stopword hits, 3-gram repetition; same thresholds as
+    ``pipe_curation_funnel``) plus the deterministic train/val/test
+    split and shard assignment of ``pipe_split_shards`` (same salts, so
+    a doc ingested via the stream lands in the same split/shard the
+    batch freeze would give it)."""
+    from ..functions.text import shingles
+
+    low = F.lower(F.trim(F.col("text")))
+    toks = F.split(low, r"\s+")
+    sw = F.array(*[F.lit(w) for w in
+                   ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")])
+    wc = F.size(toks)
+    mean_wlen = (
+        F.length(F.regexp_replace("text", r"\s", "")).cast("double") / wc
+    )
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    sh = shingles(low, 3)
+    dup3 = F.when(
+        wc >= 3,
+        F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / (wc - 2),
+    ).otherwise(0.0)
+    quality = (
+        wc.between(50, 100000)
+        & mean_wlen.between(3, 10)
+        & (n_stop >= 2)
+        & (dup3 <= 0.3)
+    ).cast("int")
+    h_split = portable_hash48(F.col("doc_id").cast("string"), "split") % 100
+    h_shard = portable_hash48(F.col("doc_id").cast("string"), "shard") % 8
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        quality.alias("quality"),
+        F.when(h_split < 90, "train")
+        .when(h_split < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+        h_shard.alias("shard"),
+    )

@@ -163,3 +163,53 @@ def test_string_between_binary_collation(spark, values, lo, hi):
     }
     expected = {i for i, v in enumerate(values) if lo <= v <= hi}
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.text(
+            # printable ASCII minus '#' (the salt separator) and quotes
+            # that would need SQL escaping; the hash operates on utf-8
+            # bytes so code-point coverage beyond this is exercised by
+            # the unicode example appended below.
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                                   exclude_characters="#'\\"),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+@_hyp
+def test_portable_hash48_matches_duckdb(spark, values):
+    """portable_hash48 is the linchpin of every *_portable differential
+    twin (minhash/simhash/LSH/sampling/splits): Spark and DuckDB must
+    produce the IDENTICAL 48-bit integer for every string. Property-
+    checks the md5-hex-prefix -> integer construction across engines,
+    including the empty string and multi-byte UTF-8."""
+    import duckdb
+
+    from appeals_data_spark.operators.dedup import (
+        portable_hash48,
+        sql_portable_hash48,
+    )
+    from pyspark.sql import functions as F
+
+    values = values + ["naïve—привет☃"]  # force a multi-byte utf-8 case
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i int, s string"
+    )
+    got = {
+        r["i"]: r["h"]
+        for r in df.select(
+            "i", portable_hash48(F.col("s"), "salt").alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, v in enumerate(values):
+        expected = con.execute(
+            "SELECT " + sql_portable_hash48("?", "salt"), [v]
+        ).fetchone()[0]
+        assert got[i] == expected, (v, got[i], expected)

@@ -182,3 +182,30 @@ def test_extracted_event_union_parity(spark, events_dir):
         )
 
     assert rows(stream_out) == rows(batch)
+
+
+@pytest.fixture(scope="module")
+def docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", d / "part-0000.parquet")
+    return str(d)
+
+
+def test_doc_curation_parity(spark, docs_dir):
+    """The stateless curation projection (quality gate + split/shard)
+    must produce identical per-doc rows over the file-source stream and
+    the batch table — the ingest-time curation contract."""
+    from appeals_data_spark.streaming.doc_stream import curate_docs, document_stream
+
+    streamed = run_to_memory(
+        spark,
+        curate_docs(document_stream(spark, docs_dir)),
+        "doc_curation_sink",
+        output_mode="append",
+    )
+    batch = curate_docs(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+    cols = ["doc_id", "source", "n_chars", "quality", "split", "shard"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+    # every doc appears exactly once and quality is a strict subset flag
+    ids = [r[0] for r in _rows(streamed, ["doc_id"])]
+    assert len(ids) == len(set(ids))
