@@ -323,7 +323,11 @@ def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM final GROUP BY source ORDER BY source
     """,
     tags=("DEDUP", "TEXT", "A2", "W4"),
-    bench=True,
+    # Not bench-flagged: the 16-query headline suite is the recorded
+    # baseline comparable, and the driver's runner throttles ~1.5x under
+    # load (BASELINE.md) — the funnel's ~3s of stage-barrier floor would
+    # spend half the 35s suite budget on one query. Its plan is still
+    # frozen in tests/test_plans.py::SHUFFLE_BUDGET.
 )
 def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation funnel — the whole pretraining data pipeline
