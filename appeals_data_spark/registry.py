@@ -83,8 +83,6 @@ _SWEEP_FIRST = [
     "stream_user_totals",
     "stream_event_union",
     "mm_feature_rollup",
-    "mm_resize_dims",
-    "mm_frame_sample",
     "comp_time_to_first_ship",
     "comp_outcome_rates",
     "comp_backlog_reconstruction",
@@ -96,8 +94,6 @@ _SWEEP_FIRST = [
     "j16_window_similarity_count",
     "j17_pit_backlog",
     "x4_trace_coverage",
-    "x4_transition_matrix",
-    "surv_km_counts",
     "surv_km_curve",
     "surv_median_lifetime",
     "closure_components",
@@ -118,6 +114,13 @@ _SWEEP_FIRST = [
     "u1_union_event_log",
     "w11_rolling_mean",
     "dedup_ngram_jaccard_adjacent",
+    # round-2 flagship pipeline additions (swapped in for same-family
+    # duplicates: mm resize/frame-sample, x4 transition matrix, KM
+    # counts — each family keeps a sweep representative)
+    "pipe_curation_funnel",
+    "stream_doc_curation",
+    "pipe_contamination_overlap",
+    "pipe_pack_sequences",
     "dedup_embedding_cosine",
     "vec_brute_force_topk",
     "vec_kmeans_lloyd",
