@@ -180,3 +180,50 @@ def o4_complete_weeks_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("month").alias("week"), "n")
         .orderBy("week")
     )
+
+
+def _u5_oracle() -> str:
+    from ..views.events import EVENTS_ALL_SQL
+
+    return f"""
+    SELECT entity_id, COUNT(*) AS n, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM ({EVENTS_ALL_SQL})
+    WHERE event_type LIKE 'order%' AND ts >= TIMESTAMP '1995-01-01'
+    GROUP BY entity_id
+    ORDER BY entity_id
+    LIMIT 40
+    """
+
+
+@register(
+    "u5_event_where_hook",
+    oracle=_u5_oracle(),
+    tags=("U1", "S8", "P7"),
+)
+def u5_event_where_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``event_all(con, join, where)`` composability
+    hook (events.R:923-991): a caller-supplied predicate over the
+    unified event log. Catalyst pushes the predicate through the union
+    into every extractor branch — `.explain` shows the LIKE+date filter
+    at each source scan, so a selective `where` prunes a 100 TB log to
+    the matching branches instead of materializing the union first
+    (the reference interpolates the WHERE string into each per-source
+    SQL; predicate pushdown is the engine-native equivalent)."""
+    from ..views.events import events_all
+
+    ev = events_all(
+        spark,
+        sf_dir,
+        where=F.col("event_type").like("order%")
+        & (F.col("ts") >= F.lit("1995-01-01").cast("timestamp_ntz")),
+    )
+    return (
+        ev.groupBy("entity_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("entity_id")
+        .limit(40)
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import literal_dim, load_table
@@ -432,9 +432,33 @@ EVENTS_ALL_SQL = """
       ) WHERE d IS NOT NULL
 """
 
+# Global case exclusions (constants.R:1-7: the reference prepends a
+# WHERE clause dropping two dummy-data BFKEYs and merged cases to EVERY
+# event log). The synthetic analog drops two designated dummy entities;
+# the merged-case predicate rides the same hook. Applied by events_all
+# and interpolated into EVENTS_ALL_SQL, so every consumer — Spark and
+# oracle — stays in lockstep.
+EXCLUDED_ENTITIES = (13, 77)
 
-def events_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Union of all extractors — one Catalyst plan, one pass."""
-    return reduce(
+_EXCL = ", ".join(str(e) for e in EXCLUDED_ENTITIES)
+EVENTS_ALL_SQL = f"""
+      SELECT * FROM ({EVENTS_ALL_SQL})
+      WHERE entity_id NOT IN ({_EXCL})
+"""
+
+
+def events_all(
+    spark: SparkSession, sf_dir: str, where: Column | None = None
+) -> DataFrame:
+    """Union of all extractors — one Catalyst plan, one pass.
+
+    ``where`` mirrors the reference's ``event_all(con, join, where)``
+    composability hook (events.R:923-991): an optional predicate pushed
+    over the unified log (Catalyst pushes it into every union branch,
+    so a selective predicate prunes each source scan). The global
+    dummy-entity exclusions (constants.R:1-7) are always applied.
+    """
+    ev = reduce(
         DataFrame.unionByName, (ex(spark, sf_dir) for ex in EXTRACTORS)
-    )
+    ).filter(~F.col("entity_id").isin(*EXCLUDED_ENTITIES))
+    return ev.filter(where) if where is not None else ev
