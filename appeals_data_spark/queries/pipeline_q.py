@@ -81,8 +81,13 @@ def pipe_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and that agg is map-side combinable.
     """
     d = load_table(spark, sf_dir, "documents")
+    # Lowercase before shingling (the oracle does too): overlap must be
+    # case-insensitive even though the synthetic corpus is already lower.
     grams = d.select(
-        "doc_id", F.array_distinct(shingles("text", 3)).alias("gs")
+        "doc_id",
+        F.array_distinct(
+            shingles(F.lower(F.trim(F.col("text"))), 3)
+        ).alias("gs"),
     )
     bench = (
         grams.filter(F.col("doc_id") % _BENCH_MOD == 0)

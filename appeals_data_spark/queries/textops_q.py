@@ -359,7 +359,9 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    sh = shingles("text", 3)
+    # Lowered before shingling to match the oracle's toks-derived
+    # 3-grams (case-insensitive repetition, like every other gram op).
+    sh = shingles(F.lower(F.trim(F.col("text"))), 3)
     feats = d.select(
         "source",
         F.size(toks).alias("wc"),

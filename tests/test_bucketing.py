@@ -38,6 +38,10 @@ def bucketed(spark, tmp_path_factory):
 
 def test_bucketed_join_has_no_shuffle(spark, bucketed):
     o_b, li_b = bucketed
+    # Save/restore the SESSION's tuned threshold (64m) — hardcoding the
+    # stock default here once leaked a 10m threshold into every later
+    # module-scoped plan fixture and flipped broadcast joins to SMJ.
+    orig_abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey).groupBy(
@@ -61,4 +65,4 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed):
         )
         assert sorted(tuple(r) for r in joined.collect()) == want
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_abt)

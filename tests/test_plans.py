@@ -80,6 +80,11 @@ def _plans(spark):
 
 @pytest.fixture(scope="module")
 def all_plans(spark):
+    # Cold plans only: earlier tests may have materialized a builder's
+    # intentional persist() (e.g. minhash candidate pairs), and Spark's
+    # cache manager would then substitute InMemoryRelation into any
+    # matching subtree here — hiding that plan's real exchanges.
+    spark.catalog.clearCache()
     return dict(_plans(spark))
 
 

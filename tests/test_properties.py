@@ -213,3 +213,50 @@ def test_portable_hash48_matches_duckdb(spark, values):
             "SELECT " + sql_portable_hash48("?", "salt"), [v]
         ).fetchone()[0]
         assert got[i] == expected, (v, got[i], expected)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_connected_components_vs_union_find(spark, edge_list):
+    """J19 closure: Spark label propagation must match a driver-side
+    union-find on arbitrary small graphs (self-loops, chains, cycles,
+    duplicate edges — the shapes appeal-stream chaining produces)."""
+    from appeals_data_spark.operators.closure import connected_components
+
+    parent = list(range(12))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edge_list:
+        union(a, b)
+    touched = {n for e in edge_list for n in e}
+    # canonical expected label: min node of each union-find component
+    roots: dict[int, int] = {}
+    for n in sorted(touched):
+        roots.setdefault(find(n), n)
+    expected = {n: roots[find(n)] for n in touched}
+
+    edges = spark.createDataFrame(edge_list, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == expected
