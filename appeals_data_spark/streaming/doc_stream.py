@@ -16,31 +16,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from ..operators.dedup import portable_hash48
 
-_DOCS_STREAM_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("text", StringType()),
-        StructField("lang", StringType()),
-        StructField("source", StringType()),
-        StructField("n_chars", LongType()),
-    ]
-)
-
-
 def document_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
     """File-source stream over a documents directory (parquet parts);
-    schema declared up front (streaming sources never infer)."""
+    schema declared up front (streaming sources never infer), taken
+    from a one-time static footer read so export-schema drift across
+    testdata generations can't desync stream and batch plans."""
     return (
-        spark.readStream.schema(_DOCS_STREAM_SCHEMA)
+        spark.readStream.schema(spark.read.parquet(docs_dir).schema)
         .option("maxFilesPerTrigger", 4)
         .parquet(docs_dir)
     )

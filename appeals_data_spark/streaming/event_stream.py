@@ -23,34 +23,33 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StructType
 
 from ..session import tune
-
-# Nanos-as-long normalization mirrors catalog.load_table.
-_EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
 
 def event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over an events directory (parquet parts).
 
     The schema must be declared up front (streaming sources never
-    infer); ``ts`` arrives as raw nanos and is normalized to
-    TIMESTAMP_NTZ exactly like the batch catalog, so batch and stream
-    plans share every downstream expression.
+    infer), so take it from a one-time static footer read — the export
+    has stored ``ts`` both as raw nanosecond longs and as
+    TIMESTAMP(MICROS) across generations, and the batch catalog
+    (catalog.load_table) adapts by dtype; mirroring that here keeps
+    batch and stream plans sharing every downstream expression.
     """
     tune(spark)
+    static_schema = spark.read.parquet(events_dir).schema
     raw = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(static_schema)
         .option("maxFilesPerTrigger", 8)
         .parquet(events_dir)
     )
     # TIMESTAMP (not NTZ): watermarks require a zoned event-time column;
     # session tz is pinned UTC so the instants match the batch NTZ view.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = {f.name: f.dataType.simpleString() for f in static_schema}["ts"]
+    if ts_type == "bigint":
+        # integer div: nanos -> micros truncation (matches DuckDB)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def extracted_event_stream(stream: DataFrame) -> DataFrame:
