@@ -346,6 +346,175 @@ EXTRACTORS = (
     ssoc_events,
 )
 
+
+# ---------------------------------------------------------------------------
+# Fused per-table extraction. unionByName of the granular extractors
+# re-scans each source once per branch (13 scans for the 12-extractor
+# log); the narrow per-row extractors that share a table are instead
+# computed from ONE scan as an array of conditional event structs,
+# exploded and null-filtered — the same multiset, 7 scans. At 100 TB
+# the duplicate fact-table scans are the dominant cost of the union,
+# so events_all() uses this path when no caller predicate needs
+# per-branch pushdown. Parity with the granular union is pinned in
+# tests (and the shared EVENTS_ALL_SQL oracle checks both).
+# ---------------------------------------------------------------------------
+
+
+def _ev(event_type: Column, ts: Column, amount: Column) -> Column:
+    """One event-candidate struct with the canonical field types, so
+    every element of the conditional array agrees on shape."""
+    return F.struct(
+        event_type.cast("string").alias("event_type"),
+        ts.cast("timestamp_ntz").alias("ts"),
+        amount.cast("double").alias("amount"),
+    )
+
+
+def _explode_events(base: DataFrame) -> DataFrame:
+    """(entity_id, _evs) -> conformed long events. Null slots (branch
+    gate false) and null-ts events drop AFTER the generate — explode
+    emits null elements as rows, and both predicates stay inside
+    whole-stage codegen."""
+    return (
+        base.select(F.col("entity_id").cast("long"), F.explode("_evs").alias("_e"))
+        .where(F.col("_e").isNotNull() & F.col("_e.ts").isNotNull())
+        .select("entity_id", "_e.event_type", "_e.ts", "_e.amount")
+    )
+
+
+def _orders_narrow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order_events + end_state_events + milestone_events from one
+    orders scan. The end-state classifier stays a broadcast literal dim
+    (J14's merge-as-data design) — joined left so unmatched statuses
+    just contribute a null slot."""
+    o = load_table(spark, sf_dir, "orders")
+    classifier = literal_dim(
+        spark, END_STATE_CLASSIFIER, "o_orderstatus string, event_type string"
+    )
+    oc = o.join(F.broadcast(classifier), "o_orderstatus", "left")
+    od, tp, st = F.col("o_orderdate"), F.col("o_totalprice"), F.col("o_orderstatus")
+    not_p = st != "P"
+    evs = F.array(
+        _ev(F.lit("order_placed"), od, tp),
+        F.when(F.col("event_type").isNotNull(), _ev(F.col("event_type"), od, tp)),
+        F.when(not_p, _ev(F.lit("DOCKET"), od + F.expr("interval 7 days"), tp)),
+        F.when(
+            not_p,
+            _ev(
+                F.lit("SOC"),
+                F.when(tp > 50000, od + F.expr("interval 30 days")),
+                tp,
+            ),
+        ),
+        F.when(
+            not_p,
+            _ev(
+                F.lit("CERTIFICATION"),
+                F.when(st == "F", od + F.expr("interval 60 days")),
+                tp,
+            ),
+        ),
+    )
+    return _explode_events(
+        oc.select(F.col("o_custkey").alias("entity_id"), evs.alias("_evs"))
+    )
+
+
+def _lineitem_narrow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shipment_events + return_events from one lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sd, ep = F.col("l_shipdate"), F.col("l_extendedprice")
+    evs = F.array(
+        _ev(F.lit("line_shipped"), sd, ep),
+        F.when(F.col("l_returnflag") == "R", _ev(F.lit("line_returned"), sd, ep)),
+    )
+    return _explode_events(
+        li.select(F.col("l_suppkey").alias("entity_id"), evs.alias("_evs"))
+    )
+
+
+def _clickstream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL five clickstream extractors (user, hearing, transcription,
+    session_start, creation, substitution) from ONE events scan and
+    ONE shuffle.
+
+    The per-row shapes (raw projection, NA-propagating relabel+patch,
+    from/to fan-out) are conditional struct slots. The window shapes
+    ride the same lag: `prev IS NULL | gap > 30min` marks a session
+    start, and because the window orders by (ts, event_id), the
+    first-row-per-user condition `prev IS NULL` lands exactly on
+    min(ts) — so the creation/substitution aggregates become two more
+    conditional slots on the first row instead of two scans + two
+    groupBy shuffles. The substitution gate (customer BUILDING
+    segment) joins broadcast before the window.
+
+    The ts-not-null pre-filter is exactly _conform's postcondition
+    hoisted to the scan (every granular branch drops null-ts rows),
+    and it keeps the nulls-first window ordering from electing a
+    null-ts row as a user's first event."""
+    from pyspark.sql.window import Window
+
+    from ..functions.scalars import r_ifelse
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    bld = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("user_id"), F.lit(True).alias("_bld"))
+    )
+    e = e.join(F.broadcast(bld), "user_id", "left")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.withColumn("_prev", F.lag("ts").over(w))
+
+    ts, v = F.col("ts"), F.col("value")
+    is_signup = F.col("event_type") == "signup"
+    is_error = F.col("event_type") == "error"
+    is_first = F.col("_prev").isNull()
+    new_sess = is_first | (
+        ts >= F.col("_prev") + F.expr("interval 30 minutes")
+    )
+    disp = F.when(v > 30, "H").when(v > 20, "X")
+    clsdate = F.when(v > 10, ts + F.expr("interval 3 days"))
+    label = r_ifelse(disp == "H", F.lit("HEARING"), F.lit("HEARING_EXCEPTION"))
+    patched = F.when(
+        (label == "HEARING_EXCEPTION") & clsdate.isNotNull(), clsdate
+    ).otherwise(ts)
+    null_amt = F.lit(None).cast("double")
+    evs = F.array(
+        _ev(F.col("event_type"), ts, v),
+        F.when(is_signup, _ev(label, patched, v)),
+        F.when(is_error, _ev(F.lit("to_transcript"), ts, v)),
+        F.when(
+            is_error,
+            _ev(
+                F.lit("from_transcript"),
+                ts + F.make_interval(mins=F.floor(v).cast("int")),
+                v,
+            ),
+        ),
+        F.when(new_sess, _ev(F.lit("session_started"), ts, null_amt)),
+        F.when(is_first, _ev(F.lit("account_created"), ts, null_amt)),
+        F.when(
+            is_first & F.col("_bld").isNotNull(),
+            _ev(F.lit("segment_substitution"), ts, null_amt),
+        ),
+    )
+    return _explode_events(
+        base.select(F.col("user_id").alias("entity_id"), evs.alias("_evs"))
+    )
+
+
+# Same multiset as EXTRACTORS; 5 source scans instead of 13 and one
+# events-table shuffle instead of three. Only ssoc keeps its own
+# branch: its (entity_id, ts) dedup shuffles a small conditional
+# subset, which fusing would inflate to the full orders event set.
+FUSED_EXTRACTORS = (
+    _orders_narrow_events,
+    _lineitem_narrow_events,
+    _clickstream_events,
+    ssoc_events,
+)
+
 # DuckDB twin of events_all(): one branch per extractor, same order,
 # columns (entity_id, event_type, ts, amount). Interpolated into every
 # oracle that consumes the event view (u1_union_event_log,
@@ -457,8 +626,18 @@ def events_all(
     over the unified log (Catalyst pushes it into every union branch,
     so a selective predicate prunes each source scan). The global
     dummy-entity exclusions (constants.R:1-7) are always applied.
+
+    Physical strategy: with a caller ``where`` the granular
+    per-extractor union is used — Catalyst pushes the predicate into
+    every branch, so a selective filter prunes each scan (u5's
+    documented behavior). Without one, the full log is being
+    materialized anyway, and the fused per-table form (7 scans, not
+    13) wins; an event_type/ts predicate cannot be pushed below a
+    generate, but an entity_id one still reaches the fused scans
+    (entity_id passes through the explode untouched).
     """
+    extractors = EXTRACTORS if where is not None else FUSED_EXTRACTORS
     ev = reduce(
-        DataFrame.unionByName, (ex(spark, sf_dir) for ex in EXTRACTORS)
+        DataFrame.unionByName, (ex(spark, sf_dir) for ex in extractors)
     ).filter(~F.col("entity_id").isin(*EXCLUDED_ENTITIES))
     return ev.filter(where) if where is not None else ev

@@ -294,3 +294,33 @@ def test_lloyd_refine_drops_empty_cluster(spark):
     final = assign_to_centroids(emb, cents, 1)
     counts = {r.c_label: 1 for r in final.collect()}
     assert set(counts) == {0, 1}
+
+
+def test_fused_event_union_parity(spark):
+    """events_all()'s fused per-table scans (7) must produce exactly
+    the granular 12-extractor union's multiset (13 scans) — same rows,
+    same duplicates, incl. the NULL-labelled hearing rows r_ifelse
+    retains."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from appeals_data_spark.views.events import (
+        EXCLUDED_ENTITIES,
+        EXTRACTORS,
+        events_all,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    granular = reduce(
+        DataFrame.unionByName, (ex(spark, sf) for ex in EXTRACTORS)
+    ).filter(~F.col("entity_id").isin(*EXCLUDED_ENTITIES))
+    fused = events_all(spark, sf)
+
+    def key(df):
+        return sorted(
+            (r["entity_id"], r["event_type"] or "", r["ts"], r["amount"] or 0.0)
+            for r in df.collect()
+        )
+
+    assert key(fused) == key(granular)

@@ -61,7 +61,7 @@ SHUFFLE_BUDGET = {
     "stream_session_stats": 2,
     "surv_km_curve": 3,
     "text_token_stats": 2,
-    "u1_union_event_log": 6,
+    "u1_union_event_log": 4,
     "vec_brute_force_topk": 2,
     "vec_ivf_topk": 4,
     "w3_session_segmentation": 2,
