@@ -52,11 +52,16 @@ def main() -> None:
             pass  # warmup must never fail the bench
 
     timings: dict[str, float] = {}
+    # Warmup leaves persisted blocks (queries persist intermediates
+    # internally); drop them so timed queries aren't competing with
+    # stale cache for storage memory and GC.
+    spark.catalog.clearCache()
     for name, q in sorted(qs.items()):
         t0 = time.time()
         rows = q.builder(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
         assert rows is not None
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
