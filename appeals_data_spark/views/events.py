@@ -331,6 +331,80 @@ def ssoc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def assignment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-attributed date gather — the reference's DECASS shape
+    (events.R:963-971: ``event_getDateCols(con, c("DEASSIGN",
+    "DERECEIVE"), c("ASSIGNMENT", "DRAFT_DECISION"), join = "DECASS on
+    BFKEY = DEFOLDER")``): the date columns live on a CHILD table and
+    the entity id on the parent, so the gather rides a join. Synthetic
+    analog: line-level dates attributed to the order's customer —
+    ASSIGNMENT a week before ship, DRAFT_DECISION two days after for
+    large lines (the NULL branch exercises getDateCols' non-null drop).
+
+    At 100 TB this is the fact-fact join of the union — co-partitioned
+    sort-merge on the order key (bucket both tables on it and the
+    shuffle disappears; see tests/test_bucketing.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    base = j.select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("l_extendedprice").alias("amount"),
+        (F.col("l_shipdate") - F.expr("interval 7 days")).alias("ASSIGNMENT"),
+        F.when(
+            F.col("l_quantity") > 25,
+            F.col("l_shipdate") + F.expr("interval 2 days"),
+        ).alias("DRAFT_DECISION"),
+    )
+    return _conform(
+        base.unpivot(
+            ids=["entity_id", "amount"],
+            values=["ASSIGNMENT", "DRAFT_DECISION"],
+            variableColumnName="event_type",
+            valueColumnName="ts",
+        )
+    )
+
+
+def review_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Location-run parser emitting paired TO/FROM events — the
+    reference's .parseVSOLocs / .parseQRLocs / .parseOMOLocs shape
+    (events.R:127-161, 244-268): segment each entity's history into
+    runs of consecutive same-typed rows; a run of the tracked type
+    yields TO_X at its first row and FROM_X at its last. Synthetic
+    analog: runs of 'view' rows in the clickstream become
+    to_review/from_review (a length-1 run emits both at the same ts,
+    exactly like a same-day checkout/checkin).
+
+    lag/lead over one (user, ts) window find run boundaries without a
+    per-run aggregation — one shuffle, no second pass."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.withColumn("_prev_t", F.lag("event_type").over(w)).withColumn(
+        "_next_t", F.lead("event_type").over(w)
+    )
+    is_view = F.col("event_type") == "view"
+    starts = base.filter(
+        is_view & (F.col("_prev_t").isNull() | (F.col("_prev_t") != "view"))
+    ).select(
+        F.col("user_id").alias("entity_id"),
+        F.lit("to_review").alias("event_type"),
+        F.col("ts"),
+        F.lit(None).cast("double").alias("amount"),
+    )
+    ends = base.filter(
+        is_view & (F.col("_next_t").isNull() | (F.col("_next_t") != "view"))
+    ).select(
+        F.col("user_id").alias("entity_id"),
+        F.lit("from_review").alias("event_type"),
+        F.col("ts"),
+        F.lit(None).cast("double").alias("amount"),
+    )
+    return _conform(starts.unionByName(ends))
+
+
 EXTRACTORS = (
     order_events,
     shipment_events,
@@ -344,6 +418,8 @@ EXTRACTORS = (
     creation_events,
     substitution_events,
     ssoc_events,
+    assignment_events,
+    review_window_events,
 )
 
 
@@ -360,10 +436,14 @@ EXTRACTORS = (
 # ---------------------------------------------------------------------------
 
 
-def _ev(event_type: Column, ts: Column, amount: Column) -> Column:
+def _ev(entity: Column, event_type: Column, ts: Column, amount: Column) -> Column:
     """One event-candidate struct with the canonical field types, so
-    every element of the conditional array agrees on shape."""
+    every element of the conditional array agrees on shape. The entity
+    rides in the struct because fused branches of one scan can
+    attribute events to different entities (supplier for shipments,
+    customer for assignments)."""
     return F.struct(
+        entity.cast("long").alias("entity_id"),
         event_type.cast("string").alias("event_type"),
         ts.cast("timestamp_ntz").alias("ts"),
         amount.cast("double").alias("amount"),
@@ -371,14 +451,14 @@ def _ev(event_type: Column, ts: Column, amount: Column) -> Column:
 
 
 def _explode_events(base: DataFrame) -> DataFrame:
-    """(entity_id, _evs) -> conformed long events. Null slots (branch
-    gate false) and null-ts events drop AFTER the generate — explode
-    emits null elements as rows, and both predicates stay inside
-    whole-stage codegen."""
+    """(_evs) -> conformed long events. Null slots (branch gate false)
+    and null-ts events drop AFTER the generate — explode emits null
+    elements as rows, and both predicates stay inside whole-stage
+    codegen."""
     return (
-        base.select(F.col("entity_id").cast("long"), F.explode("_evs").alias("_e"))
+        base.select(F.explode("_evs").alias("_e"))
         .where(F.col("_e").isNotNull() & F.col("_e.ts").isNotNull())
-        .select("entity_id", "_e.event_type", "_e.ts", "_e.amount")
+        .select("_e.entity_id", "_e.event_type", "_e.ts", "_e.amount")
     )
 
 
@@ -392,15 +472,21 @@ def _orders_narrow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, END_STATE_CLASSIFIER, "o_orderstatus string, event_type string"
     )
     oc = o.join(F.broadcast(classifier), "o_orderstatus", "left")
+    ent = F.col("o_custkey")
     od, tp, st = F.col("o_orderdate"), F.col("o_totalprice"), F.col("o_orderstatus")
     not_p = st != "P"
     evs = F.array(
-        _ev(F.lit("order_placed"), od, tp),
-        F.when(F.col("event_type").isNotNull(), _ev(F.col("event_type"), od, tp)),
-        F.when(not_p, _ev(F.lit("DOCKET"), od + F.expr("interval 7 days"), tp)),
+        _ev(ent, F.lit("order_placed"), od, tp),
+        F.when(
+            F.col("event_type").isNotNull(), _ev(ent, F.col("event_type"), od, tp)
+        ),
+        F.when(
+            not_p, _ev(ent, F.lit("DOCKET"), od + F.expr("interval 7 days"), tp)
+        ),
         F.when(
             not_p,
             _ev(
+                ent,
                 F.lit("SOC"),
                 F.when(tp > 50000, od + F.expr("interval 30 days")),
                 tp,
@@ -409,34 +495,58 @@ def _orders_narrow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             not_p,
             _ev(
+                ent,
                 F.lit("CERTIFICATION"),
                 F.when(st == "F", od + F.expr("interval 60 days")),
                 tp,
             ),
         ),
     )
-    return _explode_events(
-        oc.select(F.col("o_custkey").alias("entity_id"), evs.alias("_evs"))
-    )
+    return _explode_events(oc.select(evs.alias("_evs")))
 
 
-def _lineitem_narrow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """shipment_events + return_events from one lineitem scan."""
+def _lineitem_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shipment_events + return_events + assignment_events from one
+    lineitem scan. The assignment gather needs the order's customer, so
+    the scan rides a LEFT join to orders (left, not inner, so the
+    supplier-attributed branches keep every line even if a dangling
+    order key ever appeared); the customer-attributed structs gate on
+    the join matching. Bucket both tables on the order key and this
+    join shuffles nothing."""
     li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"], "left")
+    supp, cust = F.col("l_suppkey"), F.col("o_custkey")
     sd, ep = F.col("l_shipdate"), F.col("l_extendedprice")
     evs = F.array(
-        _ev(F.lit("line_shipped"), sd, ep),
-        F.when(F.col("l_returnflag") == "R", _ev(F.lit("line_returned"), sd, ep)),
+        _ev(supp, F.lit("line_shipped"), sd, ep),
+        F.when(
+            F.col("l_returnflag") == "R",
+            _ev(supp, F.lit("line_returned"), sd, ep),
+        ),
+        F.when(
+            cust.isNotNull(),
+            _ev(cust, F.lit("ASSIGNMENT"), sd - F.expr("interval 7 days"), ep),
+        ),
+        F.when(
+            cust.isNotNull(),
+            _ev(
+                cust,
+                F.lit("DRAFT_DECISION"),
+                F.when(
+                    F.col("l_quantity") > 25, sd + F.expr("interval 2 days")
+                ),
+                ep,
+            ),
+        ),
     )
-    return _explode_events(
-        li.select(F.col("l_suppkey").alias("entity_id"), evs.alias("_evs"))
-    )
+    return _explode_events(j.select(evs.alias("_evs")))
 
 
 def _clickstream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL five clickstream extractors (user, hearing, transcription,
-    session_start, creation, substitution) from ONE events scan and
-    ONE shuffle.
+    """ALL seven clickstream extractors (user, hearing, transcription,
+    session_start, creation, substitution, review run-parser) from ONE
+    events scan and ONE shuffle.
 
     The per-row shapes (raw projection, NA-propagating relabel+patch,
     from/to fan-out) are conditional struct slots. The window shapes
@@ -464,15 +574,22 @@ def _clickstream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e.join(F.broadcast(bld), "user_id", "left")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    base = e.withColumn("_prev", F.lag("ts").over(w))
+    base = (
+        e.withColumn("_prev", F.lag("ts").over(w))
+        .withColumn("_prev_t", F.lag("event_type").over(w))
+        .withColumn("_next_t", F.lead("event_type").over(w))
+    )
 
     ts, v = F.col("ts"), F.col("value")
     is_signup = F.col("event_type") == "signup"
     is_error = F.col("event_type") == "error"
+    is_view = F.col("event_type") == "view"
     is_first = F.col("_prev").isNull()
     new_sess = is_first | (
         ts >= F.col("_prev") + F.expr("interval 30 minutes")
     )
+    run_start = is_view & (F.col("_prev_t").isNull() | (F.col("_prev_t") != "view"))
+    run_end = is_view & (F.col("_next_t").isNull() | (F.col("_next_t") != "view"))
     disp = F.when(v > 30, "H").when(v > 20, "X")
     clsdate = F.when(v > 10, ts + F.expr("interval 3 days"))
     label = r_ifelse(disp == "H", F.lit("HEARING"), F.lit("HEARING_EXCEPTION"))
@@ -480,28 +597,30 @@ def _clickstream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (label == "HEARING_EXCEPTION") & clsdate.isNotNull(), clsdate
     ).otherwise(ts)
     null_amt = F.lit(None).cast("double")
+    ent = F.col("user_id")
     evs = F.array(
-        _ev(F.col("event_type"), ts, v),
-        F.when(is_signup, _ev(label, patched, v)),
-        F.when(is_error, _ev(F.lit("to_transcript"), ts, v)),
+        _ev(ent, F.col("event_type"), ts, v),
+        F.when(is_signup, _ev(ent, label, patched, v)),
+        F.when(is_error, _ev(ent, F.lit("to_transcript"), ts, v)),
         F.when(
             is_error,
             _ev(
+                ent,
                 F.lit("from_transcript"),
                 ts + F.make_interval(mins=F.floor(v).cast("int")),
                 v,
             ),
         ),
-        F.when(new_sess, _ev(F.lit("session_started"), ts, null_amt)),
-        F.when(is_first, _ev(F.lit("account_created"), ts, null_amt)),
+        F.when(new_sess, _ev(ent, F.lit("session_started"), ts, null_amt)),
+        F.when(is_first, _ev(ent, F.lit("account_created"), ts, null_amt)),
         F.when(
             is_first & F.col("_bld").isNotNull(),
-            _ev(F.lit("segment_substitution"), ts, null_amt),
+            _ev(ent, F.lit("segment_substitution"), ts, null_amt),
         ),
+        F.when(run_start, _ev(ent, F.lit("to_review"), ts, null_amt)),
+        F.when(run_end, _ev(ent, F.lit("from_review"), ts, null_amt)),
     )
-    return _explode_events(
-        base.select(F.col("user_id").alias("entity_id"), evs.alias("_evs"))
-    )
+    return _explode_events(base.select(evs.alias("_evs")))
 
 
 # Same multiset as EXTRACTORS; 5 source scans instead of 13 and one
@@ -510,7 +629,7 @@ def _clickstream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # subset, which fusing would inflate to the full orders event set.
 FUSED_EXTRACTORS = (
     _orders_narrow_events,
-    _lineitem_narrow_events,
+    _lineitem_events,
     _clickstream_events,
     ssoc_events,
 )
@@ -599,6 +718,34 @@ EVENTS_ALL_SQL = """
         SELECT o_custkey, CASE WHEN o_totalprice > 150000
                THEN o_orderdate + INTERVAL 120 DAY END FROM orders
       ) WHERE d IS NOT NULL
+      UNION ALL
+      SELECT o_custkey, lab, d, l_extendedprice
+      FROM (
+        SELECT o_custkey, l_extendedprice, lab,
+               CASE lab
+                 WHEN 'ASSIGNMENT' THEN l_shipdate - INTERVAL 7 DAY
+                 ELSE CASE WHEN l_quantity > 25
+                      THEN l_shipdate + INTERVAL 2 DAY END
+               END AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        CROSS JOIN (SELECT UNNEST(['ASSIGNMENT', 'DRAFT_DECISION']) AS lab)
+      ) WHERE d IS NOT NULL
+      UNION ALL
+      SELECT user_id, 'to_review', ts, CAST(NULL AS DOUBLE)
+      FROM (
+        SELECT user_id, ts, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_t
+        FROM events
+      ) WHERE event_type = 'view' AND (prev_t IS NULL OR prev_t <> 'view')
+      UNION ALL
+      SELECT user_id, 'from_review', ts, CAST(NULL AS DOUBLE)
+      FROM (
+        SELECT user_id, ts, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_t
+        FROM events
+      ) WHERE event_type = 'view' AND (next_t IS NULL OR next_t <> 'view')
 """
 
 # Global case exclusions (constants.R:1-7: the reference prepends a
