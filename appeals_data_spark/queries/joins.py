@@ -35,22 +35,30 @@ from ..registry import register
 def j1_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈fact⋈dim star join (reference BRIEFF⋈FOLDER + dims, J1).
 
-    Plan: lineitem⋈orders SMJ/shuffle-hash on orderkey; customer join
-    keyed on custkey; nation broadcast. At 100 TB, bucketing lineitem
-    and orders by orderkey turns the big join co-partitioned (no
-    shuffle); AQE handles the orderkey skew tail."""
+    Plan: lineitem⋈orders SMJ/shuffle-hash on orderkey, then an
+    order-grain pre-aggregation BEFORE the customer join — it reuses
+    the orderkey partitioning the join just established (no extra
+    shuffle), shrinks the customer-join input from line grain to order
+    grain, and turns the per-nation distinct-order count into a plain
+    count (no Expand for a distinct aggregate). At 100 TB, bucketing
+    lineitem and orders by orderkey turns the big join co-partitioned
+    (no shuffle); AQE handles the orderkey skew tail."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    return (
+    per_order = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(disc_price()).alias("_rev"))
+    )
+    return (
+        per_order.join(c, per_order.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            F.sum(disc_price()).cast("double").alias("revenue"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum("_rev").cast("double").alias("revenue"),
         )
         .orderBy("n_name")
     )
