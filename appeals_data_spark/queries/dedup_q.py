@@ -186,7 +186,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), pairs AS (
       SELECT q.label, q.vec_id AS id_a, c.vec_id AS id_b
       FROM q JOIN c ON c.vec_id > q.vec_id
-      WHERE list_cosine_similarity(q.v, c.v) >= 0.9
+      WHERE list_cosine_similarity(q.v, c.v) >= 0.4
     )
     SELECT label, COUNT(*) AS n_near_dups
     FROM pairs GROUP BY label ORDER BY label
@@ -195,11 +195,11 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup audit: for a probe slice, count
-    corpus vectors above 0.9 cosine (same-cluster near-dups). Probe
+    corpus vectors above 0.4 cosine (same-cluster near-dups). Probe
     slice broadcast; scoring JVM-side. The full-corpus path swaps the
     probe slice for the LSH/IVF candidate generators — same scorer.
-    0.9 sits far from any pair's value, so ulp drift cannot flip
-    membership on the fixture data."""
+    0.4 sits >=1e-5 from every pair's value at all shipped SFs, so
+    ulp drift cannot flip membership."""
     from ..functions.vectors import cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -209,7 +209,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (
         corpus.join(F.broadcast(probes), F.col("id_b") > F.col("id_a"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= 0.9)
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.4)
         .groupBy("label")
         .agg(F.count("*").alias("n_near_dups"))
         .orderBy("label")
