@@ -42,17 +42,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
     names = args or [n for n, q in sorted(qs.items()) if q.bench]
-    codegen_re = re.compile(r"codegen id : (\d+)")
     for name in names:
         plan = plan_string(spark, qs[name].builder(spark, sf_dir))
-        n_codegen = len(set(codegen_re.findall(plan)))
+        # pre-execution AQE plans carry no codegen annotations, so the
+        # summary sticks to the join/shuffle/pushdown facts
         print(
             f"== {name}: Exchange={plan.count('Exchange')} "
             f"BHJ={plan.count('BroadcastHashJoin')} "
             f"SMJ={plan.count('SortMergeJoin')} "
             f"BNLJ={plan.count('BroadcastNestedLoopJoin')} "
-            f"Cartesian={plan.count('CartesianProduct')} "
-            f"Codegen={n_codegen}"
+            f"Cartesian={plan.count('CartesianProduct')}"
         )
         for p in re.findall(r"PushedFilters: \[(.+?)\]", plan)[:6]:
             print("   PushedFilters:", p[:110])
