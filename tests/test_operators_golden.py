@@ -324,3 +324,46 @@ def test_fused_event_union_parity(spark):
         )
 
     assert key(fused) == key(granular)
+
+
+def test_review_run_parser_boundaries(spark):
+    """Pin the TO/FROM run-parser semantics (.parseVSOLocs shape,
+    events.R:127-161): a multi-row run emits to_review at its first
+    row and from_review at its last; a length-1 run emits both at the
+    same ts (same-day checkout/checkin); runs touching the start or
+    end of a user's history still close."""
+    from datetime import datetime
+
+    import appeals_data_spark.views.events as ev
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # user 1: leading 2-row view run, a click, then trailing 1-row run
+        (1, 1, "view", t(0)),
+        (2, 1, "view", t(1)),
+        (3, 1, "click", t(2)),
+        (4, 1, "view", t(3)),
+        # user 2: no views at all
+        (5, 2, "click", t(0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    orig = ev.load_table
+    ev.load_table = lambda s, d, n: df if n == "events" else orig(s, d, n)
+    try:
+        out = sorted(
+            (r["entity_id"], r["event_type"], r["ts"].minute)
+            for r in ev.review_window_events(spark, "unused").collect()
+        )
+    finally:
+        ev.load_table = orig
+    assert out == [
+        (1, "from_review", 1),  # 2-row run closes at its last row
+        (1, "from_review", 3),  # trailing length-1 run closes on itself
+        (1, "to_review", 0),
+        (1, "to_review", 3),
+    ]
