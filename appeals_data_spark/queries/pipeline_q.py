@@ -604,3 +604,55 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pack_id")
     )
+
+
+@register(
+    "pipe_model_score_broadcast",
+    oracle="""
+    WITH feats AS (
+      SELECT source, CAST(n_chars AS DOUBLE) AS y,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x <> '')) AS DOUBLE) AS x
+      FROM documents
+    ), coef AS (
+      SELECT regr_slope(y, x) AS slope, regr_intercept(y, x) AS b0
+      FROM feats
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(AVG(y - (b0 + slope * x)), 3) AS mean_resid,
+           ROUND(MAX(ABS(y - (b0 + slope * x))), 3) AS max_abs_resid
+    FROM feats CROSS JOIN coef
+    GROUP BY source ORDER BY source
+    """,
+    tags=("PIPE", "X3", "GLM"),
+)
+def pipe_model_score_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model scoring at corpus scale WITHOUT a driver round trip: the
+    fitted coefficients are a 1-row aggregate broadcast-joined onto
+    every document, so "train then score" is ONE Catalyst plan — the
+    quality-classifier pattern (fit on a sample, score the corpus)
+    with the model as data, never a collect(). Here the model is the
+    closed-form OLS of chars-on-tokens (ml.linreg_stats — sufficient
+    statistics, one pass) and the scored output is per-source residual
+    diagnostics. Rounded to 3 dp: both engines fit with their own
+    summation order, so coefficients agree only to float-sum drift."""
+    from ..ml import linreg_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.select(
+        "source",
+        F.col("n_chars").cast("double").alias("y"),
+        F.size(tokens(F.col("text"))).cast("double").alias("x"),
+    )
+    coef = linreg_stats(feats, y="y", x="x").select("slope", "intercept")
+    resid = F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x"))
+    return (
+        feats.crossJoin(F.broadcast(coef))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(resid), 3).alias("mean_resid"),
+            F.round(F.max(F.abs(resid)), 3).alias("max_abs_resid"),
+        )
+        .orderBy("source")
+    )

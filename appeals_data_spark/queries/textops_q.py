@@ -403,3 +403,54 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_vocab_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               x -> x <> '')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT token, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+      FROM counts
+    )
+    SELECT rnk, token, n FROM ranked WHERE rnk <= 50 ORDER BY rnk
+    """,
+    tags=("TEXT", "A14"),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency with a
+    deterministic (count desc, token asc) tiebreak — the vocabulary /
+    frequency-table pass every tokenizer-training pipeline runs first.
+
+    Scale shape: explode + ONE groupBy(token) whose partial counts
+    combine map-side (the shuffle carries one row per distinct token
+    per task, not per occurrence), then a rank over the count table.
+    The global window sorts only the distinct-token counts — at 100 TB
+    cap it with an AQE-friendly pre-filter (HAVING n >= floor) or take
+    per-partition top-k before the final ordering; the synthetic vocab
+    is small enough to rank directly."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), ""
+    )
+    counts = (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+        .select("rnk", "token", "n")
+        .orderBy("rnk")
+    )
