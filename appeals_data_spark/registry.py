@@ -150,6 +150,8 @@ _SWEEP_FIRST = [
     "mm_frame_sample",
     "x4_transition_matrix",
     "surv_km_counts",
+    "text_vocab_topk",
+    "pipe_model_score_broadcast",
     # never swept, rows-only (weakest driver signal -> last)
     "dedup_minhash_lsh",
     "dedup_simhash_hamming",
