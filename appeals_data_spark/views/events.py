@@ -757,9 +757,13 @@ EVENTS_ALL_SQL = """
 EXCLUDED_ENTITIES = (13, 77)
 
 _EXCL = ", ".join(str(e) for e in EXCLUDED_ENTITIES)
+# ts IS NOT NULL is part of events_all's contract (_conform drops
+# null-ts rows in every extractor), so the shared SQL twin must apply
+# it too — otherwise a consumer that forgets its own ts filter
+# silently diverges for branches whose gathered date can be NULL.
 EVENTS_ALL_SQL = f"""
       SELECT * FROM ({EVENTS_ALL_SQL})
-      WHERE entity_id NOT IN ({_EXCL})
+      WHERE entity_id NOT IN ({_EXCL}) AND ts IS NOT NULL
 """
 
 

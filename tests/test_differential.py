@@ -67,3 +67,38 @@ def test_rows_only_runs(spark, name):
     q = all_queries()[name]
     rows = q.builder(spark, SF_SMOKE).collect()
     assert rows is not None  # >= 0 rows with stable schema
+
+
+# Cross-engine check of the caller where-hook: the same predicate
+# applied to events_all() (granular union path, branch pushdown) and to
+# the shared EVENTS_ALL_SQL in DuckDB must select the same multiset.
+_WHERE_CASES = [
+    ("type_eq", "event_type = 'order_placed'"),
+    ("ts_range", "ts >= TIMESTAMP '1997-01-01' AND ts < TIMESTAMP '1998-01-01'"),
+    ("conj", "event_type LIKE 'line%' AND amount > 30000"),
+    ("entity_mod", "entity_id % 7 = 3"),
+]
+
+
+@pytest.mark.parametrize("label,pred", _WHERE_CASES, ids=[c[0] for c in _WHERE_CASES])
+def test_event_where_hook_matches_oracle(spark, ddb, label, pred):
+    from pyspark.sql import functions as F
+
+    from appeals_data_spark.views.events import EVENTS_ALL_SQL, events_all
+
+    ev = events_all(spark, SF_SMOKE, where=F.expr(pred)).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("amt"),
+    )
+    got = _key(ev.collect(), ev.columns)
+    sql = f"""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS amt
+      FROM ({EVENTS_ALL_SQL}) WHERE {pred} GROUP BY event_type
+    """
+    cur = ddb.execute(sql)
+    cols = [d[0] for d in cur.description]
+    want = _key(cur.fetchall(), cols)
+    assert got == want
