@@ -77,6 +77,7 @@ _WHERE_CASES = [
     ("ts_range", "ts >= TIMESTAMP '1997-01-01' AND ts < TIMESTAMP '1998-01-01'"),
     ("conj", "event_type LIKE 'line%' AND amount > 30000"),
     ("entity_mod", "entity_id % 7 = 3"),
+    ("null_amount", "amount IS NULL AND entity_id < 500"),
 ]
 
 
