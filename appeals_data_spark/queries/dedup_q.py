@@ -198,8 +198,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus vectors above 0.4 cosine (same-cluster near-dups). Probe
     slice broadcast; scoring JVM-side. The full-corpus path swaps the
     probe slice for the LSH/IVF candidate generators — same scorer.
-    0.4 sits >=1e-5 from every pair's value at all shipped SFs, so
-    ulp drift cannot flip membership."""
+    0.4 sits >=9e-6 from every pair's value on the shipped
+    fixtures (measured: 5.6e-4 / 1.3e-4 / 9.9e-6 at sf0.001/0.01/0.1)
+    — orders of magnitude above cross-engine float-sum drift."""
     from ..functions.vectors import cosine
 
     emb = load_table(spark, sf_dir, "embeddings")

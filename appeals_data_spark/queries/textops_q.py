@@ -14,6 +14,7 @@ from ..functions.text import (
     lang_id_heuristic,
     stopword_ratio,
     token_count,
+    tokens,
 )
 from ..registry import register
 
@@ -439,11 +440,8 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    toks = F.array_remove(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), ""
-    )
     counts = (
-        d.select(F.explode(toks).alias("token"))
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )

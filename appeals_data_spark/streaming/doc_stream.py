@@ -24,8 +24,16 @@ def document_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
     schema declared up front (streaming sources never infer), taken
     from a one-time static footer read so export-schema drift across
     testdata generations can't desync stream and batch plans."""
+    try:
+        schema = spark.read.parquet(docs_dir).schema
+    except Exception:
+        # empty bootstrap directory: canonical export schema
+        schema = (
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
     return (
-        spark.readStream.schema(spark.read.parquet(docs_dir).schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)
         .parquet(docs_dir)
     )

@@ -26,6 +26,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..session import tune
 
+_EVENTS_FALLBACK_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
 def event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over an events directory (parquet parts).
 
@@ -37,7 +43,12 @@ def event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     batch and stream plans sharing every downstream expression.
     """
     tune(spark)
-    static_schema = spark.read.parquet(events_dir).schema
+    try:
+        static_schema = spark.read.parquet(events_dir).schema
+    except Exception:
+        # empty bootstrap directory (no parts yet): fall back to the
+        # canonical export schema so the stream can start and wait
+        static_schema = _EVENTS_FALLBACK_SCHEMA
     raw = (
         spark.readStream.schema(static_schema)
         .option("maxFilesPerTrigger", 8)

@@ -115,10 +115,15 @@ def session_start_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's gap from the previous raw event exceeds 30 minutes (or the
     stream begins). Mirrors the reference's derived extractors, which
     parse the PRIORLOC history with lag/lead windows rather than
-    projecting stored columns (events.R:106-268, W1-W2)."""
+    projecting stored columns (events.R:106-268, W1-W2).
+
+    Null-ts rows are dropped BEFORE the window (the event-log contract
+    excludes undated rows, so they must not act as run/gap neighbors —
+    and Spark's nulls-first vs DuckDB's nulls-last ordering would
+    otherwise diverge)."""
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     return _conform(
@@ -252,8 +257,9 @@ def _first_event_mins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(entity_id, ts) of each user's first raw event. Shared by the
     creation and substitution extractors so the two branches of the
     events_all union canonicalize to the SAME aggregate subtree and
-    Spark's ReuseExchange runs the shuffle once."""
-    e = load_table(spark, sf_dir, "events")
+    Spark's ReuseExchange runs the shuffle once. Undated rows are
+    excluded up front (same contract as the window extractors)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return e.groupBy(F.col("user_id").alias("entity_id")).agg(
         F.min("ts").alias("ts")
     )
@@ -377,10 +383,12 @@ def review_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like a same-day checkout/checkin).
 
     lag/lead over one (user, ts) window find run boundaries without a
-    per-run aggregation — one shuffle, no second pass."""
+    per-run aggregation — one shuffle, no second pass. Null-ts rows
+    are dropped BEFORE the window (event-log contract: undated rows
+    neither emit events nor split runs)."""
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     base = e.withColumn("_prev_t", F.lag("event_type").over(w)).withColumn(
         "_next_t", F.lead("event_type").over(w)
@@ -425,10 +433,10 @@ EXTRACTORS = (
 
 # ---------------------------------------------------------------------------
 # Fused per-table extraction. unionByName of the granular extractors
-# re-scans each source once per branch (13 scans for the 12-extractor
+# re-scans each source once per branch (15 scans for the 14-extractor
 # log); the narrow per-row extractors that share a table are instead
 # computed from ONE scan as an array of conditional event structs,
-# exploded and null-filtered — the same multiset, 7 scans. At 100 TB
+# exploded and null-filtered — the same multiset from 6 scans. At 100 TB
 # the duplicate fact-table scans are the dominant cost of the union,
 # so events_all() uses this path when no caller predicate needs
 # per-branch pushdown. Parity with the granular union is pinned in
@@ -623,10 +631,12 @@ def _clickstream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _explode_events(base.select(evs.alias("_evs")))
 
 
-# Same multiset as EXTRACTORS; 5 source scans instead of 13 and one
-# events-table shuffle instead of three. Only ssoc keeps its own
-# branch: its (entity_id, ts) dedup shuffles a small conditional
-# subset, which fusing would inflate to the full orders event set.
+# Same multiset as EXTRACTORS from 6 source scans (orders x2 narrow+
+# ssoc, orders-for-assignment x1 inside the lineitem join, lineitem,
+# events, customer) and ONE events-table shuffle instead of three.
+# Only ssoc keeps its own branch: its (entity_id, ts) dedup shuffles a
+# small conditional subset, which fusing would inflate to the full
+# orders event set.
 FUSED_EXTRACTORS = (
     _orders_narrow_events,
     _lineitem_events,
@@ -661,7 +671,7 @@ EVENTS_ALL_SQL = """
         SELECT user_id, ts,
                LAG(ts) OVER (PARTITION BY user_id
                              ORDER BY ts, event_id) AS prev_ts
-        FROM events
+        FROM events WHERE ts IS NOT NULL
       ) WHERE prev_ts IS NULL
            OR ts >= prev_ts + INTERVAL 30 MINUTE
       UNION ALL
@@ -702,11 +712,11 @@ EVENTS_ALL_SQL = """
       )
       UNION ALL
       SELECT user_id, 'account_created', MIN(ts), CAST(NULL AS DOUBLE)
-      FROM events GROUP BY user_id
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
       UNION ALL
       SELECT user_id, 'segment_substitution', MIN(ts), CAST(NULL AS DOUBLE)
       FROM events
-      WHERE user_id IN (SELECT c_custkey FROM customer
+      WHERE ts IS NOT NULL AND user_id IN (SELECT c_custkey FROM customer
                         WHERE c_mktsegment = 'BUILDING')
       GROUP BY user_id
       UNION ALL
@@ -736,7 +746,7 @@ EVENTS_ALL_SQL = """
         SELECT user_id, ts, event_type,
                LAG(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev_t
-        FROM events
+        FROM events WHERE ts IS NOT NULL
       ) WHERE event_type = 'view' AND (prev_t IS NULL OR prev_t <> 'view')
       UNION ALL
       SELECT user_id, 'from_review', ts, CAST(NULL AS DOUBLE)
@@ -744,7 +754,7 @@ EVENTS_ALL_SQL = """
         SELECT user_id, ts, event_type,
                LEAD(event_type) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS next_t
-        FROM events
+        FROM events WHERE ts IS NOT NULL
       ) WHERE event_type = 'view' AND (next_t IS NULL OR next_t <> 'view')
 """
 
@@ -782,8 +792,8 @@ def events_all(
     per-extractor union is used — Catalyst pushes the predicate into
     every branch, so a selective filter prunes each scan (u5's
     documented behavior). Without one, the full log is being
-    materialized anyway, and the fused per-table form (7 scans, not
-    13) wins; an event_type/ts predicate cannot be pushed below a
+    materialized anyway, and the fused per-table form (6 scans, not
+    15) wins; an event_type/ts predicate cannot be pushed below a
     generate, but an entity_id one still reaches the fused scans
     (entity_id passes through the explode untouched).
     """

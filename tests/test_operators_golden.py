@@ -305,21 +305,29 @@ def test_fused_event_union_parity(spark):
 
     from pyspark.sql import DataFrame
 
+    from conftest import SF_SMOKE
+
     from appeals_data_spark.views.events import (
         EXCLUDED_ENTITIES,
         EXTRACTORS,
         events_all,
     )
 
-    sf = "/root/testdata/sf0.001"
     granular = reduce(
-        DataFrame.unionByName, (ex(spark, sf) for ex in EXTRACTORS)
+        DataFrame.unionByName, (ex(spark, SF_SMOKE) for ex in EXTRACTORS)
     ).filter(~F.col("entity_id").isin(*EXCLUDED_ENTITIES))
-    fused = events_all(spark, sf)
+    fused = events_all(spark, SF_SMOKE)
 
     def key(df):
+        # NULLs sort via an explicit is-null flag so a branch emitting
+        # 0.0/"" where the other emits NULL cannot pass as equal
         return sorted(
-            (r["entity_id"], r["event_type"] or "", r["ts"], r["amount"] or 0.0)
+            (
+                r["entity_id"],
+                (r["event_type"] is None, r["event_type"] or ""),
+                r["ts"],
+                (r["amount"] is None, r["amount"] or 0.0),
+            )
             for r in df.collect()
         )
 

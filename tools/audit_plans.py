@@ -42,16 +42,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
     names = args or [n for n, q in sorted(qs.items()) if q.bench]
+    def nodes(plan: str, op: str) -> int:
+        # count numbered plan nodes exactly as the frozen gate does
+        # (tests/test_plans.py) — a bare substring count would double
+        # count tree + detail sections and fold BroadcastExchange /
+        # ReusedExchange into the shuffle number
+        return len(re.findall(rf"\(\d+\) {op}\b", plan))
+
     for name in names:
         plan = plan_string(spark, qs[name].builder(spark, sf_dir))
         # pre-execution AQE plans carry no codegen annotations, so the
         # summary sticks to the join/shuffle/pushdown facts
         print(
-            f"== {name}: Exchange={plan.count('Exchange')} "
-            f"BHJ={plan.count('BroadcastHashJoin')} "
-            f"SMJ={plan.count('SortMergeJoin')} "
-            f"BNLJ={plan.count('BroadcastNestedLoopJoin')} "
-            f"Cartesian={plan.count('CartesianProduct')}"
+            f"== {name}: Exchange={nodes(plan, 'Exchange')} "
+            f"BHJ={nodes(plan, 'BroadcastHashJoin')} "
+            f"SMJ={nodes(plan, 'SortMergeJoin')} "
+            f"BNLJ={nodes(plan, 'BroadcastNestedLoopJoin')} "
+            f"Cartesian={nodes(plan, 'CartesianProduct')}"
         )
         for p in re.findall(r"PushedFilters: \[(.+?)\]", plan)[:6]:
             print("   PushedFilters:", p[:110])
