@@ -260,3 +260,86 @@ def test_connected_components_vs_union_find(spark, edge_list):
         r["node"]: r["component"] for r in connected_components(edges).collect()
     }
     assert got == expected
+
+
+# -- fused vs granular clickstream extraction on adversarial data ------------
+#
+# The shipped fixtures have no null ts and few duplicate timestamps, so
+# the sf0.001 parity test cannot see ordering/null divergences between
+# the fused single-window path and the granular extractors. Generate
+# events tables that stress exactly those: null ts, duplicate (user,
+# ts) pairs, runs at history edges, every branch-trigger event type.
+
+
+@st.composite
+def _events_case(draw):
+    n = draw(st.integers(2, 14))
+    rows = []
+    for i in range(n):
+        user = draw(st.integers(1, 3))
+        typ = draw(
+            st.sampled_from(["view", "click", "signup", "error", "purchase"])
+        )
+        # duplicate timestamps are likely (minute granularity, small range);
+        # ~1 in 8 rows is undated
+        ts = (
+            None
+            if draw(st.integers(0, 7)) == 0
+            else datetime(2024, 1, 1, 0, draw(st.integers(0, 40)))
+        )
+        value = draw(st.sampled_from([5.0, 15.0, 25.0, 35.0]))
+        rows.append((i, user, typ, ts, value, "{}"))
+    return rows
+
+
+@given(_events_case())
+@_hyp
+def test_fused_clickstream_matches_granular_on_adversarial(spark, rows):
+    import appeals_data_spark.views.events as ev
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "user_id", "event_type",
+        "CAST(ts AS TIMESTAMP_NTZ) AS ts", "value", "props"
+    )
+
+    orig = ev.load_table
+
+    def fake(s, d, n):
+        return df if n == "events" else orig(s, d, n)
+
+    ev.load_table = fake
+    try:
+        granular_parts = [
+            ev.user_events,
+            ev.hearing_events,
+            ev.transcription_events,
+            ev.session_start_events,
+            ev.creation_events,
+            ev.substitution_events,
+            ev.review_window_events,
+        ]
+        from functools import reduce
+
+        from pyspark.sql import DataFrame
+
+        granular = reduce(
+            DataFrame.unionByName,
+            (ex(spark, "/root/testdata/sf0.001") for ex in granular_parts),
+        )
+        fused = ev._clickstream_events(spark, "/root/testdata/sf0.001")
+        key = lambda df: sorted(  # noqa: E731
+            (
+                r["entity_id"],
+                (r["event_type"] is None, r["event_type"] or ""),
+                r["ts"],
+                (r["amount"] is None, r["amount"] or 0.0),
+            )
+            for r in df.collect()
+        )
+        assert key(fused) == key(granular)
+    finally:
+        ev.load_table = orig
