@@ -375,3 +375,75 @@ def test_review_run_parser_boundaries(spark):
         (1, "to_review", 0),
         (1, "to_review", 3),
     ]
+
+
+def test_lineitem_fusion_survives_dangling_order_keys(spark):
+    """The fused lineitem branch rides a LEFT join to orders so
+    supplier-attributed events keep every line even when a line's
+    order key has no orders row (FK violation the fixtures never
+    produce): shipments/returns still emit, customer-attributed
+    assignment events drop on both paths."""
+    from datetime import datetime
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    import appeals_data_spark.views.events as ev
+
+    li = spark.createDataFrame(
+        [
+            # orderkey 1 exists; orderkey 99 dangles
+            (1, 10, 30.0, 100.0, "R", datetime(2024, 1, 5)),
+            (99, 11, 10.0, 50.0, "N", datetime(2024, 2, 1)),
+        ],
+        "l_orderkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_returnflag string, l_shipdate timestamp",
+    ).selectExpr(
+        "l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_returnflag", "CAST(l_shipdate AS TIMESTAMP_NTZ) AS l_shipdate",
+    )
+    o = spark.createDataFrame(
+        [(1, 7)], "o_orderkey long, o_custkey long"
+    )
+
+    orig = ev.load_table
+
+    def fake(s, d, n):
+        if n == "lineitem":
+            return li
+        if n == "orders":
+            return o
+        return orig(s, d, n)
+
+    ev.load_table = fake
+    try:
+        granular = reduce(
+            DataFrame.unionByName,
+            (
+                ex(spark, "unused")
+                for ex in (
+                    ev.shipment_events,
+                    ev.return_events,
+                    ev.assignment_events,
+                )
+            ),
+        )
+        fused = ev._lineitem_events(spark, "unused")
+        key = lambda df: sorted(  # noqa: E731
+            (r["entity_id"], r["event_type"], r["ts"], r["amount"])
+            for r in df.collect()
+        )
+        got = key(fused)
+        assert got == key(granular)
+        # the dangling line still ships (supplier branch), but emits no
+        # customer-attributed events
+        types_by_supp = {
+            (r[0], r[1]) for r in got
+        }
+        assert (11, "line_shipped") in types_by_supp
+        assert not any(
+            t in ("ASSIGNMENT", "DRAFT_DECISION") and e == 11
+            for e, t in types_by_supp
+        )
+    finally:
+        ev.load_table = orig
