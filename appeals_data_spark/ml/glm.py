@@ -88,3 +88,62 @@ def fit_glm(
         **({"link": link} if link else {}),
     )
     return glr.fit(assembled)
+
+
+def logistic_irls(
+    df: DataFrame, y: str | Column, x: str | Column, iters: int = 3
+) -> DataFrame:
+    """Distributed logistic regression y ~ b0 + b1*x by iteratively
+    reweighted least squares, entirely as DataFrame aggregations.
+
+    Each iteration is ONE aggregation of five weighted sufficient
+    statistics (w, wx, wx2, wz, wxz with w = mu(1-mu), working
+    response z = eta + (y-mu)/w), whose 2x2 normal equations solve in
+    closed form; the new coefficients are a 1-row frame broadcast back
+    onto the data for the next pass (model-as-data — no collect, the
+    same feedback shape as the Lloyd k-means rounds). Lineage is cut
+    with ``localCheckpoint`` per round (the closure-loop discipline) so
+    the fit is `iters` data passes, not the O(iters^2) a nested lazy
+    plan would re-run. Starting point beta = (0, 0) (mu = 0.5
+    everywhere), the textbook IRLS start.
+
+    Reference analog: the logistic fits of effect-on-outcomes.Rmd
+    (glm family=binomial); x6_grouped_glm carries the grouped
+    pandas-fit form, this is the single-model JVM-side scale path.
+    """
+    yc = F.col(y) if isinstance(y, str) else y
+    xc = F.col(x) if isinstance(x, str) else x
+    d = df.select(yc.cast("double").alias("_y"), xc.cast("double").alias("_x"))
+    coefs = d.sparkSession.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    for _ in range(iters):
+        eta = F.col("b0") + F.col("b1") * F.col("_x")
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = mu * (F.lit(1.0) - mu)
+        z = eta + (F.col("_y") - mu) / w
+        s = (
+            d.crossJoin(F.broadcast(coefs))
+            .select(
+                w.alias("w"),
+                (w * F.col("_x")).alias("wx"),
+                (w * F.col("_x") * F.col("_x")).alias("wxx"),
+                (w * z).alias("wz"),
+                (w * F.col("_x") * z).alias("wxz"),
+            )
+            .agg(
+                F.sum("w").alias("sw"),
+                F.sum("wx").alias("swx"),
+                F.sum("wxx").alias("swxx"),
+                F.sum("wz").alias("swz"),
+                F.sum("wxz").alias("swxz"),
+            )
+        )
+        b1 = (F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")) / (
+            F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        )
+        coefs = s.select(
+            ((F.col("swz") - b1 * F.col("swx")) / F.col("sw")).alias("b0"),
+            b1.alias("b1"),
+        ).localCheckpoint()
+    return coefs

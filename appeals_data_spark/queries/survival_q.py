@@ -594,3 +594,67 @@ def x6_partial_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+def _irls_oracle(iters: int = 3) -> str:
+    """Unrolled-iteration IRLS oracle (same trick as the Lloyd k-means
+    oracle): each round is one CTE computing the five weighted sums
+    from the previous round's coefficients, starting at beta = (0,0).
+    The formulas mirror ml.glm.logistic_irls term for term."""
+    parts = [
+        """
+    WITH d AS (
+      SELECT CAST(l_returnflag = 'R' AS DOUBLE) AS y,
+             CAST(l_quantity AS DOUBLE) AS x
+      FROM lineitem
+    ), it0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , s{i} AS (
+      SELECT SUM(w) AS sw, SUM(w*x) AS swx, SUM(w*x*x) AS swxx,
+             SUM(w*z) AS swz, SUM(w*x*z) AS swxz
+      FROM (
+        SELECT x, mu*(1-mu) AS w, eta + (y-mu)/(mu*(1-mu)) AS z
+        FROM (
+          SELECT y, x, b0 + b1*x AS eta,
+                 1/(1+exp(-(b0 + b1*x))) AS mu
+          FROM d CROSS JOIN it{i - 1}
+        )
+      )
+    ), it{i} AS (
+      SELECT (swz - ((sw*swxz - swx*swz)/(sw*swxx - swx*swx))*swx)/sw AS b0,
+             (sw*swxz - swx*swz)/(sw*swxx - swx*swx) AS b1
+      FROM s{i}
+    )""")
+    parts.append(f"""
+    SELECT ROUND(b0, 5) AS b0, ROUND(b1, 5) AS b1,
+           (SELECT COUNT(*) FROM d) AS n
+    FROM it{iters}""")
+    return "".join(parts)
+
+
+@register(
+    "x3_logistic_irls",
+    oracle=_irls_oracle(),
+    tags=("X3", "GLM", "J19"),
+)
+def x3_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression (returnflag ~ quantity) by
+    IRLS — the single-model JVM-side scale path for the reference's
+    binomial glm fits (effect-on-outcomes.Rmd; grouped pandas form in
+    x6_grouped_glm). Three fixed reweighted-least-squares rounds, each
+    ONE aggregation with the refit coefficients broadcast back
+    (ml.glm.logistic_irls); the oracle unrolls the same three rounds
+    as CTEs. Rounded to 5 dp: both engines iterate with their own
+    float-sum order."""
+    from ..ml.glm import logistic_irls
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fit = logistic_irls(
+        li, y=(F.col("l_returnflag") == "R"), x="l_quantity", iters=3
+    )
+    n = li.agg(F.count(F.lit(1)).alias("n"))
+    return fit.crossJoin(F.broadcast(n)).select(
+        F.round("b0", 5).alias("b0"), F.round("b1", 5).alias("b1"), "n"
+    )

@@ -152,6 +152,7 @@ _SWEEP_FIRST = [
     "surv_km_counts",
     "text_vocab_topk",
     "pipe_model_score_broadcast",
+    "x3_logistic_irls",
     # never swept, rows-only (weakest driver signal -> last)
     "dedup_minhash_lsh",
     "dedup_simhash_hamming",

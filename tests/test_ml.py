@@ -64,3 +64,24 @@ def test_glm_group_onehot(spark):
     )
     # 5 priorities, dropLast=True -> 4 one-hot coefficients
     assert len(model.coefficients) == 4
+
+
+def test_logistic_irls_recovers_log_odds(spark):
+    """Binary x makes the model saturated, so the true MLE is the
+    empirical log-odds: b0 = logit(0.25), b1 = logit(0.75) -
+    logit(0.25). Six IRLS rounds converge well inside 1e-3."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from appeals_data_spark.ml.glm import logistic_irls
+
+    rows = []
+    for x, p in ((0, 0.25), (1, 0.75)):
+        for i in range(200):
+            rows.append((float(x), 1.0 if i < p * 200 else 0.0))
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = logistic_irls(df, y="y", x="x", iters=6).collect()[0]
+    logit = lambda p: math.log(p / (1 - p))  # noqa: E731
+    assert abs(got["b0"] - logit(0.25)) < 1e-3
+    assert abs(got["b1"] - (logit(0.75) - logit(0.25))) < 1e-3

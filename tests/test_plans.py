@@ -30,6 +30,7 @@ BNLJ_OK = {
     "p14_complete_cases",  # 1-row threshold scalar
     "pipe_mixture_weights",  # 1-row token-budget scalar side
     "pipe_model_score_broadcast",  # 1-row fitted-coefficient side
+    "x3_logistic_irls",  # 1-row IRLS coefficient side per round
     "u3_array_intersect_sources",  # collect_set'd tiny side
     "vec_brute_force_topk",  # 8 probe vectors
     "vec_ivf_topk",  # probes x centroids
