@@ -449,3 +449,178 @@ def comp_decision_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entity_id")
     )
+
+
+@register(
+    "comp_ep_classifier_eval",
+    oracle="""
+    WITH issue_flags AS (
+      SELECT l_orderkey,
+             MAX(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS f_bigqty,
+             MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS f_returned,
+             MAX(CASE WHEN l_tax > 0.07 THEN 1 ELSE 0 END) AS f_hitax
+      FROM lineitem GROUP BY l_orderkey
+    ), last_line AS (
+      SELECT l_orderkey,
+             CASE WHEN l_linestatus = 'F' THEN 'RO' ELSE 'AMC' END AS actual
+      FROM (
+        SELECT l_orderkey, l_linestatus,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_shipdate DESC,
+                                           l_linenumber DESC,
+                                           l_linestatus DESC) AS rn
+        FROM lineitem
+      ) WHERE rn = 1
+    ), cases AS (
+      SELECT o_orderkey, f_bigqty, f_returned, f_hitax,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS f_building,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS f_urgent,
+             actual
+      FROM orders
+      JOIN issue_flags ON o_orderkey = l_orderkey
+      JOIN last_line USING (l_orderkey)
+      LEFT JOIN customer ON o_custkey = c_custkey
+    ), scored AS (
+      SELECT *,
+             CASE WHEN f_bigqty + f_returned + f_hitax + f_building
+                       + f_urgent > 0 THEN 1 ELSE 0 END AS f_any,
+             CASE WHEN f_bigqty + f_returned + f_hitax + f_building
+                       + f_urgent > 0 THEN 'RO' ELSE 'AMC' END AS prediction
+      FROM cases
+    ), long AS (
+      SELECT 'f_bigqty' AS flag, f_bigqty AS v, prediction, actual FROM scored
+      UNION ALL SELECT 'f_returned', f_returned, prediction, actual FROM scored
+      UNION ALL SELECT 'f_hitax', f_hitax, prediction, actual FROM scored
+      UNION ALL SELECT 'f_building', f_building, prediction, actual FROM scored
+      UNION ALL SELECT 'f_urgent', f_urgent, prediction, actual FROM scored
+      UNION ALL SELECT 'f_any', f_any, prediction, actual FROM scored
+    )
+    SELECT flag,
+           CAST(SUM(v) AS BIGINT) AS positive,
+           CAST(SUM(CASE WHEN v = 1 AND prediction = 'RO' AND actual = 'AMC'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS type1_error,
+           CASE WHEN SUM(v) > 0
+                THEN ROUND(SUM(CASE WHEN v = 1 AND prediction = 'RO'
+                                         AND actual = 'AMC'
+                                    THEN 1 ELSE 0 END)
+                           / CAST(SUM(v) AS DOUBLE), 6) END AS err_rate
+    FROM long GROUP BY flag ORDER BY flag
+    """,
+    tags=("COMPOSITE", "A2", "J8", "A8", "R3"),
+)
+def comp_ep_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based classifier + evaluation harness — the AMC/RO routing
+    prototype end-to-end (amc-ro-classification.Rmd:38-285): EPTEST_*
+    flags built by child-table conditional aggregation (`count(case
+    when ...) > 0` per case, A2 over the issues analog) plus
+    case-level flags through dim joins, rowSums -> RO/AMC prediction;
+    actuals from the last-observed-location argmax (J8); evaluated as
+    per-flag positives and Type-I errors (the notebook's
+    `colSums(testCases[testCases$type1, ...])` table, R3 wide->long).
+
+    Scale shape: the flag build is one map-side-combinable groupBy of
+    lineitem; the actual is one window over the same orderkey
+    partitioning (AQE reuses the shuffle); flags unpivot via a
+    plan-level explode — no per-flag scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    flags = li.groupBy(F.col("l_orderkey")).agg(
+        F.max(F.when(F.col("l_quantity") > 45, 1).otherwise(0)).alias("f_bigqty"),
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "f_returned"
+        ),
+        F.max(F.when(F.col("l_tax") > 0.07, 1).otherwise(0)).alias("f_hitax"),
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic export;
+    # l_linestatus joins the tiebreak so rows tied on (shipdate, line)
+    # with different statuses resolve identically in both engines (rows
+    # tied on all three give the same `actual` either way)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_shipdate").desc(),
+        F.col("l_linenumber").desc(),
+        F.col("l_linestatus").desc(),
+    )
+    last_line = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.when(F.col("l_linestatus") == "F", "RO")
+            .otherwise("AMC")
+            .alias("actual"),
+        )
+    )
+    cases = (
+        o.join(flags, o["o_orderkey"] == flags["l_orderkey"])
+        .join(last_line, "l_orderkey")
+        .join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o["o_custkey"] == F.col("c_custkey"),
+            "left",
+        )
+        .select(
+            "f_bigqty",
+            "f_returned",
+            "f_hitax",
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("f_building"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("f_urgent"),
+            "actual",
+        )
+    )
+    total = (
+        F.col("f_bigqty")
+        + F.col("f_returned")
+        + F.col("f_hitax")
+        + F.col("f_building")
+        + F.col("f_urgent")
+    )
+    scored = cases.withColumn(
+        "f_any", F.when(total > 0, 1).otherwise(0)
+    ).withColumn("prediction", F.when(total > 0, "RO").otherwise("AMC"))
+    names = ["f_bigqty", "f_returned", "f_hitax", "f_building", "f_urgent", "f_any"]
+    long = scored.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("flag"), F.col(n).cast("long").alias("v")
+                    )
+                    for n in names
+                ]
+            )
+        ).alias("fl"),
+        "prediction",
+        "actual",
+    ).select("fl.flag", "fl.v", "prediction", "actual")
+    t1 = (F.col("v") == 1) & (F.col("prediction") == "RO") & (
+        F.col("actual") == "AMC"
+    )
+    return (
+        long.groupBy("flag")
+        .agg(
+            F.sum("v").alias("positive"),
+            F.sum(F.when(t1, 1).otherwise(0)).alias("type1_error"),
+        )
+        .select(
+            "flag",
+            "positive",
+            "type1_error",
+            F.when(
+                F.col("positive") > 0,
+                F.round(
+                    F.col("type1_error").cast("double")
+                    / F.col("positive").cast("double"),
+                    6,
+                ),
+            ).alias("err_rate"),
+        )
+        .orderBy("flag")
+    )

@@ -153,6 +153,7 @@ _SWEEP_FIRST = [
     "text_vocab_topk",
     "pipe_model_score_broadcast",
     "x3_logistic_irls",
+    "comp_ep_classifier_eval",
     # never swept, rows-only (weakest driver signal -> last)
     "dedup_minhash_lsh",
     "dedup_simhash_hamming",
