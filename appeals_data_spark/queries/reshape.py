@@ -196,3 +196,106 @@ def r3_flags_long_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "r6_paired_field_changes",
+    oracle="""
+    WITH forms AS (
+      SELECT o_orderkey,
+             o_orderpriority AS final_priority,
+             CASE WHEN o_orderkey % 3 = 0 THEN '3-MEDIUM'
+                  ELSE o_orderpriority END AS initial_priority,
+             o_orderstatus AS final_status,
+             CASE WHEN o_totalprice > 100000 THEN 'O'
+                  ELSE o_orderstatus END AS initial_status,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'noted' END AS final_note,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'noted' END AS initial_note
+      FROM orders
+    ), long AS (
+      SELECT 'priority' AS field,
+             COALESCE(initial_priority, 'NULL') AS i,
+             COALESCE(final_priority, 'NULL') AS f FROM forms
+      UNION ALL
+      SELECT 'status', COALESCE(initial_status, 'NULL'),
+             COALESCE(final_status, 'NULL') FROM forms
+      UNION ALL
+      SELECT 'note', COALESCE(initial_note, 'NULL'),
+             COALESCE(final_note, 'NULL') FROM forms
+    )
+    SELECT field,
+           CAST(COUNT(*) AS BIGINT) AS n_forms,
+           CAST(SUM(CASE WHEN i <> f THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           ROUND(SUM(CASE WHEN i <> f THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS change_rate
+    FROM long GROUP BY field ORDER BY field
+    """,
+    tags=("R1", "R2", "COMPOSITE"),
+)
+def r6_paired_field_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired initial/final field-diff analysis (form8-changes.Rmd:
+    33-70): gather the current and _INITIAL_ column pairs long, split
+    the key into (field, version), spread back, and compare with NULL
+    coerced to a comparable sentinel (the notebook's
+    ``replace_na(list(value = "NULL"))`` — a NULL-vs-value pair counts
+    as CHANGED, and NULL-vs-NULL as unchanged, which plain SQL
+    inequality would return UNKNOWN for). Reported as the per-field
+    change-rate table. Paired columns are derived deterministically
+    from orders (the export has no versioned form table), exactly like
+    the hearing/milestone extractors derive their inputs.
+
+    The gather+spread collapses to a plan-level explode of
+    (field, initial, final) structs — one scan, one groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    forms = o.select(
+        F.col("o_orderpriority").alias("final_priority"),
+        F.when(ok % 3 == 0, "3-MEDIUM")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("initial_priority"),
+        F.col("o_orderstatus").alias("final_status"),
+        F.when(F.col("o_totalprice") > 100000, "O")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("initial_status"),
+        F.when(ok % 2 == 0, "noted").alias("final_note"),
+        F.when(ok % 4 == 0, "noted").alias("initial_note"),
+    )
+    sent = lambda c: F.coalesce(F.col(c), F.lit("NULL"))  # noqa: E731
+    pairs = [
+        ("priority", "initial_priority", "final_priority"),
+        ("status", "initial_status", "final_status"),
+        ("note", "initial_note", "final_note"),
+    ]
+    long = forms.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("field"),
+                        sent(i).alias("i"),
+                        sent(f).alias("f"),
+                    )
+                    for name, i, f in pairs
+                ]
+            )
+        ).alias("p")
+    ).select("p.field", "p.i", "p.f")
+    changed = F.when(F.col("i") != F.col("f"), 1).otherwise(0)
+    return (
+        long.groupBy("field")
+        .agg(
+            F.count("*").alias("n_forms"),
+            F.sum(changed).alias("n_changed"),
+        )
+        .select(
+            "field",
+            "n_forms",
+            "n_changed",
+            F.round(
+                F.col("n_changed").cast("double") / F.col("n_forms").cast("double"),
+                6,
+            ).alias("change_rate"),
+        )
+        .orderBy("field")
+    )

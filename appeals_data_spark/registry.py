@@ -154,6 +154,7 @@ _SWEEP_FIRST = [
     "pipe_model_score_broadcast",
     "x3_logistic_irls",
     "comp_ep_classifier_eval",
+    "r6_paired_field_changes",
     # never swept, rows-only (weakest driver signal -> last)
     "dedup_minhash_lsh",
     "dedup_simhash_hamming",
