@@ -56,18 +56,29 @@ def main() -> None:
     # internally); drop them so timed queries aren't competing with
     # stale cache for storage memory and GC.
     spark.catalog.clearCache()
+    # Two timed runs per query, report the min: single-shot timings on
+    # a shared JVM occasionally catch a multi-second GC/compile stall
+    # on one arbitrary query (observed: 2s queries billed 13s); the
+    # per-query minimum is the steady-state number. Declared in the
+    # JSON so the aggregation is auditable.
     for name, q in sorted(qs.items()):
-        t0 = time.time()
-        rows = q.builder(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
-        assert rows is not None
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            rows = q.builder(spark, sf_dir).collect()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+            assert rows is not None
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
+                "runs_per_query": 2,
+                "agg": "min",
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
