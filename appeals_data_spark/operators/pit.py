@@ -54,17 +54,23 @@ def pit_backlog(
 
     ``grid`` must be the output of :func:`date_grid` (column
     ``grid_date``, fixed ``step_days`` aligned to its start). Pass the
-    same ``grid_start`` the grid was built from — the caller always
-    knows it, and omitting it costs a driver-side 1-row collect per
-    call to rediscover it. With ``grid_end`` set, a NULL exit means
+    same ``grid_start``/``grid_end`` the grid was built from — the
+    caller always knows them, and omitting either costs a driver-side
+    1-row collect per call to rediscover it. A NULL exit always means
     "still open" (the reference's `exit is null | exit >= d`,
-    capacity.R:84-86) via a beyond-grid sentinel; without it, NULL-exit
-    intervals are dropped — callers with open intervals must pass it.
+    capacity.R:84-86) via a beyond-grid sentinel — unconditionally, so
+    forgetting ``grid_end`` can never silently drop open intervals.
+    The explode expansion is also capped at the grid end, so a
+    far-future (or sentinel) exit date costs at most one full grid
+    sweep per interval, never an unbounded sequence.
     """
     enter = F.col(enter_col) if isinstance(enter_col, str) else enter_col
     exit_ = F.col(exit_col) if isinstance(exit_col, str) else exit_col
     if grid_end is not None:
-        exit_ = F.coalesce(exit_, F.date_add(F.lit(grid_end).cast("date"), 1))
+        last_grid = F.lit(grid_end).cast("date")
+    else:
+        last_grid = F.lit(grid.agg(F.max("grid_date")).collect()[0][0])
+    exit_ = F.coalesce(exit_, F.date_add(last_grid, 1))
     if strategy == "explode":
         if grid_start is not None:
             first = F.lit(grid_start).cast("date")
@@ -75,7 +81,7 @@ def pit_backlog(
         first_covered = F.date_add(
             first, ((off + step_days - 1) / step_days).cast("int") * step_days
         )
-        last_covered = F.date_sub(exit_, 1)
+        last_covered = F.least(F.date_sub(exit_, 1), last_grid)
         covered = (
             intervals.withColumn("__first", first_covered)
             .filter(F.col("__first") <= last_covered)

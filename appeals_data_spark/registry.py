@@ -63,102 +63,63 @@ def register(
 # checks last within that block), then the already-green remainder in
 # registration order.
 _SWEEP_FIRST = [
-    # round-1 hash-fails, fixed by the BIGINT oracle casts
-    "a6_rate_vs_group_total",
-    "a15_interval_overlap_months",
-    "x1_derived_count_scalars",
-    "j12_cross_source_join",
-    "w1_lead_lag_gaps",
-    "w3_session_segmentation",
-    # never swept in round 1 (oracle-backed)
-    "u2_union_dedup",
-    "u3_array_intersect_sources",
-    "o1_multikey_sort_head",
-    "o4_complete_weeks_only",
-    "s5_csv_dim_broadcast_join",
-    "stream_tumbling_counts",
-    "stream_session_stats",
-    "stream_user_totals",
-    "mm_feature_rollup",
-    "comp_time_to_first_ship",
-    "comp_outcome_rates",
-    "comp_backlog_reconstruction",
-    "comp_docket_projection",
-    "comp_exp_gap_fit",
-    "comp_decision_locs",
-    "comp_priorloc_parsers",
-    "j10_fuzzy_asof_match",
-    "j16_window_similarity_count",
-    "j17_pit_backlog",
-    "x4_trace_coverage",
-    "surv_km_curve",
-    "closure_components",
-    "x3_linreg_closed_form",
-    "x6_grouped_glm",
-    "x6_partial_pooling",
-    "surv_weibull_fit",
-    "dedup_exact_summary",
-    "dedup_canonical_corpus",
-    # portable-hash twins of the sketch pipelines + the re-shaped event
-    # union: the round-2 headline verification work — keep inside the
-    # driver's round-1-observed 50-entry sweep budget
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "vec_lsh_portable",
-    "u1_union_event_log",
-    "w11_rolling_mean",
-    "dedup_ngram_jaccard_adjacent",
-    # round-2 flagship pipeline additions (swapped in for same-family
-    # duplicates: mm resize/frame-sample, x4 transition matrix, KM
-    # counts — each family keeps a sweep representative)
-    "pipe_curation_funnel",
-    "stream_doc_curation",
-    "pipe_contamination_overlap",
-    "pipe_pack_sequences",
-    # one in-window representative per remaining never-swept pillar
-    # (text analysis, embedding near-dup, ANN exact + scale path, skew
-    # mitigation) — the same-family queries cut to make room (extra
-    # stream ops, surv median/cuminc, x6_grouped_model_fit) follow
-    # immediately after the 50-slot window
-    "text_token_stats",
-    "text_gopher_filters",
-    "dedup_embedding_cosine",
-    "vec_brute_force_topk",
-    "vec_ivf_topk",
-    "skew_salted_agg",
-    # slot 50+ below: next-most-valuable if the sweep budget grows
-    "stream_click_attribution",
-    "stream_dedup_user_types",
-    "stream_event_union",
-    "surv_median_lifetime",
-    "surv_cuminc",
+    # Round-3 rotation: rounds 1+2 left exactly 31 registered queries with
+    # no driver row in either round (all locally green). They fill the
+    # front of the window now, flagship composite ports first.
+    "comp_ep_classifier_eval",
+    "r6_paired_field_changes",
+    "x3_logistic_irls",
     "x6_grouped_model_fit",
     "vec_kmeans_lloyd",
     "vec_label_centroid_assign",
+    "x4_transition_matrix",
+    "surv_median_lifetime",
+    "surv_cuminc",
+    "surv_km_counts",
+    "stream_click_attribution",
+    "stream_dedup_user_types",
+    "stream_event_union",
     "text_quality_flags",
     "text_char_classes",
     "text_lang_confusion",
     "text_fingerprint_md5",
     "text_winnow_fingerprints",
     "text_subword_tokens",
-    "skew_salted_join",
+    "text_vocab_topk",
     "pipe_mixture_weights",
     "pipe_stratified_sample",
     "pipe_split_shards",
+    "pipe_model_score_broadcast",
+    "skew_salted_join",
     "u5_event_where_hook",
     "mm_resize_dims",
     "mm_frame_sample",
-    "x4_transition_matrix",
-    "surv_km_counts",
-    "text_vocab_topk",
-    "pipe_model_score_broadcast",
-    "x3_logistic_irls",
-    "comp_ep_classifier_eval",
-    "r6_paired_field_changes",
-    # never swept, rows-only (weakest driver signal -> last)
+    # new in round 3 (oracle-backed)
+    "x6_random_intercept_em",
+    "j21_bucketed_copartition_join",
+    "mm_decode_image",
+    # green sentinels from rounds 1-2 for cross-round regression cover
+    "a1_pricing_summary",
+    "u1_union_event_log",
+    "dedup_minhash_portable",
+    "j10_fuzzy_asof_match",
+    "stream_session_stats",
+    "comp_decision_locs",
+    "dedup_canonical_corpus",
+    "x6_partial_pooling",
+    # never swept, rows-only (weakest driver signal; their oracle-backed
+    # portable twins are already driver-green)
     "dedup_minhash_lsh",
     "dedup_simhash_hamming",
     "vec_lsh_topk",
+    # more green-in-r2 regression cover to round out the ~50 window
+    "pipe_curation_funnel",
+    "stream_doc_curation",
+    "vec_brute_force_topk",
+    "vec_ivf_topk",
+    "skew_salted_agg",
+    "text_token_stats",
+    "dedup_embedding_cosine",
 ]
 
 

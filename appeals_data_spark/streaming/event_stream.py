@@ -47,8 +47,12 @@ def event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         static_schema = spark.read.parquet(events_dir).schema
     except Exception:
         # empty bootstrap directory (no parts yet): fall back to the
-        # canonical export schema so the stream can start and wait
-        static_schema = _EVENTS_FALLBACK_SCHEMA
+        # canonical export schema so the stream can start and wait.
+        # Parse to a StructType — the ts-dtype dispatch below iterates
+        # StructFields, and a DDL string would crash it.
+        from pyspark.sql.types import StructType
+
+        static_schema = StructType.fromDDL(_EVENTS_FALLBACK_SCHEMA)
     raw = (
         spark.readStream.schema(static_schema)
         .option("maxFilesPerTrigger", 8)

@@ -103,6 +103,29 @@ def test_pit_backlog_hand_computed(spark):
         }
 
 
+def test_pit_backlog_null_exit_open_by_default(spark):
+    # NULL exit = still open (capacity.R:84-86) even when the caller
+    # does not pass grid_end — the sentinel is derived from the grid.
+    intervals = spark.createDataFrame(
+        [
+            (dt.date(2024, 1, 1), None),               # never closes
+            (dt.date(2024, 1, 1), dt.date(2024, 1, 9)),
+        ],
+        "enter date, exit date",
+    )
+    grid = date_grid(spark, "2024-01-01", "2024-01-15", 7)
+    for strategy in ("explode", "grid"):
+        out = {
+            r.grid_date: r.backlog
+            for r in pit_backlog(intervals, grid, "enter", "exit", 7, strategy).collect()
+        }
+        assert out == {
+            dt.date(2024, 1, 1): 2,
+            dt.date(2024, 1, 8): 2,
+            dt.date(2024, 1, 15): 1,  # only the open interval remains
+        }
+
+
 def test_kaplan_meier_textbook(spark):
     # classic example: times 1,2,3 events; censor at 2
     rec = spark.createDataFrame(
@@ -297,9 +320,10 @@ def test_lloyd_refine_drops_empty_cluster(spark):
 
 
 def test_fused_event_union_parity(spark):
-    """events_all()'s fused per-table scans (7) must produce exactly
-    the granular 12-extractor union's multiset (13 scans) — same rows,
-    same duplicates, incl. the NULL-labelled hearing rows r_ifelse
+    """events_all()'s fused plan (len(FUSED_EXTRACTORS) branches over
+    one narrow scan per source table) must produce exactly the granular
+    len(EXTRACTORS)-extractor union's multiset — same rows, same
+    duplicates, incl. the NULL-labelled hearing rows r_ifelse
     retains."""
     from functools import reduce
 

@@ -39,6 +39,20 @@ def _rows(df, cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
+def test_event_stream_empty_bootstrap_dir(spark, tmp_path):
+    # No parts yet: the stream must still start (fallback DDL schema
+    # parsed to a StructType) and drain zero rows, not crash on the
+    # ts-dtype dispatch.
+    d = tmp_path / "empty_events"
+    d.mkdir()
+    out = run_to_memory(
+        spark,
+        tumbling_counts(event_stream(spark, str(d))),
+        "t_empty_bootstrap",
+    )
+    assert out.count() == 0
+
+
 def test_tumbling_counts_parity(spark, events_dir):
     stream_out = run_to_memory(
         spark, tumbling_counts(event_stream(spark, events_dir)), "t_tumbling"
