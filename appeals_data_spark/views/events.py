@@ -20,7 +20,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import literal_dim, load_table
+from ..catalog import literal_dim, load_table, sized_for_compute
 
 EVENT_SCHEMA_COLS = ["entity_id", "event_type", "ts", "amount"]
 
@@ -475,7 +475,10 @@ def _orders_narrow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders scan. The end-state classifier stays a broadcast literal dim
     (J14's merge-as-data design) — joined left so unmatched statuses
     just contribute a null slot."""
-    o = load_table(spark, sf_dir, "orders")
+    # sized_for_compute: the 5-slot conditional explode is per-row
+    # compute that must not be serialized onto one task when the export
+    # arrives as a single split; no-op on a properly-split layout.
+    o = sized_for_compute(load_table(spark, sf_dir, "orders"))
     classifier = literal_dim(
         spark, END_STATE_CLASSIFIER, "o_orderstatus string, event_type string"
     )
@@ -521,7 +524,11 @@ def _lineitem_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     order key ever appeared); the customer-attributed structs gate on
     the join matching. Bucket both tables on the order key and this
     join shuffles nothing."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # sized_for_compute: the probe side carries the 4-slot explode and
+    # the interval arithmetic; a single-split export would run all of
+    # it on one task (measured 3x the branch cost at sf0.1). No-op when
+    # the lake layout already gives the scan enough splits.
+    li = sized_for_compute(load_table(spark, sf_dir, "lineitem"))
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     j = li.join(o, li["l_orderkey"] == o["o_orderkey"], "left")
     supp, cust = F.col("l_suppkey"), F.col("o_custkey")

@@ -63,7 +63,11 @@ SHUFFLE_BUDGET = {
     "stream_session_stats": 2,
     "surv_km_curve": 3,
     "text_token_stats": 2,
-    "u1_union_event_log": 4,
+    # 4 semantic shuffles (clickstream window, ssoc dedup, final agg,
+    # order-by) + 2 sized_for_compute redistributions of the orders /
+    # lineitem explode branches — those two exist only because the
+    # local export is a single split and vanish on a real lake layout.
+    "u1_union_event_log": 6,
     "vec_brute_force_topk": 2,
     "vec_ivf_topk": 4,
     "w3_session_segmentation": 2,
