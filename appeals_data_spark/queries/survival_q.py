@@ -596,6 +596,142 @@ def x6_partial_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _em_oracle(iters: int = 4) -> str:
+    """Unrolled-iteration EM oracle (x3_logistic_irls pattern): round i
+    computes the precision-weighted mean from round i-1's (mu, tau2),
+    then the EM variance update from the posterior means/variances.
+    Formulas mirror x6_random_intercept_em term for term."""
+    parts = [
+        """
+    WITH per AS (
+      SELECT c_nationkey AS grp, COUNT(*) AS n,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS k
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+    ), rates AS (
+      SELECT grp, n, CAST(k AS DOUBLE) / n AS p FROM per
+    ), g AS (
+      SELECT AVG(p) AS pbar0, AVG(1.0 / n) AS invn, VAR_SAMP(p) AS vp
+      FROM rates
+    ), r2 AS (
+      SELECT grp, n, p, pbar0 * (1 - pbar0) / n AS s2 FROM rates, g
+    ), it0 AS (
+      SELECT pbar0 AS mu,
+             GREATEST(0.0, vp - pbar0 * (1 - pbar0) * invn) AS tau2
+      FROM g
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , m{i} AS (
+      SELECT SUM(p / (tau2 + s2)) / SUM(1.0 / (tau2 + s2)) AS mu
+      FROM r2 CROSS JOIN it{i - 1}
+    ), it{i} AS (
+      SELECT (SELECT mu FROM m{i}) AS mu,
+             AVG(POW((tau2 / (tau2 + s2)) * (p - (SELECT mu FROM m{i})), 2)
+                 + (tau2 / (tau2 + s2)) * s2) AS tau2
+      FROM r2 CROSS JOIN it{i - 1}
+    )""")
+    parts.append(f"""
+    SELECT grp, n, ROUND(p, 6) AS raw_rate,
+           ROUND(mu + (tau2 / (tau2 + s2)) * (p - mu), 6) AS shrunk_rate,
+           ROUND(mu, 6) AS mu, ROUND(tau2, 6) AS tau2
+    FROM r2 CROSS JOIN it{iters}
+    ORDER BY grp""")
+    return "".join(parts)
+
+
+@register(
+    "x6_random_intercept_em",
+    oracle=_em_oracle(),
+    tags=("X6", "X3", "GLM"),
+)
+def x6_random_intercept_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-components random-intercept model fit by EM — the
+    iterative counterpart of x6_partial_pooling's one-shot empirical
+    Bayes, closing the gap to the reference's glmer semantics
+    (notebooks/hearings/effect-on-outcomes.Rmd:236
+    ``glmer(outcome ~ (1|group))``): instead of a fixed
+    method-of-moments tau^2, EM re-estimates the between-group variance
+    from the posterior random-effect moments until the shrinkage
+    weights are self-consistent.
+
+    Model: p_g ~ N(mu + u_g, s2_g), u_g ~ N(0, tau^2), with known
+    sampling variance s2_g = pbar(1-pbar)/n_g. Each round:
+      E-step: B_g = tau^2/(tau^2+s2_g); E[u_g] = B_g (p_g - mu);
+              Var[u_g|p] = B_g s2_g
+      M-step: mu <- precision-weighted mean sum(w p)/sum(w),
+              w = 1/(tau^2+s2_g); tau^2 <- avg(E[u]^2 + Var[u|p])
+    Four fixed rounds from the method-of-moments start (so the
+    unrolled-CTE oracle is exact); tau^2 clamped at 0 degenerates to
+    complete pooling in both engines.
+
+    Physically: the fact-scale work (orders-customer join + groupBy)
+    runs once; the sufficient-stats table is #groups-sized BY
+    CONSTRUCTION, so every EM round is a whole-frame window expression
+    over it — the 4 unrolled rounds compose into ONE plan with ONE
+    extra exchange (the empty-partition window), no per-round jobs, no
+    driver collect. Contrast x3_logistic_irls, whose sufficient stats
+    are fact-scale and therefore need a broadcast-back per round."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("k"),
+        )
+    )
+    wall = Window.partitionBy()  # whole-frame: the groups table is tiny
+    rates = (
+        per.withColumn("p", F.col("k").cast("double") / F.col("n"))
+        .withColumn("pbar0", F.avg("p").over(wall))
+        .withColumn("invn", F.avg(F.lit(1.0) / F.col("n")).over(wall))
+        .withColumn("vp", F.var_samp("p").over(wall))
+        .withColumn("s2", F.col("pbar0") * (1 - F.col("pbar0")) / F.col("n"))
+        .withColumn("mu", F.col("pbar0"))
+        .withColumn(
+            "tau2",
+            F.greatest(
+                F.lit(0.0),
+                F.col("vp")
+                - F.col("pbar0") * (1 - F.col("pbar0")) * F.col("invn"),
+            ),
+        )
+    )
+    w = F.lit(1.0) / (F.col("tau2") + F.col("s2"))
+    b = F.col("tau2") / (F.col("tau2") + F.col("s2"))
+    for _ in range(4):
+        rates = (
+            rates.withColumn(
+                "mu_new", F.sum(F.col("p") * w).over(wall) / F.sum(w).over(wall)
+            )
+            .withColumn(
+                "tau2",
+                F.avg(
+                    F.pow(b * (F.col("p") - F.col("mu_new")), 2) + b * F.col("s2")
+                ).over(wall),
+            )
+            .withColumn("mu", F.col("mu_new"))
+            .drop("mu_new")
+        )
+    return rates.select(
+        "grp",
+        "n",
+        F.round("p", 6).alias("raw_rate"),
+        F.round(F.col("mu") + b * (F.col("p") - F.col("mu")), 6).alias(
+            "shrunk_rate"
+        ),
+        F.round("mu", 6).alias("mu"),
+        F.round("tau2", 6).alias("tau2"),
+    ).orderBy("grp")
+
+
 def _irls_oracle(iters: int = 3) -> str:
     """Unrolled-iteration IRLS oracle (same trick as the Lloyd k-means
     oracle): each round is one CTE computing the five weighted sums
