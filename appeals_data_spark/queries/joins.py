@@ -628,3 +628,92 @@ def j12_cross_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# J21: the 100 TB fact-fact layout. tests/test_bucketing.py proves the
+# co-partitioned plan property; this registered twin makes the layout
+# claim a driver-checked artifact (green CORRECTNESS row + the plan
+# gate's Exchange assertion in tests/test_plans.py::test_j21_*).
+# ---------------------------------------------------------------------------
+
+# One bucketed materialization per (session, sf_dir): the builders must
+# stay idempotent because the harness calls them repeatedly (warmup +
+# timed + differential).
+_BUCKETED_DONE: set[tuple[str, str]] = set()
+
+
+def bucketed_fact_tables(spark: SparkSession, sf_dir: str):
+    """Materialize orders/lineitem bucketed by order key (8 buckets,
+    sorted) and return them as catalog tables. This is SURVEY §4's
+    prescribed layout: both facts hash-clustered on the join key at
+    WRITE time, so every subsequent key join is a zipped scan-to-scan
+    sort-merge with zero shuffle — the layout that kills the dominant
+    fact-fact exchange at 100 TB (where re-shuffling 100 TB per query
+    is the bottleneck; here the one-time write cost amortizes over
+    every downstream join)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    o_name, li_name = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BUCKETED_DONE:
+        base = os.path.join(tempfile.gettempdir(), f"spark_graft_bkt_{tag}")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        for df, name, col in (
+            (o, o_name, "o_orderkey"),
+            (li, li_name, "l_orderkey"),
+        ):
+            (
+                df.write.bucketBy(8, col)
+                .sortBy(col)
+                .mode("overwrite")
+                .option("path", os.path.join(base, name))
+                .saveAsTable(name)
+            )
+        _BUCKETED_DONE.add(key)
+    return spark.table(o_name), spark.table(li_name)
+
+
+@register(
+    "j21_bucketed_copartition_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("J21", "J1", "S9", "SCALE"),
+)
+def j21_bucketed_copartition_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over the bucketed layout (SURVEY §4): lineitem
+    joins orders scan-to-scan on the bucket key — no exchange on either
+    join side (asserted in tests/test_plans.py); the only shuffle in
+    the query feeds the final priority rollup. hint('merge') pins SMJ
+    so the plan exercises the bucket co-partitioning rather than
+    broadcasting the small local-test side (at 100 TB neither side
+    broadcasts). Bucketing never changes content, so the oracle is the
+    plain join on the raw tables."""
+    o_b, li_b = bucketed_fact_tables(spark, sf_dir)
+    return (
+        li_b.hint("merge")
+        .join(o_b, li_b["l_orderkey"] == o_b["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -120,6 +120,17 @@ def test_scans_are_column_pruned(all_plans):
     assert not offenders, offenders
 
 
+def test_j21_join_sides_are_shuffle_free(spark):
+    # The bucketed-layout query's reason to exist: both fact scans feed
+    # the sort-merge join with no Exchange on either side (children of
+    # the SMJ node print after it in the plan tree).
+    df = all_queries()["j21_bucketed_copartition_join"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    join_subtree = plan.split("SortMergeJoin")[-1]
+    assert join_subtree.count("Exchange") == 0, plan
+
+
 def test_bench_shuffle_budget_frozen(all_plans):
     from appeals_data_spark.registry import all_queries
 
