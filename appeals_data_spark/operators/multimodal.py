@@ -54,13 +54,58 @@ def as_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+PPM_MIME = "image/x-portable-pixmap"
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PPM (P6) encoder — pure Python, no codec libraries.
+    ``pixels`` is raw interleaved RGB, len == width*height*3."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, "
+            f"expected {width * height * 3} for {width}x{height} RGB"
+        )
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Binary PPM (P6) decoder -> (width, height, raw RGB bytes).
+    Handles the format's whitespace/comment header grammar; only
+    maxval 255 (8-bit channels) is supported."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, got maxval={maxval}")
+    pos += 1  # single whitespace byte separates header from raster
+    raster = payload[pos : pos + width * height * 3]
+    if len(raster) != width * height * 3:
+        raise ValueError("truncated PPM raster")
+    return width, height, raster
+
+
 def decode_media(payload: bytes, mime: str):
-    """Stub for the real decoder (PIL.Image.open / soundfile.read /
-    av.open). The image/audio libraries are not installed in this
-    environment; a production deployment plugs them in here.
+    """Decode hook, dispatched on mime. PPM images decode natively
+    (pure-Python P6 codec above — no external libraries); every other
+    format is where a production deployment plugs in PIL.Image.open /
+    soundfile.read / av.open, none of which are installed in this
+    environment.
     """
+    if mime == PPM_MIME:
+        return decode_ppm(bytes(payload))
     raise NotImplementedError(
-        "media codecs unavailable in this environment; "
+        f"no codec for {mime!r} in this environment; "
         "install PIL/soundfile/av and dispatch on mime"
     )
 
@@ -113,6 +158,62 @@ def extract_features(media: DataFrame) -> DataFrame:
         F.md5("blob").alias("digest"),
     )
     return _sized(slim).mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+
+
+PPM_STATS_SCHEMA = "doc_id long, width int, height int, pixel_sum long"
+
+
+def as_ppm_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL image payload per document: a constant-color
+    RGB PPM whose dims/color are pure functions of doc_id (w = id%16+4,
+    h = id%12+4, rgb = id%256/(7id)%256/(13id)%256) — so everything a
+    decoder recovers from the bytes has an exact SQL twin, while the
+    payload is still a genuine container a real parser must decode."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = d % 16 + 4, d % 12 + 4
+                px = bytes((d % 256, (d * 7) % 256, (d * 13) % 256)) * (w * h)
+                blobs.append(encode_ppm(w, h, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return (
+        _sized(docs.select("doc_id"))
+        .mapInPandas(_enc, schema="doc_id long, blob binary")
+        .withColumn("mime", F.lit(PPM_MIME))
+    )
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """End-to-end decode path: parse each payload via the decode_media
+    mime dispatch and emit stats computed FROM THE DECODED RASTER
+    (dims from the header, pixel_sum over every byte) — a wrong parse
+    of any byte changes the output. Arrow-batched, 1:1, partition-
+    preserving, like every other payload stage."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for blob, mime in zip(pdf["blob"], pdf["mime"]):
+                w, h, raster = decode_media(blob, mime)
+                ws.append(w)
+                hs.append(h)
+                sums.append(
+                    int(np.frombuffer(raster, dtype=np.uint8).astype(np.int64).sum())
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "width": ws, "height": hs,
+                 "pixel_sum": sums}
+            )
+
+    return media.select("doc_id", "blob", "mime").mapInPandas(
+        _dec, schema=PPM_STATS_SCHEMA
+    )
 
 
 RESIZE_SCHEMA = "doc_id long, blob binary, new_width int, new_height int"

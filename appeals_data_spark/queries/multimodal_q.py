@@ -14,11 +14,58 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.multimodal import (
     as_media,
+    as_ppm_media,
+    decode_image_stats,
     extract_features,
     resize_media,
     sample_frames,
 )
 from ..registry import register
+
+
+@register(
+    "mm_decode_image",
+    oracle="""
+    WITH img AS (
+      SELECT source,
+             doc_id % 16 + 4 AS w,
+             doc_id % 12 + 4 AS h,
+             doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
+             (doc_id * 13) % 256 AS b
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_imgs,
+           CAST(SUM(w) AS BIGINT) AS total_width,
+           CAST(SUM(h) AS BIGINT) AS total_height,
+           CAST(SUM((r + g + b) * w * h) AS BIGINT) AS total_pixel_sum
+    FROM img
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("MM", "UDF", "CODEC"),
+)
+def mm_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1:1 decode path end-to-end with a REAL codec: synthesize a
+    binary PPM per document (genuine P6 container), decode it through
+    the decode_media mime dispatch (pure-Python parser — no codec
+    libraries), and roll up stats computed from the decoded header and
+    raster. The oracle predicts dims and the full-raster pixel sum from
+    the doc_id arithmetic — integer-exact, so any mis-parsed byte
+    hash-fails."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = decode_image_stats(as_ppm_media(docs))
+    return (
+        stats.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_imgs"),
+            F.sum("width").alias("total_width"),
+            F.sum("height").alias("total_height"),
+            F.sum("pixel_sum").alias("total_pixel_sum"),
+        )
+        .orderBy("source")
+    )
 
 
 @register(

@@ -51,6 +51,17 @@ def test_ivf_recall(ground_truth):
     assert _recall(found, truth) >= 0.35  # measured 0.40 (nprobe=2 of ~10 cells)
 
 
+def test_ivf_recall_nprobe1(ground_truth):
+    # The cheapest setting still has to find something: a recall-0 run
+    # here means centroid assignment or the probe join broke outright.
+    emb, queries, truth = ground_truth
+    found = {
+        (r.query_id, r.corpus_id)
+        for r in ivf_topk(emb, queries, k=K, nprobe=1).collect()
+    }
+    assert _recall(found, truth) >= 0.10  # measured 0.15 (1 of ~10 cells)
+
+
 def test_ivf_recall_rises_with_nprobe(ground_truth):
     emb, queries, truth = ground_truth
     r2 = _recall(

@@ -72,3 +72,52 @@ def test_frame_sampling_fanout(spark):
         assert per_doc[did] == (nf + 3) // 4  # ceil(n_frames / 4)
     idx = frames.filter("doc_id = %d" % next(iter(meta))).collect()
     assert all(r["frame_idx"] % 4 == 0 for r in idx)
+
+
+def test_ppm_round_trip():
+    from appeals_data_spark.operators.multimodal import (
+        PPM_MIME,
+        decode_media,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    px = bytes(range(18))  # 2x3 RGB
+    blob = encode_ppm(2, 3, px)
+    assert blob.startswith(b"P6\n2 3\n255\n")
+    assert decode_ppm(blob) == (2, 3, px)
+    assert decode_media(blob, PPM_MIME) == (2, 3, px)
+
+
+def test_ppm_decoder_handles_comments_and_whitespace():
+    from appeals_data_spark.operators.multimodal import decode_ppm
+
+    px = bytes(3)
+    blob = b"P6\n# a comment\n 1\t1 # trailing\n255\n" + px
+    assert decode_ppm(blob) == (1, 1, px)
+
+
+def test_ppm_decoder_rejects_bad_payloads():
+    from appeals_data_spark.operators.multimodal import decode_media, decode_ppm
+
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x00")
+    with pytest.raises(NotImplementedError, match="no codec"):
+        decode_media(b"\x89PNG", "image/png")
+
+
+def test_decode_image_stats_reads_every_byte(spark):
+    from appeals_data_spark.operators.multimodal import (
+        as_ppm_media,
+        decode_image_stats,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    out = {r["doc_id"]: r for r in decode_image_stats(as_ppm_media(docs)).collect()}
+    for did, r in out.items():
+        w, h = did % 16 + 4, did % 12 + 4
+        rgb = did % 256 + (did * 7) % 256 + (did * 13) % 256
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["pixel_sum"] == rgb * w * h
