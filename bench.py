@@ -61,12 +61,20 @@ def main() -> None:
     # on one arbitrary query (observed: 2s queries billed 13s); the
     # per-query minimum is the steady-state number. Declared in the
     # JSON so the aggregation is auditable.
+    # Both aggregations are reported so the cross-round series stays
+    # comparable: round 1 recorded single-run numbers, round 2
+    # best-of-two. "value"/agg=min stays the headline (steady-state,
+    # robust to one-off GC/compile stalls on a shared JVM); "first"
+    # is the run-1-comparable single-pass number.
+    firsts: dict[str, float] = {}
     for name, q in sorted(qs.items()):
         best = None
-        for _ in range(2):
+        for i in range(2):
             t0 = time.time()
             rows = q.builder(spark, sf_dir).collect()
             dt = time.time() - t0
+            if i == 0:
+                firsts[name] = round(dt, 3)
             best = dt if best is None or dt < best else best
             assert rows is not None
             spark.catalog.clearCache()
@@ -81,6 +89,8 @@ def main() -> None:
                 "agg": "min",
                 "unit": "sec",
                 "queries": timings,
+                "first_run_value": round(sum(firsts.values()), 3),
+                "first_run_queries": firsts,
                 "sf": sf,
             }
         )
