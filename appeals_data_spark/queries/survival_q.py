@@ -732,6 +732,183 @@ def x6_random_intercept_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("grp")
 
 
+def _mixed_oracle(iters: int = 4) -> str:
+    """Unrolled oracle for the treatment + random-intercept model:
+    cells CTE -> within-group beta -> treatment-adjusted group rates ->
+    the same EM rounds as _em_oracle over (p_adj, s2)."""
+    parts = [
+        """
+    WITH cells AS (
+      SELECT c_nationkey AS grp,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                       AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                       AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS k1
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+    ), pooled AS (
+      SELECT CAST(SUM(k0 + k1) AS DOUBLE) / SUM(n0 + n1) AS pbar FROM cells
+    ), beta_est AS (
+      SELECT SUM((CAST(k1 AS DOUBLE)/n1 - CAST(k0 AS DOUBLE)/n0)
+                 * (CAST(n1 AS DOUBLE)*n0/(n1+n0)))
+             / SUM(CAST(n1 AS DOUBLE)*n0/(n1+n0)) AS beta
+      FROM cells WHERE n0 > 0 AND n1 > 0
+    ), adj AS (
+      SELECT grp, n0 + n1 AS n,
+             (CAST(k0 + k1 AS DOUBLE) - beta * n1) / (n0 + n1) AS p_adj,
+             pbar * (1 - pbar) / (n0 + n1) AS s2,
+             n0, k0, n1, k1, beta, pbar
+      FROM cells, pooled, beta_est
+    ), g AS (
+      SELECT AVG(p_adj) AS pbar_a, AVG(1.0 / n) AS invn,
+             VAR_SAMP(p_adj) AS vp,
+             MAX(pbar) AS pbar
+      FROM adj
+    ), it0 AS (
+      SELECT pbar_a AS mu,
+             GREATEST(0.0, vp - pbar * (1 - pbar) * invn) AS tau2
+      FROM g
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , m{i} AS (
+      SELECT SUM(p_adj / (tau2 + s2)) / SUM(1.0 / (tau2 + s2)) AS mu
+      FROM adj CROSS JOIN it{i - 1}
+    ), it{i} AS (
+      SELECT (SELECT mu FROM m{i}) AS mu,
+             AVG(POW((tau2 / (tau2 + s2)) * (p_adj - (SELECT mu FROM m{i})), 2)
+                 + (tau2 / (tau2 + s2)) * s2) AS tau2
+      FROM adj CROSS JOIN it{i - 1}
+    )""")
+    parts.append(f"""
+    SELECT grp, n,
+           CASE WHEN n0 > 0 THEN ROUND(CAST(k0 AS DOUBLE) / n0, 6) END AS raw_control,
+           CASE WHEN n1 > 0 THEN ROUND(CAST(k1 AS DOUBLE) / n1, 6) END AS raw_treated,
+           ROUND(p_adj, 6) AS p_adj,
+           ROUND((tau2 / (tau2 + s2)) * (p_adj - mu), 6) AS u,
+           ROUND(beta, 6) AS beta,
+           ROUND(mu, 6) AS mu, ROUND(tau2, 6) AS tau2
+    FROM adj CROSS JOIN it{iters}
+    ORDER BY grp""")
+    return "".join(parts)
+
+
+@register(
+    "x6_mixed_treatment_em",
+    oracle=_mixed_oracle(),
+    tags=("X6", "X3", "GLM"),
+)
+def x6_mixed_treatment_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full glmer shape — a fixed treatment effect plus
+    a per-group random intercept (effect-on-outcomes.Rmd:236
+    ``glmer(outcome ~ hearing + (1|fy))``) — decomposed Spark-first:
+
+    1. beta (treatment effect) by the WITHIN estimator: random
+       intercepts cancel exactly in within-group treated-minus-control
+       rate differences, so beta is a precision-weighted average of
+       per-group differences (weights n1*n0/n, the inverse sampling
+       variance up to the constant pbar(1-pbar)) over groups observing
+       both arms — no iteration needed.
+    2. Random-intercept EM (x6_random_intercept_em's four unrolled
+       rounds) over the treatment-adjusted group rates
+       p_adj = (k0 + k1 - beta*n1)/n, whose precision-weighted
+       sampling variance collapses to pbar(1-pbar)/n.
+
+    Treatment is the synthetic orderkey parity; outcome = order
+    finished; groups = customer nation. One fact join + ONE groupBy
+    produces the (grp, arm) sufficient stats as conditional aggregates;
+    everything after runs as whole-frame window expressions over the
+    #groups-sized table — same single-extra-exchange plan as the pure
+    random-intercept EM."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    t1 = F.col("o_orderkey") % 2 == 1
+    fin = F.col("o_orderstatus") == "F"
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("grp"))
+        .agg(
+            F.sum(F.when(~t1, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(~t1 & fin, 1).otherwise(0)).alias("k0"),
+            F.sum(F.when(t1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(t1 & fin, 1).otherwise(0)).alias("k1"),
+        )
+    )
+    wall = Window.partitionBy()
+    both = (F.col("n0") > 0) & (F.col("n1") > 0)
+    wgt = F.when(both, F.col("n1").cast("double") * F.col("n0") / (F.col("n1") + F.col("n0")))
+    diff = F.col("k1").cast("double") / F.col("n1") - F.col("k0").cast("double") / F.col("n0")
+    adj = (
+        cells.withColumn(
+            "pbar",
+            F.sum(F.col("k0") + F.col("k1")).over(wall).cast("double")
+            / F.sum(F.col("n0") + F.col("n1")).over(wall),
+        )
+        .withColumn(
+            "beta",
+            F.sum(F.when(both, diff * wgt)).over(wall) / F.sum(wgt).over(wall),
+        )
+        .withColumn("n", F.col("n0") + F.col("n1"))
+        .withColumn(
+            "p_adj",
+            ((F.col("k0") + F.col("k1")).cast("double") - F.col("beta") * F.col("n1"))
+            / F.col("n"),
+        )
+        .withColumn("s2", F.col("pbar") * (1 - F.col("pbar")) / F.col("n"))
+        .withColumn("pbar_a", F.avg("p_adj").over(wall))
+        .withColumn("invn", F.avg(F.lit(1.0) / F.col("n")).over(wall))
+        .withColumn("vp", F.var_samp("p_adj").over(wall))
+        .withColumn("mu", F.col("pbar_a"))
+        .withColumn(
+            "tau2",
+            F.greatest(
+                F.lit(0.0),
+                F.col("vp") - F.col("pbar") * (1 - F.col("pbar")) * F.col("invn"),
+            ),
+        )
+    )
+    w = F.lit(1.0) / (F.col("tau2") + F.col("s2"))
+    b = F.col("tau2") / (F.col("tau2") + F.col("s2"))
+    for _ in range(4):
+        adj = (
+            adj.withColumn(
+                "mu_new",
+                F.sum(F.col("p_adj") * w).over(wall) / F.sum(w).over(wall),
+            )
+            .withColumn(
+                "tau2",
+                F.avg(
+                    F.pow(b * (F.col("p_adj") - F.col("mu_new")), 2)
+                    + b * F.col("s2")
+                ).over(wall),
+            )
+            .withColumn("mu", F.col("mu_new"))
+            .drop("mu_new")
+        )
+    return adj.select(
+        "grp",
+        "n",
+        F.when(
+            F.col("n0") > 0,
+            F.round(F.col("k0").cast("double") / F.col("n0"), 6),
+        ).alias("raw_control"),
+        F.when(
+            F.col("n1") > 0,
+            F.round(F.col("k1").cast("double") / F.col("n1"), 6),
+        ).alias("raw_treated"),
+        F.round("p_adj", 6).alias("p_adj"),
+        F.round(b * (F.col("p_adj") - F.col("mu")), 6).alias("u"),
+        F.round("beta", 6).alias("beta"),
+        F.round("mu", 6).alias("mu"),
+        F.round("tau2", 6).alias("tau2"),
+    ).orderBy("grp")
+
+
 def _irls_oracle(iters: int = 3) -> str:
     """Unrolled-iteration IRLS oracle (same trick as the Lloyd k-means
     oracle): each round is one CTE computing the five weighted sums

@@ -96,6 +96,7 @@ _SWEEP_FIRST = [
     "mm_frame_sample",
     # new in round 3 (oracle-backed)
     "x6_random_intercept_em",
+    "x6_mixed_treatment_em",
     "j21_bucketed_copartition_join",
     "mm_decode_image",
     # green sentinels from rounds 1-2 for cross-round regression cover
