@@ -452,3 +452,72 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rnk", "token", "n")
         .orderBy("rnk")
     )
+
+
+@register(
+    "text_top2gram_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, source, len(toks) AS wc,
+             UNNEST(list_transform(range(len(toks) - 1),
+                                   i -> toks[i + 1] || ' ' || toks[i + 2])) AS gram
+      FROM t WHERE len(toks) >= 2
+    ), cnt AS (
+      SELECT doc_id, source, wc, gram, COUNT(*) AS c
+      FROM g GROUP BY doc_id, source, wc, gram
+    ), top AS (
+      SELECT doc_id, source, wc, MAX(c) AS topc
+      FROM cnt GROUP BY doc_id, source, wc
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(AVG(2.0 * topc / wc), 6) AS avg_top2gram_frac,
+           CAST(SUM(CASE WHEN 2.0 * topc / wc > 0.2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repetitive
+    FROM top
+    GROUP BY source ORDER BY source
+    """,
+    tags=("TEXT", "QUALITY", "A1"),
+)
+def text_top2gram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's top-n-gram repetition signal (Rae et al. 2021 §A1.1:
+    'fraction of characters in the most common n-gram', word-2-gram
+    form): per document, the token share of its single most frequent
+    2-gram; per source, the mean share and the count of documents over
+    the 0.2 repetition threshold. Complements text_gopher_filters'
+    duplicate-3-gram ratio (which measures distinctness, not
+    concentration).
+
+    Physical shape at 100 TB: explode to (doc, gram) -> partial-agg
+    count -> per-doc max -> per-source rollup. The (doc_id, gram)
+    aggregation map-side-combines before its shuffle and everything
+    after is #docs-sized; no join, no cartesian."""
+    from ..functions.text import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.trim(F.col("text")))
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(low)).alias("wc"),
+        shingles(low, 2).alias("grams"),
+    ).filter(F.col("wc") >= 2)
+    cnt = (
+        base.select("doc_id", "source", "wc", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "source", "wc", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    top = cnt.groupBy("doc_id", "source", "wc").agg(F.max("c").alias("topc"))
+    frac = F.lit(2.0) * F.col("topc") / F.col("wc")
+    return (
+        top.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(frac), 6).alias("avg_top2gram_frac"),
+            F.sum((frac > 0.2).cast("int")).cast("long").alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )

@@ -99,6 +99,7 @@ _SWEEP_FIRST = [
     "x6_mixed_treatment_em",
     "j21_bucketed_copartition_join",
     "mm_decode_image",
+    "text_top2gram_repetition",
     # green sentinels from rounds 1-2 for cross-round regression cover
     "a1_pricing_summary",
     "u1_union_event_log",
