@@ -74,3 +74,69 @@ def s5_csv_dim_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+# One partitioned materialization per (session, sf_dir) — idempotent
+# across the harness's repeated builder calls, same pattern as
+# joins.bucketed_fact_tables.
+_PARTITIONED_DONE: dict[tuple[str, str], str] = {}
+
+
+def partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize orders date-partitioned by order year — SURVEY §4's
+    production layout for the fact tables (write_partitioned is the
+    generic writer; this is its query-visible artifact). A reader
+    filtering on the partition column never opens non-matching
+    partition directories (PartitionFilters prune at planning), which
+    at 100 TB is the difference between scanning one year and scanning
+    the lake."""
+    import hashlib
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _PARTITIONED_DONE.get(key)
+    if path is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(tempfile.gettempdir(), f"spark_graft_part_{tag}", "orders_by_yr")
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("o_yr", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("o_yr")
+            .parquet(path)
+        )
+        _PARTITIONED_DONE[key] = path
+    return spark.read.parquet(path)
+
+
+@register(
+    "s9_partition_pruned_rollup",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE YEAR(o_orderdate) = 1997
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("S9", "S1", "A1", "SCALE"),
+)
+def s9_partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup over ONE partition of the date-partitioned orders layout:
+    the o_yr = 1997 predicate resolves against the directory structure
+    at plan time (PartitionFilters — asserted in tests/test_plans.py),
+    so the scan never opens the other years' files. Partitioning never
+    changes content, so the oracle is the equivalent filter on the raw
+    table."""
+    po = partitioned_orders(spark, sf_dir)
+    return (
+        po.filter(F.col("o_yr") == 1997)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

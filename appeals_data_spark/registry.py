@@ -100,6 +100,7 @@ _SWEEP_FIRST = [
     "j21_bucketed_copartition_join",
     "mm_decode_image",
     "text_top2gram_repetition",
+    "s9_partition_pruned_rollup",
     # green sentinels from rounds 1-2 for cross-round regression cover
     "a1_pricing_summary",
     "u1_union_event_log",

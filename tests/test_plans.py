@@ -131,6 +131,15 @@ def test_j21_join_sides_are_shuffle_free(spark):
     assert join_subtree.count("Exchange") == 0, plan
 
 
+def test_s9_partition_filter_prunes_scan(spark):
+    # The partitioned-layout query's reason to exist: the year predicate
+    # resolves against partition directories at plan time, not per-row.
+    df = all_queries()["s9_partition_pruned_rollup"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "1997" in m.group(1), plan
+
+
 def test_bench_shuffle_budget_frozen(all_plans):
     from appeals_data_spark.registry import all_queries
 
