@@ -294,3 +294,40 @@ def run_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def sink_parquet_stream(
+    result: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
+) -> None:
+    """Durable file sink with exactly-once resume: the checkpoint
+    records which source files each committed micro-batch consumed, so
+    a restart with the same checkpoint processes ONLY files that
+    arrived since — reprocessing nothing, losing nothing. This is the
+    production shape of the reference's nightly append-only exports
+    (SURVEY §2.10): at 100 TB the stream IS the ingest job, and resume
+    correctness replaces the reference's manual high-water-mark
+    bookkeeping. availableNow drains everything pending, then stops."""
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_foreach_batch(result: DataFrame, fn, checkpoint: str) -> None:
+    """Custom-sink escape hatch: ``fn(batch_df, batch_id)`` runs once
+    per committed micro-batch (foreachBatch) — the hook for upserts/
+    MERGEs into external stores. batch_id is stable across retries, so
+    an idempotent fn (key on batch_id) gives effective exactly-once;
+    the checkpoint carries the committed offset past restarts."""
+    q = (
+        result.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -223,3 +223,59 @@ def test_doc_curation_parity(spark, docs_dir):
     # every doc appears exactly once and quality is a strict subset flag
     ids = [r[0] for r in _rows(streamed, ["doc_id"])]
     assert len(ids) == len(set(ids))
+
+
+def test_parquet_sink_checkpoint_resume_exactly_once(spark, tmp_path):
+    # First drain processes part-0000; the second sees ONLY the file
+    # added in between — nothing reprocessed, nothing lost.
+    from appeals_data_spark.streaming.event_stream import (
+        extracted_event_stream,
+        sink_parquet_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-0000.parquet")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    sink_parquet_stream(
+        extracted_event_stream(event_stream(spark, str(src))), out, ckpt
+    )
+    n1 = spark.read.parquet(out).count()
+    expected_per_file = n1
+    assert n1 > 0
+
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-0001.parquet")
+    sink_parquet_stream(
+        extracted_event_stream(event_stream(spark, str(src))), out, ckpt
+    )
+    n2 = spark.read.parquet(out).count()
+    assert n2 == 2 * expected_per_file  # part-0000 not re-emitted
+
+
+def test_foreach_batch_sees_each_batch_once(spark, tmp_path):
+    from appeals_data_spark.streaming.event_stream import run_foreach_batch
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-0000.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    seen: list[tuple[int, int]] = []
+    run_foreach_batch(
+        event_stream(spark, str(src)).select("event_id"),
+        lambda df, bid: seen.append((bid, df.count())),
+        ckpt,
+    )
+    total = sum(n for _, n in seen)
+    assert total == spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert len(set(b for b, _ in seen)) == len(seen)  # batch ids unique
+
+    # resume with nothing new: no batch re-fires with data
+    before = list(seen)
+    run_foreach_batch(
+        event_stream(spark, str(src)).select("event_id"),
+        lambda df, bid: seen.append((bid, df.count())),
+        ckpt,
+    )
+    assert sum(n for _, n in seen) == sum(n for _, n in before)
