@@ -59,3 +59,23 @@ def test_approx_rank_selection_matches_exact_neighborhood(spark):
 
     approx_d = datetime.datetime.fromtimestamp(approx, datetime.timezone.utc).date()
     assert abs((approx_d - exact).days) <= 7
+
+
+def test_hll_sketch_partials_merge_to_whole(spark):
+    # The mergeable-sketch contract that makes distinct counts shardable
+    # at 100 TB: per-shard HLL sketches unioned give the IDENTICAL
+    # register state (elementwise max) as one pass over the whole
+    # stream, so the estimate is exactly reproducible under any
+    # partitioning / shard topology.
+    o = load_table(spark, SF_SMOKE, "orders")
+    whole = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("e")
+    ).first()["e"]
+    merged = (
+        o.withColumn("shard", F.col("o_orderkey") % 8)
+        .groupBy("shard")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .first()["e"]
+    )
+    assert merged == whole

@@ -121,3 +121,20 @@ def test_decode_image_stats_reads_every_byte(spark):
         rgb = did % 256 + (did * 7) % 256 + (did * 13) % 256
         assert (r["width"], r["height"]) == (w, h)
         assert r["pixel_sum"] == rgb * w * h
+
+
+def test_ppm_round_trip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from appeals_data_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.data())
+    def prop(data):
+        w = data.draw(st.integers(1, 16))
+        h = data.draw(st.integers(1, 16))
+        px = data.draw(st.binary(min_size=w * h * 3, max_size=w * h * 3))
+        assert decode_ppm(encode_ppm(w, h, px)) == (w, h, px)
+
+    prop()
