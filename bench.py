@@ -80,10 +80,15 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    try:
+        load_avg = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_avg = None
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
+                "load_avg_1m": load_avg,
                 "value": total,
                 "runs_per_query": 2,
                 "agg": "min",

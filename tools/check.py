@@ -85,6 +85,13 @@ def _rows_key(rows, cols):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="run on a stock SparkSession (no engine tuning) — the "
+        "external driver's environment; catalog.load_table must still "
+        "set every conf the queries depend on at runtime",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -94,7 +101,12 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
-    spark = get_spark("check")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("check")
     qs = all_queries()
     names = args.names or list(qs)
     n_pass = n_fail = n_rowsonly = 0
