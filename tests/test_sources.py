@@ -81,3 +81,65 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # (directory-level pruning), not a post-scan data filter
     assert "PartitionFilters" in plan and "1995-03" in plan.split("PartitionFilters", 1)[1][:200]
     assert one_month.count() == src.filter(F.col("o_month") == "1995-03").count()
+
+
+def test_ts_storage_generations_normalize_identically(spark, tmp_path):
+    """The driver regenerates testdata between rounds and the events ts
+    column has shipped BOTH as INT64 TIMESTAMP(NANOS) and as plain
+    timestamp[us]. Pin that catalog.load_table and event_stream
+    normalize the two storage generations to the same instants, so a
+    fixture regeneration can never silently shift event times again."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from appeals_data_spark.catalog import _READ_CACHE, load_table
+    from appeals_data_spark.streaming.event_stream import event_stream
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    stamps = [base, base + dt.timedelta(minutes=90), None]
+    cols = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 10, 11], pa.int64()),
+        "event_type": pa.array(["click", "view", "click"]),
+        "value": pa.array([1.0, 2.0, 3.0]),
+        "props": pa.array(["{}", "{}", "{}"]),
+    }
+    gen_dirs = {}
+    for gen, unit in (("nanos", "ns"), ("micros", "us")):
+        d = tmp_path / gen
+        d.mkdir()
+        tbl = pa.table({**cols, "ts": pa.array(stamps, pa.timestamp(unit))})
+        pq.write_table(tbl, d / "events.parquet")
+        gen_dirs[gen] = str(d)
+
+    def batch_rows(sf_dir):
+        df = load_table(spark, sf_dir, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+        return sorted(
+            (r["event_id"], r["ts"]) for r in df.select("event_id", "ts").collect()
+        )
+
+    try:
+        a, b = batch_rows(gen_dirs["nanos"]), batch_rows(gen_dirs["micros"])
+        assert a == b
+        assert a[0][1] == base  # instants preserved, not shifted 1000x
+
+        def stream_rows(sf_dir):
+            from appeals_data_spark.streaming.event_stream import run_to_memory
+
+            out = run_to_memory(
+                spark,
+                event_stream(spark, sf_dir).select("event_id", "ts"),
+                f"t_gen_{sf_dir.split('/')[-1]}",
+                output_mode="append",
+            )
+            return sorted((r["event_id"], r["ts"]) for r in out.collect())
+
+        sa, sb = stream_rows(gen_dirs["nanos"]), stream_rows(gen_dirs["micros"])
+        assert sa == sb
+    finally:
+        # purge per-(session, dir) read cache entries for the temp dirs
+        for k in [k for k in _READ_CACHE if k[1] in gen_dirs.values()]:
+            _READ_CACHE.pop(k)
