@@ -140,3 +140,41 @@ def s9_partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# One SQL text, two engines: the S1 "SQL surface" artifact. The body is
+# written in the ANSI subset both dialects execute identically; only
+# the table identifier is templated (Spark reads a per-scale temp view,
+# DuckDB its pre-registered view of the same parquet).
+_PORTABLE_SQL = """
+    SELECT o_orderpriority,
+           YEAR(o_orderdate) AS yr,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM {orders}
+    WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderpriority, YEAR(o_orderdate)
+    ORDER BY o_orderpriority, yr
+"""
+
+
+@register(
+    "s1_portable_sql_rollup",
+    oracle=_PORTABLE_SQL.format(orders="orders"),
+    tags=("S1", "A1", "F2"),
+)
+def s1_portable_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql(...) text surface, differentially proven: the SAME
+    SQL string (modulo the table identifier) runs on Spark and on the
+    DuckDB oracle and must hash-match — pinning that the engine's SQL
+    dialect handling (YEAR on timestamp_ntz, DECIMAL sum contract,
+    multi-key ORDER BY) agrees with ANSI semantics, not just the
+    DataFrame API. The view name carries the scale tag so sessions
+    mixing scale factors (bench warmup vs timed) can never cross-bind."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    view = f"orders_sql_{tag}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(_PORTABLE_SQL.format(orders=view))

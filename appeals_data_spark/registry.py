@@ -101,6 +101,7 @@ _SWEEP_FIRST = [
     "mm_decode_image",
     "text_top2gram_repetition",
     "s9_partition_pruned_rollup",
+    "s1_portable_sql_rollup",
     # green sentinels from rounds 1-2 for cross-round regression cover
     "a1_pricing_summary",
     "u1_union_event_log",
