@@ -474,7 +474,8 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cnt GROUP BY doc_id, source, wc
     )
     SELECT source, COUNT(*) AS n_docs,
-           ROUND(AVG(2.0 * topc / wc), 6) AS avg_top2gram_frac,
+           CAST(SUM(2 * topc) AS BIGINT) AS total_top_tokens,
+           CAST(SUM(wc) AS BIGINT) AS total_tokens,
            CAST(SUM(CASE WHEN 2.0 * topc / wc > 0.2 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_repetitive
     FROM top
@@ -486,10 +487,15 @@ def text_top2gram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher's top-n-gram repetition signal (Rae et al. 2021 §A1.1:
     'fraction of characters in the most common n-gram', word-2-gram
     form): per document, the token share of its single most frequent
-    2-gram; per source, the mean share and the count of documents over
-    the 0.2 repetition threshold. Complements text_gopher_filters'
-    duplicate-3-gram ratio (which measures distinctness, not
-    concentration).
+    2-gram; per source, the aggregate top-gram token mass (integer
+    sums — the mean share is total_top_tokens/total_tokens, kept
+    unreduced so the compare stays integer-exact) and the count of
+    documents over the 0.2 repetition threshold. Complements
+    text_gopher_filters' duplicate-3-gram ratio (which measures
+    distinctness, not concentration). The per-doc threshold ratio is
+    a comparison, not an emitted float: 2*topc/wc > 0.2 flips only at
+    exact rational boundaries both engines compute identically in
+    double.
 
     Physical shape at 100 TB: explode to (doc, gram) -> partial-agg
     count -> per-doc max -> per-source rollup. The (doc_id, gram)
@@ -516,7 +522,8 @@ def text_top2gram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg(frac), 6).alias("avg_top2gram_frac"),
+            F.sum(F.lit(2) * F.col("topc")).cast("long").alias("total_top_tokens"),
+            F.sum("wc").cast("long").alias("total_tokens"),
             F.sum((frac > 0.2).cast("int")).cast("long").alias("n_repetitive"),
         )
         .orderBy("source")
