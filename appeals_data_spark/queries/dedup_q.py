@@ -61,6 +61,98 @@ def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_coverage",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, source,
+             UNNEST(list_transform(range(len(toks) - 4),
+                                   i -> array_to_string(toks[i + 1:i + 5], ' ')))
+               AS gram
+      FROM t WHERE len(toks) >= 5
+    ), docgram AS (
+      SELECT doc_id, source, gram, COUNT(*) AS occ
+      FROM g GROUP BY doc_id, source, gram
+    ), flagged AS (
+      SELECT doc_id, source, occ,
+             COUNT(*) OVER (PARTITION BY gram) AS ndocs
+      FROM docgram
+    ), cov AS (
+      SELECT doc_id, source,
+             SUM(occ) AS n_grams,
+             SUM(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END) AS n_dup
+      FROM flagged GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(n_dup) AS BIGINT) AS dup_gram_occurrences,
+           CAST(SUM(CASE WHEN 2 * n_dup >= n_grams THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_half_dup
+    FROM cov GROUP BY source ORDER BY source
+    """,
+    tags=("DEDUP", "TEXT"),
+)
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": a
+    span is duplicated if it recurs anywhere else in the corpus).
+    Word-5-gram form: a gram occurrence is duplicated when the same
+    gram appears in >= 2 distinct documents; per document, the share
+    of gram positions covered by corpus-duplicated grams; per source,
+    the integer-exact mass (dup_gram_occurrences / total_grams is the
+    mean coverage, kept unreduced) and the count of documents at
+    least half-covered (2*n_dup >= n_grams — an integer compare, no
+    emitted float anywhere).
+
+    Physical shape at 100 TB: explode -> (doc, gram) partial-agg ->
+    ONE hash-partition on gram where a window count marks corpus
+    duplication without materializing a gram dimension table or a
+    join (the suffix-array of the paper is replaced by gram-bucket
+    counting — each task sees one gram bucket, the streaming-window
+    count is O(bucket)) -> per-doc rollup -> tiny per-source rollup.
+    Three shuffles total, all hash-partitioned equi-keys, no join.
+    Skew note: a degenerate corpus-stopword gram concentrates its
+    bucket; cap with a HAVING occ-floor pre-filter or salt the gram
+    key — the synthetic vocab (~40 tokens) is the worst case for this
+    and still executes in one task-second."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.trim(F.col("text")))
+    docgram = (
+        d.select("doc_id", "source", F.explode(shingles(low, 5)).alias("gram"))
+        .groupBy("doc_id", "source", "gram")
+        .agg(F.count("*").alias("occ"))
+    )
+    flagged = docgram.withColumn(
+        "ndocs", F.count("*").over(Window.partitionBy("gram"))
+    )
+    cov = flagged.groupBy("doc_id", "source").agg(
+        F.sum("occ").alias("n_grams"),
+        F.sum(F.when(F.col("ndocs") >= 2, F.col("occ")).otherwise(0)).alias("n_dup"),
+    )
+    return (
+        cov.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_dup").alias("dup_gram_occurrences"),
+            F.sum(
+                F.when(2 * F.col("n_dup") >= F.col("n_grams"), 1).otherwise(0)
+            ).alias("n_docs_half_dup"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "dedup_ngram_jaccard_adjacent",
     oracle="""
     WITH toks AS (

@@ -407,6 +407,169 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ), tot AS (
+      SELECT SUM(n) AS t FROM vocab
+    ), lp AS (
+      SELECT token,
+             CAST(ROUND(LN(n) - LN((SELECT t FROM tot)), 6) AS DECIMAL(18,6))
+               AS lp
+      FROM vocab
+    ), per_doc AS (
+      SELECT doc_id, source, COUNT(*) AS ntok, SUM(lp) AS sumdec
+      FROM tok JOIN lp USING (token)
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           CAST(SUM(sumdec) AS DOUBLE) AS sum_logprob,
+           ROUND(MIN(CAST(sumdec AS DOUBLE) / ntok), 6) AS min_doc_logprob,
+           ROUND(MAX(CAST(sumdec AS DOUBLE) / ntok), 6) AS max_doc_logprob
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    tags=("TEXT", "QUALITY", "J1"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model document scoring — the CCNet/CC-100-style
+    perplexity proxy every corpus-quality funnel runs: train token ->
+    log p(token) on the corpus itself (one groupBy), score each
+    document by its mean token log-probability, roll up per source.
+
+    Determinism contract: the only transcendental (ln) is evaluated
+    once per DISTINCT vocabulary token, rounded to 6 dp, and cast to
+    DECIMAL(18,6) *before* any aggregation — so every sum is exact
+    decimal arithmetic (associative, partitioning-independent) and
+    the emitted doubles are single correctly-rounded casts/divisions
+    of exact values, never order-dependent float accumulations.
+
+    Physical shape at 100 TB: vocab is a token groupBy with map-side
+    partials; the scalar total and the vocab log-prob table broadcast
+    back onto the exploded occurrence stream (vocab is MB-scale even
+    for web corpora after the count floor; if it outgrows broadcast,
+    the join degrades gracefully to a hash-partitioned equi-join on
+    token). Per-doc and per-source rollups both partial-aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.functions import broadcast
+
+    tok = d.select(
+        "doc_id", "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("n"))
+    total = vocab.agg(F.sum("n").alias("t"))
+    lp = (
+        vocab.crossJoin(broadcast(total))
+        .select(
+            "token",
+            F.round(F.log(F.col("n")) - F.log(F.col("t")), 6)
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    per_doc = (
+        tok.join(broadcast(lp), "token")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("ntok"), F.sum("lp").alias("sumdec"))
+    )
+    doc_score = F.col("sumdec").cast("double") / F.col("ntok")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+            F.sum("sumdec").cast("double").alias("sum_logprob"),
+            F.round(F.min(doc_score), 6).alias("min_doc_logprob"),
+            F.round(F.max(doc_score), 6).alias("max_doc_logprob"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_token_entropy",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), dt AS (
+      SELECT doc_id, source, token, COUNT(*) AS c
+      FROM tok GROUP BY doc_id, source, token
+    ), per_doc AS (
+      SELECT doc_id, source,
+             SUM(c) AS ntok,
+             SUM(c * CAST(ROUND(LN(c), 6) AS DECIMAL(18,6))) AS s_clnc
+      FROM dt GROUP BY doc_id, source
+    ), scored AS (
+      SELECT source, ntok,
+             LN(ntok) - CAST(s_clnc AS DOUBLE) / ntok AS ent
+      FROM per_doc
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           ROUND(MIN(ent), 6) AS min_entropy,
+           ROUND(MAX(ent), 6) AS max_entropy,
+           CAST(SUM(CASE WHEN ent < 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_entropy
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    tags=("TEXT", "QUALITY"),
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the classic
+    repetitiveness/quality signal (low entropy = a few tokens dominate;
+    used alongside Gopher's repetition ratios in Dolma/RefinedWeb-style
+    funnels). H = ln(n) - (1/n)·Σ c·ln(c) over the document's token
+    counts, so the only transcendental is ln on small integers:
+    evaluated per distinct (doc, token) count, rounded to 6 dp, cast to
+    DECIMAL before the multiply-and-sum — every aggregation is exact
+    decimal/integer arithmetic, and each emitted double is one
+    deterministic expression over exact inputs (same contract as
+    text_unigram_logprob).
+
+    Physical shape at 100 TB: explode -> (doc, token) partial-agg ->
+    per-doc rollup -> per-source rollup; no join, no window, every
+    groupBy map-side-combines before its shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = (
+        d.select(
+            "doc_id", "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = dt.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("ntok"),
+        F.sum(
+            F.col("c") * F.round(F.log(F.col("c")), 6).cast("decimal(18,6)")
+        ).alias("s_clnc"),
+    )
+    ent = F.log(F.col("ntok")) - F.col("s_clnc").cast("double") / F.col("ntok")
+    scored = per_doc.select("source", "ntok", ent.alias("ent"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+            F.round(F.min("ent"), 6).alias("min_entropy"),
+            F.round(F.max("ent"), 6).alias("max_entropy"),
+            F.sum(F.when(F.col("ent") < 2.5, 1).otherwise(0)).alias("n_low_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "text_vocab_topk",
     oracle="""
     WITH tok AS (

@@ -102,6 +102,9 @@ _SWEEP_FIRST = [
     "text_top2gram_repetition",
     "s9_partition_pruned_rollup",
     "s1_portable_sql_rollup",
+    "dedup_substring_coverage",
+    "text_unigram_logprob",
+    "text_token_entropy",
     # green sentinels from rounds 1-2 for cross-round regression cover
     "a1_pricing_summary",
     "u1_union_event_log",
