@@ -30,3 +30,18 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance — a sequential left fold, so the
+    summation order matches DuckDB's list_sum for the oracle twins."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

@@ -218,6 +218,133 @@ def ivf_topk(
     )
 
 
+def pq_codebooks(
+    corpus: DataFrame,
+    sub: int = 8,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Product-quantization codebooks: split the embedding into
+    ``dim/sub`` contiguous blocks and build one sub-centroid per
+    (block, label) as the per-label mean of that block's slice —
+    label-initialized codebooks (swap in lloyd_refine per block for
+    trained ones; the pipeline shape is identical). Output
+    (block, code, subvec) — ``(dim/sub) × |labels|`` rows, always
+    broadcast. Sub-centroid components round to ``round_dp`` so the
+    downstream nearest-code argmins are pinned across engines and
+    partitionings (same contract as lloyd_refine)."""
+    unpacked = corpus.select(
+        F.col(label_col).alias("code"), F.posexplode(vec_col).alias("pos", "x")
+    )
+    return (
+        unpacked.withColumn("block", (F.col("pos") / F.lit(sub)).cast("int"))
+        .groupBy("block", "code", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), round_dp).alias("cx"))
+        .groupBy("block", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
+            ).alias("subvec")
+        )
+    )
+
+
+def _block_slices(
+    df: DataFrame, id_alias: str, m: int, sub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("block"),
+        F.col(vec_col),
+    ).select(
+        id_alias,
+        "block",
+        F.slice(F.col(vec_col), F.col("block") * sub + 1, sub).alias("bv"),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Encode every vector as ``m`` one-byte-ish codes: per block, the
+    sub-centroid with the least squared distance (ties to the lowest
+    code). Output (id, block, code) — the compressed index. At 100 TB
+    this is THE storage win of PQ: m small ints per vector instead of
+    4·dim bytes, built in one broadcast-join pass over the corpus with
+    no shuffle wider than the code table itself."""
+    from ..functions.vectors import l2sq
+
+    blocks = _block_slices(corpus, id_col, m, sub, id_col, vec_col)
+    scored = blocks.join(F.broadcast(codebooks), "block").select(
+        id_col,
+        "block",
+        "code",
+        F.round(l2sq(F.col("bv"), F.col("subvec")), round_dp).alias("d"),
+    )
+    w = Window.partitionBy(id_col, "block").orderBy(F.asc("d"), F.asc("code"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "block", "code")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes (Jégou et al.
+    2011 shape): per query, precompute a (block, code) -> partial
+    squared-distance lookup table (m × |codebook| entries — tiny,
+    broadcast), then score candidates entirely in the compressed
+    domain: approx dist = Σ_blocks lut[block, code]. The raw corpus
+    vectors are never touched at query time — scoring reads only the
+    code table, which is what makes PQ the RAM-resident 100 TB path.
+
+    Determinism contract: each LUT entry rounds to ``round_dp`` and
+    casts to DECIMAL(18,6) before the per-pair sum, so the m-term
+    accumulation is exact decimal arithmetic and the (dist asc, id
+    asc) ranking is bit-stable across engines and partitionings."""
+    from ..functions.vectors import l2sq
+
+    qb = _block_slices(queries, "query_id", m, sub, id_col, vec_col)
+    lut = qb.join(F.broadcast(codebooks), "block").select(
+        "query_id",
+        "block",
+        "code",
+        F.round(l2sq(F.col("bv"), F.col("subvec")), round_dp)
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+    scored = (
+        codes.select(F.col(id_col).alias("corpus_id"), "block", "code")
+        .join(F.broadcast(lut), ["block", "code"])
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .groupBy("query_id", "corpus_id")
+        .agg(F.sum("w").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def lloyd_refine(
     corpus: DataFrame,
     centroids: DataFrame,

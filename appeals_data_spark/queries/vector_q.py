@@ -130,6 +130,160 @@ def vec_label_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_sql(m: int, sub: int) -> str:
+    """Shared PQ oracle CTEs (codebooks, codes, query LUT, ADC pair
+    distances) for block count ``m`` of width ``sub`` — mirrors
+    operators.similarity.pq_codebooks/pq_encode/pq_adc_topk."""
+    return f"""
+    unp AS (
+      SELECT label AS code, generate_subscripts(embedding, 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    ), cb AS (
+      SELECT block, code, list(cx ORDER BY pos) AS subvec
+      FROM (SELECT CAST(FLOOR((pos - 1) / {sub}) AS INT) AS block, code, pos,
+                   ROUND(AVG(x), 6) AS cx
+            FROM unp GROUP BY 1, 2, pos) t
+      GROUP BY block, code
+    ), blocks AS (
+      SELECT vec_id, b.block,
+             CAST(embedding[b.block * {sub} + 1 : b.block * {sub} + {sub}]
+                  AS DOUBLE[]) AS bv
+      FROM embeddings, (SELECT unnest(range({m})) AS block) b
+    ), enc AS (
+      SELECT vec_id AS corpus_id, block, code FROM (
+        SELECT bl.vec_id, bl.block, cb.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY bl.vec_id, bl.block
+                 ORDER BY ROUND(list_sum(list_transform(range(1, {sub + 1}),
+                            i -> (bl.bv[i] - cb.subvec[i])
+                               * (bl.bv[i] - cb.subvec[i]))), 6) ASC,
+                          cb.code
+               ) AS rn
+        FROM blocks bl JOIN cb ON cb.block = bl.block
+      ) WHERE rn = 1
+    ), qlut AS (
+      SELECT bl.vec_id AS query_id, bl.block, cb.code,
+             CAST(ROUND(list_sum(list_transform(range(1, {sub + 1}),
+                    i -> (bl.bv[i] - cb.subvec[i])
+                       * (bl.bv[i] - cb.subvec[i]))), 6) AS DECIMAL(18,6)) AS w
+      FROM blocks bl JOIN cb ON cb.block = bl.block
+      WHERE bl.vec_id < 8
+    ), pairs AS (
+      SELECT l.query_id, e.corpus_id, SUM(l.w) AS adist
+      FROM enc e JOIN qlut l ON l.block = e.block AND l.code = e.code
+      WHERE e.corpus_id != l.query_id
+      GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "vec_pq_adc_topk",
+    oracle=f"""
+    WITH {_pq_sql(16, 4)}, ranked AS (
+      SELECT query_id, corpus_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adist ASC, corpus_id
+             ) AS rank
+      FROM pairs
+    )
+    SELECT query_id, rank, corpus_id
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("VEC", "ANN", "PQ"),
+)
+def vec_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring
+    (Jégou et al. 2011): 64-dim embeddings split into 16 blocks of 4,
+    one label-initialized sub-centroid codebook per block, every
+    corpus vector compressed to 16 codes, queries scored entirely in
+    the compressed domain via a broadcast (block, code) -> partial-L2
+    lookup table summed as exact decimals. Ranks-only output like the
+    other ANN queries; the whole build+probe is broadcast joins plus
+    one (query, corpus) partial-aggregation — the corpus embedding
+    column is read once at encode time and never again. Pure-ADC
+    recall on these near-random vectors is the floor (~0.2, gated in
+    tests/test_ann_recall.py); vec_pq_rerank_topk is the production
+    shape that buys it back."""
+    from ..operators.similarity import pq_adc_topk, pq_codebooks, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, sub=4).localCheckpoint()
+    codes = pq_encode(emb, cb, m=16, sub=4)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_adc_topk(codes, cb, queries, m=16, sub=4, k=5).select(
+        "query_id", "rank", "corpus_id"
+    )
+
+
+@register(
+    "vec_pq_rerank_topk",
+    oracle=f"""
+    WITH {_pq_sql(32, 2)}, shortlist AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY adist ASC, corpus_id
+               ) AS rank
+        FROM pairs
+      ) WHERE rank <= 50
+    ), reranked AS (
+      SELECT s.query_id, s.corpus_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY list_cosine_similarity(
+                          CAST(q.embedding AS DOUBLE[]),
+                          CAST(c.embedding AS DOUBLE[])) DESC,
+                        s.corpus_id
+             ) AS rank
+      FROM shortlist s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.corpus_id
+    )
+    SELECT query_id, rank, corpus_id
+    FROM reranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("VEC", "ANN", "PQ"),
+)
+def vec_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist + exact re-rank — the production PQ shape
+    (IVFADC+R): score the compressed domain for a 50-deep candidate
+    shortlist per query (32 blocks x 2 dims here, the high-resolution
+    setting), then fetch ONLY those ~50 raw vectors per query and
+    re-rank them by exact cosine. Recall vs exact top-5 measures
+    0.875 on these near-random fixtures (gated in
+    tests/test_ann_recall.py) at candidate cost 50/|corpus| — the
+    rerank fetch is an equi-join on corpus_id, so at 100 TB the raw
+    embedding column is touched for shortlist members only, never
+    scanned."""
+    from ..operators.similarity import pq_adc_topk, pq_codebooks, pq_encode
+    from ..functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, sub=2).localCheckpoint()
+    codes = pq_encode(emb, cb, m=32, sub=2)
+    queries = emb.filter(F.col("vec_id") < 8)
+    shortlist = pq_adc_topk(codes, cb, queries, m=32, sub=2, k=50).select(
+        "query_id", "corpus_id"
+    )
+    qv = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cv = emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv"))
+    reranked = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "corpus_id")
+        .select("query_id", "corpus_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "corpus_id")
+        .orderBy("query_id", "rank")
+    )
+
+
 @register(
     "vec_ivf_topk",
     oracle=f"""

@@ -105,6 +105,8 @@ _SWEEP_FIRST = [
     "dedup_substring_coverage",
     "text_unigram_logprob",
     "text_token_entropy",
+    "vec_pq_adc_topk",
+    "vec_pq_rerank_topk",
     # green sentinels from rounds 1-2 for cross-round regression cover
     "a1_pricing_summary",
     "u1_union_event_log",

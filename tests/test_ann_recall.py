@@ -19,6 +19,9 @@ from appeals_data_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
     lsh_topk,
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
 )
 
 from conftest import SF_SMOKE
@@ -85,6 +88,41 @@ def test_lsh_recall_multi_table(ground_truth):
         ).collect()
     }
     assert _recall(found, truth) >= 0.45  # measured 0.525
+
+
+def _pq_found(emb, queries, m, sub, k):
+    cb = pq_codebooks(emb, sub=sub).localCheckpoint()
+    codes = pq_encode(emb, cb, m=m, sub=sub)
+    return {
+        (r.query_id, r.corpus_id)
+        for r in pq_adc_topk(codes, cb, queries, m=m, sub=sub, k=k).collect()
+    }
+
+
+def test_pq_adc_recall_floor(ground_truth):
+    # Pure compressed-domain top-5 at 16x4 blocks: the random fixture
+    # is PQ's worst case; the gate catches a broken encode/LUT, not a
+    # quality promise.
+    emb, queries, truth = ground_truth
+    assert _recall(_pq_found(emb, queries, 16, 4, K), truth) >= 0.15  # measured 0.20
+
+
+def test_pq_shortlist_rerank_recall(ground_truth):
+    # The production shape: ADC shortlist (32x2 blocks, 50 deep) must
+    # contain most of the exact top-5 — rerank recall equals shortlist
+    # containment since rerank scoring is exact.
+    emb, queries, truth = ground_truth
+    shortlist = _pq_found(emb, queries, 32, 2, 50)
+    assert len(shortlist & truth) / len(truth) >= 0.8  # measured 0.875
+
+
+def test_pq_finer_blocks_add_recall(ground_truth):
+    # Halving block width (8->4->2 dims per code) can only tighten the
+    # quantization; recall at fixed depth should be monotone.
+    emb, queries, truth = ground_truth
+    r8 = _recall(_pq_found(emb, queries, 8, 8, 50), truth)
+    r2 = _recall(_pq_found(emb, queries, 32, 2, 50), truth)
+    assert r2 >= r8
 
 
 def test_lsh_tables_add_recall(ground_truth):
