@@ -186,6 +186,81 @@ def pipe_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_temperature_mixture",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, tokens,
+             SUM(tokens) OVER () AS n_total,
+             CAST(ROUND(POW(CAST(tokens AS DOUBLE)
+                            / SUM(tokens) OVER (), 0.3), 6)
+                  AS DECIMAL(18,6)) AS wgt
+      FROM tok
+    ), z AS (
+      SELECT source, tokens, n_total, wgt, SUM(wgt) OVER () AS zsum FROM w
+    )
+    SELECT source, tokens,
+           ROUND(CAST(tokens AS DOUBLE) / n_total, 6) AS natural_share,
+           ROUND(CAST(wgt AS DOUBLE) / CAST(zsum AS DOUBLE), 6) AS temp_share,
+           ROUND((CAST(wgt AS DOUBLE) / CAST(zsum AS DOUBLE))
+                 / (CAST(tokens AS DOUBLE) / n_total), 6) AS upsample_factor,
+           CAST(FLOOR(n_total * (CAST(wgt AS DOUBLE) / CAST(zsum AS DOUBLE)))
+                AS BIGINT) AS epoch_tokens
+    FROM z ORDER BY source
+    """,
+    tags=("TEXT", "A5", "W8"),
+)
+def pipe_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (the XLM-R / mT5
+    multilingual recipe): sampling share p_i ∝ (n_i/N)^α with α=0.3,
+    flattening the natural distribution so low-resource sources are
+    upsampled. Emits per source the natural vs temperature share, the
+    implied upsample factor, and the per-epoch token budget.
+
+    Determinism contract: the one transcendental (pow) is evaluated
+    per source row, rounded to 6 dp, and cast to DECIMAL(18,6) before
+    the normalizer sum, so Z is exact decimal and every emitted double
+    is a single deterministic expression over exact inputs.
+
+    Scale shape: one map-side-combinable groupBy(source) over the
+    corpus; everything after is #sources rows (20 here), where the
+    global-window normalizer is a deliberate single-partition pass
+    over a dimension-sized table, not the fact stream."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("long").alias("tokens")
+    )
+    w_all = Window.partitionBy()
+    w = tok.select(
+        "source",
+        "tokens",
+        F.sum("tokens").over(w_all).alias("n_total"),
+        F.round(
+            F.pow(F.col("tokens").cast("double") / F.sum("tokens").over(w_all), 0.3), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("wgt"),
+    )
+    z = w.withColumn("zsum", F.sum("wgt").over(w_all))
+    temp_share = F.col("wgt").cast("double") / F.col("zsum").cast("double")
+    nat_share = F.col("tokens").cast("double") / F.col("n_total")
+    return z.select(
+        "source",
+        "tokens",
+        F.round(nat_share, 6).alias("natural_share"),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(temp_share / nat_share, 6).alias("upsample_factor"),
+        F.floor(F.col("n_total") * temp_share).cast("long").alias("epoch_tokens"),
+    ).orderBy("source")
+
+
+@register(
     "pipe_stratified_sample",
     oracle=f"""
     WITH rated AS (

@@ -107,6 +107,7 @@ _SWEEP_FIRST = [
     "text_token_entropy",
     "vec_pq_adc_topk",
     "vec_pq_rerank_topk",
+    "pipe_temperature_mixture",
     # green sentinels from rounds 1-2 for cross-round regression cover
     "a1_pricing_summary",
     "u1_union_event_log",

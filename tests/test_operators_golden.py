@@ -17,6 +17,11 @@ from appeals_data_spark.operators.dedup import (
     simhash64,
 )
 from appeals_data_spark.operators.fuzzy_join import fuzzy_asof_join
+from appeals_data_spark.operators.similarity import (
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
+)
 from appeals_data_spark.operators.pit import date_grid, pit_backlog
 from appeals_data_spark.operators.sessionize import sessionize
 from appeals_data_spark.operators.survival import kaplan_meier
@@ -317,6 +322,41 @@ def test_lloyd_refine_drops_empty_cluster(spark):
     final = assign_to_centroids(emb, cents, 1)
     counts = {r.c_label: 1 for r in final.collect()}
     assert set(counts) == {0, 1}
+
+
+def test_pq_identical_vectors_share_codes_and_win_adc(spark):
+    """Hand-built 4-dim corpus, two separated clusters: identical
+    vectors must encode to identical codes, and ADC must rank the
+    same-code candidates (the query's own cluster, tied at the query's
+    quantization distance, id-ascending) ahead of the far cluster."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 1.0, 0.1], 1),
+        (3, [0.0, 0.0, 0.9, 0.0], 1),
+        (5, [1.0, 0.0, 0.0, 0.0], 0),  # exact duplicate of vec 0
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    cb = pq_codebooks(emb, sub=2)
+    assert cb.count() == 4  # 2 blocks x 2 label codes
+    assert all(len(r.subvec) == 2 for r in cb.collect())
+    codes = pq_encode(emb, cb, m=2, sub=2)
+    assert codes.count() == 10  # every vector gets one code per block
+    by_vec = {
+        v: {(r.block, r.code) for r in g}
+        for v, g in __import__("itertools").groupby(
+            sorted(codes.collect(), key=lambda r: r.vec_id), key=lambda r: r.vec_id
+        )
+    }
+    assert by_vec[0] == by_vec[5]  # identical input -> identical codes
+    top = pq_adc_topk(codes, cb, emb.filter("vec_id = 0"), m=2, sub=2, k=3).collect()
+    # cluster-0 members tie at the query's own quantization distance and
+    # order by id; the far cluster fills the remaining slot
+    assert [r.corpus_id for r in top] == [1, 5, 3] or [
+        r.corpus_id for r in top
+    ][:2] == [1, 5]
 
 
 def test_fused_event_union_parity(spark):
