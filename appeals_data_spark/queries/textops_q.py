@@ -406,6 +406,81 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_round_sql(i: int) -> str:
+    """One unrolled BPE training round for the DuckDB oracle —
+    mirrors operators.bpe.bpe_merge_table exactly (pa != pb candidate
+    restriction, (count desc, pa, pb) tie-break, simultaneous fuse)."""
+    return f"""
+    c{i} AS (
+      SELECT pa, pb, CAST(SUM(n) AS BIGINT) AS pair_count FROM (
+        SELECT w.n, w.syms[t.i] AS pa, w.syms[t.i + 1] AS pb
+        FROM w{i - 1} w, UNNEST(range(1, len(w.syms))) AS t(i)
+      ) WHERE pa <> pb GROUP BY pa, pb
+    ), b{i} AS (
+      SELECT pa, pb, pair_count FROM (
+        SELECT pa, pb, pair_count,
+               ROW_NUMBER() OVER (ORDER BY pair_count DESC, pa, pb) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    ), w{i} AS (
+      SELECT w.word, w.n,
+             list_filter(list_transform(range(1, len(w.syms) + 1),
+               i -> CASE
+                      WHEN w.syms[i] = b.pa AND i < len(w.syms)
+                           AND w.syms[i + 1] = b.pb THEN b.pa || b.pb
+                      WHEN i > 1 AND w.syms[i - 1] = b.pa
+                           AND w.syms[i] = b.pb THEN NULL
+                      ELSE w.syms[i]
+                    END), x -> x IS NOT NULL) AS syms
+      FROM w{i - 1} w CROSS JOIN b{i} b
+    )"""
+
+
+@register(
+    "text_bpe_merges",
+    oracle=r"""
+    WITH words AS (
+      SELECT token AS word, COUNT(*) AS n FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents) GROUP BY token
+    ), w0 AS (
+      SELECT word, n,
+             list_transform(range(1, length(word) + 1),
+                            i -> substr(word, i, 1)) AS syms
+      FROM words
+    ),"""
+    + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
+    + """
+    SELECT 1 AS merge_round, pa, pb, pair_count FROM b1
+    UNION ALL SELECT 2, pa, pb, pair_count FROM b2
+    UNION ALL SELECT 3, pa, pb, pair_count FROM b3
+    ORDER BY merge_round
+    """,
+    tags=("TEXT", "X6", "J19"),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016), 3 merge rounds
+    over the corpus word-frequency dictionary: each round counts
+    adjacent symbol pairs weighted by word frequency, fuses the argmax
+    pair everywhere, repeats. The emitted merge table IS the trained
+    tokenizer artifact — all integer/string, so the 3-round unrolled
+    oracle is exact. See operators.bpe for the pa != pb determinism
+    restriction and the per-round physical shape (pair-count partial
+    agg + 1-row argmax broadcast + vectorized array rewrite; the word
+    dictionary, not the corpus, is what iterates — the corpus is
+    touched once by the word-count groupBy)."""
+    from ..operators.bpe import bpe_merge_table
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    return bpe_merge_table(words, n_rounds=3)
+
+
 @register(
     "text_unigram_logprob",
     oracle=r"""

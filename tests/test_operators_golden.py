@@ -324,6 +324,23 @@ def test_lloyd_refine_drops_empty_cluster(spark):
     assert set(counts) == {0, 1}
 
 
+def test_bpe_merge_table_textbook(spark):
+    """Sennrich et al.'s canonical word-dict example, hand-computed:
+    round 1 ties es/st at 9 and the lexicographic tie-break picks es;
+    round 2 fuses (es,t); round 3 ties lo/ow at 7 and picks lo."""
+    from appeals_data_spark.operators.bpe import bpe_merge_table
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, n long",
+    )
+    got = [
+        (r.merge_round, r.pa, r.pb, r.pair_count)
+        for r in bpe_merge_table(words, n_rounds=3).collect()
+    ]
+    assert got == [(1, "e", "s", 9), (2, "es", "t", 9), (3, "l", "o", 7)]
+
+
 def test_pq_identical_vectors_share_codes_and_win_adc(spark):
     """Hand-built 4-dim corpus, two separated clusters: identical
     vectors must encode to identical codes, and ADC must rank the
