@@ -282,6 +282,76 @@ def surv_cuminc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x3_grouped_correlation",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, n,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS corr_qty_disc,
+           ROUND((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n), 6)
+             AS cov_qty_disc,
+           ROUND(sx / n, 6) AS mean_qty,
+           ROUND(sy / n, 6) AS mean_disc
+    FROM s ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("X3", "GLM", "A1"),
+)
+def x3_grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pearson correlation from ONE pass of sufficient
+    statistics — the distributed-stats pattern next to
+    x3_linreg_closed_form, but with every sum carried as exact
+    DECIMAL (quantity and discount are scale-2, so products stay at
+    scale 4 and far below the exact decimal->double range): the corr/
+    cov/mean doubles are single deterministic expressions over exact
+    inputs, not rounded races between engine summation orders.
+
+    Scale shape: one map-side-combinable groupBy over the fact table;
+    everything after is #groups rows. This is how corr matrices get
+    computed at 100 TB — never a second pass for the means."""
+    from ..functions.scalars import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q, d = dec("l_quantity"), dec("l_discount")
+    s = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(d).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(d * d).cast("double").alias("syy"),
+        F.sum(q * d).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_disc"),
+        F.round((n * sxy - sx * sy) / (n.cast("double") * n), 6).alias(
+            "cov_qty_disc"
+        ),
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(sy / n, 6).alias("mean_disc"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+@register(
     "x3_linreg_closed_form",
     oracle="""
     SELECT ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,

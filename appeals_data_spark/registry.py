@@ -109,6 +109,7 @@ _SWEEP_FIRST = [
     "vec_pq_rerank_topk",
     "pipe_temperature_mixture",
     "text_bpe_merges",
+    "x3_grouped_correlation",
     # green sentinels from rounds 1-2 for cross-round regression cover
     "a1_pricing_summary",
     "u1_union_event_log",
