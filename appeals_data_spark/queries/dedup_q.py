@@ -126,8 +126,13 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     low = F.lower(F.trim(F.col("text")))
+    # One hash-partition on gram serves BOTH the (doc, gram) groupBy
+    # (gram ⊆ grouping keys, so the clustered distribution is already
+    # satisfied) and the corpus-duplication window below — the explicit
+    # repartition replaces two exchanges with one.
     docgram = (
         d.select("doc_id", "source", F.explode(shingles(low, 5)).alias("gram"))
+        .repartition("gram")
         .groupBy("doc_id", "source", "gram")
         .agg(F.count("*").alias("occ"))
     )

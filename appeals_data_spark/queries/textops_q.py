@@ -538,7 +538,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
-    vocab = tok.groupBy("token").agg(F.count("*").alias("n"))
+    # Materialize the tiny vocab once: it feeds the total, the log-prob
+    # table, AND anchors them both — without the barrier the corpus
+    # scan would run three times (score + vocab + total chains).
+    vocab = tok.groupBy("token").agg(F.count("*").alias("n")).localCheckpoint()
     total = vocab.agg(F.sum("n").alias("t"))
     lp = (
         vocab.crossJoin(broadcast(total))
