@@ -84,6 +84,17 @@ def bpe_merge_table(words: DataFrame, n_rounds: int = 3) -> DataFrame:
     argmax row broadcasts back. n_rounds is the iteration budget knob;
     lineage is cut every round so the plan stays flat.
     """
+    return _train(words, n_rounds)[0]
+
+
+def bpe_segmented_words(words: DataFrame, n_rounds: int = 3) -> DataFrame:
+    """Train ``n_rounds`` merges and return the word table segmented by
+    them: (word, n, syms array<string>) — the tokenizer *applied* to
+    its own training dictionary, ready for subword-vocab rollups."""
+    return _train(words, n_rounds)[1]
+
+
+def _train(words: DataFrame, n_rounds: int) -> tuple[DataFrame, DataFrame]:
     cur = words.select("word", "n", chars_of("word").alias("syms"))
     out: DataFrame | None = None
     w = Window.orderBy(F.desc("pair_count"), F.asc("pa"), F.asc("pb"))
@@ -101,6 +112,13 @@ def bpe_merge_table(words: DataFrame, n_rounds: int = 3) -> DataFrame:
             .select("pa", "pb", "pair_count")
             .localCheckpoint()
         )
+        if best.isEmpty():
+            # Dictionary ran out of pa != pb adjacencies: an empty
+            # argmax side would annihilate the cross join (and the
+            # dictionary with it) — stop with the merges found so far.
+            # Driver-side control on an already-materialized 1-row
+            # table, same pattern as the closure fixpoint check.
+            break
         tagged = best.select(
             F.lit(r).alias("merge_round"), "pa", "pb", "pair_count"
         )
@@ -114,5 +132,10 @@ def bpe_merge_table(words: DataFrame, n_rounds: int = 3) -> DataFrame:
             )
             .localCheckpoint()
         )
-    assert out is not None
-    return out.orderBy("merge_round")
+    if out is None:
+        # No pa != pb adjacency anywhere (e.g. all 1-char words): an
+        # empty merge table with the contract schema.
+        out = words.sparkSession.createDataFrame(
+            [], "merge_round int, pa string, pb string, pair_count bigint"
+        )
+    return out.orderBy("merge_round"), cur

@@ -482,6 +482,67 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_vocab",
+    oracle=r"""
+    WITH words AS (
+      SELECT token AS word, COUNT(*) AS n FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents) GROUP BY token
+    ), w0 AS (
+      SELECT word, n,
+             list_transform(range(1, length(word) + 1),
+                            i -> substr(word, i, 1)) AS syms
+      FROM words
+    ),"""
+    + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
+    + """
+    , vocab AS (
+      SELECT sym, CAST(SUM(n) AS BIGINT) AS occurrences
+      FROM (SELECT n, unnest(syms) AS sym FROM w3)
+      GROUP BY sym
+    )
+    SELECT rnk, sym, occurrences FROM (
+      SELECT sym, occurrences,
+             ROW_NUMBER() OVER (ORDER BY occurrences DESC, sym) AS rnk
+      FROM vocab
+    ) WHERE rnk <= 20 ORDER BY rnk
+    """,
+    tags=("TEXT", "A14"),
+)
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained BPE tokenizer APPLIED: segment the word dictionary
+    with the 3 learned merges, roll the symbol stream up into the
+    subword vocabulary, and rank the top 20 by weighted occurrence —
+    train-then-apply as ONE plan (the merge argmaxes broadcast between
+    rounds; no tokenizer artifact leaves the cluster). Counts are
+    integer-exact; the tie-break is (occurrences desc, symbol asc)."""
+    from ..operators.bpe import bpe_segmented_words
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    seg = bpe_segmented_words(words, n_rounds=3)
+    vocab = (
+        seg.select("n", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("n").alias("occurrences"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("occurrences"), F.asc("sym"))
+    return (
+        vocab.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("rnk", "sym", "occurrences")
+        .orderBy("rnk")
+    )
+
+
+@register(
     "text_unigram_logprob",
     oracle=r"""
     WITH tok AS (

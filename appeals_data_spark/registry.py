@@ -110,6 +110,7 @@ _SWEEP_FIRST = [
     "pipe_temperature_mixture",
     "text_bpe_merges",
     "x3_grouped_correlation",
+    "text_bpe_vocab",
     # green sentinels from rounds 1-2 for cross-round regression cover
     "a1_pricing_summary",
     "u1_union_event_log",

@@ -40,6 +40,48 @@ def _fuzzy_case(draw):
     return left, right
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.integers(1, 9),
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_bpe_merge_invariants(spark, word_rows):
+    """For ANY word dictionary: each trained merge rule (pa != pb by
+    construction) removes exactly pair_count symbol occurrences from
+    the segmented dictionary, and no (pa, pb) adjacency survives its
+    own round — the two facts that make the simultaneous fuse equal
+    greedy left-to-right merging."""
+    from appeals_data_spark.operators.bpe import (
+        bpe_merge_table,
+        bpe_segmented_words,
+    )
+
+    words = spark.createDataFrame(word_rows, "word string, n long")
+    for rounds in (1, 2):
+        merges = bpe_merge_table(words, n_rounds=rounds).collect()
+        seg = bpe_segmented_words(words, n_rounds=rounds).collect()
+        assert {r.word for r in seg} == {w for w, _ in word_rows}
+        total_syms = sum(r.n * len(r.syms) for r in seg)
+        total_chars = sum(n * len(w) for w, n in word_rows)
+        assert total_syms == total_chars - sum(m.pair_count for m in merges)
+        if merges:
+            last = merges[-1]
+            for r in seg:
+                for a, b in zip(r.syms, r.syms[1:]):
+                    assert not (a == last.pa and b == last.pb)
+
+
 @given(_fuzzy_case())
 @_hyp
 def test_fuzzy_asof_invariants(spark, case):
