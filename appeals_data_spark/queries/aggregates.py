@@ -424,3 +424,48 @@ def a15_interval_overlap_months(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(overlap).alias("active_order_days"))
         .orderBy("month_start")
     )
+
+
+@register(
+    "a16_cube_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("A1", "A9", "S1"),
+)
+def a16_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: every (status, priority) margin plus the
+    grand total in ONE pass, disambiguated by grouping_id — the OLAP
+    rollup surface (Spark expands the cube into an Expand node feeding
+    a single hash aggregate, so the fact table is still scanned and
+    shuffled once, not once per grouping set). Money totals through
+    the exact-decimal contract; grouping_id bit order (first key =
+    high bit) agrees between Spark and DuckDB's GROUPING().
+
+    Scale note: a d-key cube multiplies the aggregate input 2^d-fold
+    inside Expand — at 100 TB keep d small or split rare margins into
+    explicit grouping sets; 2 keys is the sweet spot."""
+    from ..functions.scalars import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total_price")
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

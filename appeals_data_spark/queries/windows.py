@@ -333,3 +333,133 @@ def w11_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("n").cast("double")).over(w), 6).alias("n_ma4"),
         F.round(F.avg("rev").over(w), 6).alias("rev_ma4"),
     ).orderBy("wk")
+
+
+@register(
+    "w12_linear_interpolation",
+    oracle="""
+    WITH nations AS (
+      SELECT DISTINCT c_nationkey AS nation FROM customer WHERE c_nationkey < 5
+    ), spine AS (
+      SELECT nation, CAST(d AS DATE) AS d
+      FROM nations, UNNEST(generate_series(DATE '1996-01-01',
+                                           DATE '1996-12-31',
+                                           INTERVAL 1 DAY)) AS t(d)
+    ), actual AS (
+      SELECT c.c_nationkey AS nation, CAST(o.o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS val
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_nationkey < 5 AND o.o_totalprice > 150000
+        AND o.o_orderdate >= DATE '1996-01-01'
+        AND o.o_orderdate <= DATE '1996-12-31'
+      GROUP BY 1, 2
+    ), joined AS (
+      SELECT s.nation, s.d, a.val FROM spine s
+      LEFT JOIN actual a ON a.nation = s.nation AND a.d = s.d
+    ), ctx AS (
+      SELECT nation, d, val,
+             last_value(val IGNORE NULLS) OVER (
+               PARTITION BY nation ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN val IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (PARTITION BY nation ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+             first_value(val IGNORE NULLS) OVER (
+               PARTITION BY nation ORDER BY d
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN val IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (PARTITION BY nation ORDER BY d
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+      FROM joined
+    )
+    SELECT nation, d,
+           CASE WHEN val IS NOT NULL THEN val
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + (nv - pv) * ((d - pd) / CAST(nd - pd AS DOUBLE))
+           END AS value_filled,
+           CAST(val IS NOT NULL AS INT) AS is_actual
+    FROM ctx
+    ORDER BY nation, d
+    """,
+    tags=("W1", "W9", "J18", "F2"),
+)
+def w12_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling with linear interpolation — the time-series
+    regularization step (reference plots over sparse daily series;
+    this materializes the complete spine data-side): a join-free
+    exploded day spine per nation, a left join onto the sparse daily
+    actuals, then ONE window pass carrying last/next known value and
+    date (ignore-nulls frames) so every gap day gets
+    pv + (nv-pv)·(d-pd)/(nd-pd). Edge days before the first / after
+    the last observation stay NULL by design. Actual values are exact
+    decimal daily sums; interpolation is a single deterministic
+    double expression over them.
+
+    Scale shape: the spine explodes from a #nations-row frame (no
+    grid join); the actuals join is key-equal; the two window frames
+    share one (nation, d) sort. Spine cardinality is #keys × days —
+    bound the date range or bucket the keys when that outgrows a
+    partition."""
+    from ..functions.scalars import dec
+
+    cust = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    nations = (
+        cust.filter(F.col("c_nationkey") < 5)
+        .select(F.col("c_nationkey").alias("nation"))
+        .distinct()
+    )
+    spine = nations.select(
+        "nation",
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"), F.lit("1996-12-31").cast("date")
+            )
+        ).alias("d"),
+    )
+    actual = (
+        o.filter(
+            (F.col("o_totalprice") > 150000)
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") <= "1996-12-31")
+        )
+        .join(
+            F.broadcast(cust.filter(F.col("c_nationkey") < 5)).select(
+                "c_custkey", F.col("c_nationkey").alias("nation")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("nation", F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("val"))
+    )
+    joined = spine.join(actual, ["nation", "d"], "left")
+    w = Window.partitionBy("nation").orderBy("d")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    nxt = w.rowsBetween(1, Window.unboundedFollowing)
+    marker = F.when(F.col("val").isNotNull(), F.col("d"))
+    ctx = joined.select(
+        "nation",
+        "d",
+        "val",
+        F.last("val", ignorenulls=True).over(prev).alias("pv"),
+        F.last(marker, ignorenulls=True).over(prev).alias("pd"),
+        F.first("val", ignorenulls=True).over(nxt).alias("nv"),
+        F.first(marker, ignorenulls=True).over(nxt).alias("nd"),
+    )
+    # No rounding: every input is exact (decimal-sum doubles, integer
+    # day gaps) and each IEEE op is correctly rounded, so the raw
+    # double matches bit-for-bit across engines — whereas ROUND(x, 6)
+    # lands on .5e-6 midpoints systematically (fractions like 1/2 of
+    # scale-2 values) where the engines' half-rounding styles diverge.
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff(F.col("d"), F.col("pd"))
+        / F.datediff(F.col("nd"), F.col("pd")).cast("double")
+    )
+    return ctx.select(
+        "nation",
+        "d",
+        F.when(F.col("val").isNotNull(), F.col("val"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .alias("value_filled"),
+        F.col("val").isNotNull().cast("int").alias("is_actual"),
+    ).orderBy("nation", "d")
