@@ -394,3 +394,74 @@ def comp_priorloc_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("event_type", "yr")
     )
+
+
+@register(
+    "u6_event_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t3,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+      FROM events GROUP BY user_id
+    ), flags AS (
+      SELECT CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS s1,
+             CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END AS s2,
+             CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2
+                  THEN 1 ELSE 0 END AS s3,
+             CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 AND t4 > t3
+                  THEN 1 ELSE 0 END AS s4
+      FROM per_user
+    ), agg AS (
+      SELECT CAST(SUM(s1) AS BIGINT) AS n1, CAST(SUM(s2) AS BIGINT) AS n2,
+             CAST(SUM(s3) AS BIGINT) AS n3, CAST(SUM(s4) AS BIGINT) AS n4
+      FROM flags
+    )
+    SELECT 1 AS step, 'signup' AS step_name, n1 AS n_users FROM agg
+    UNION ALL SELECT 2, 'view', n2 FROM agg
+    UNION ALL SELECT 3, 'click', n3 FROM agg
+    UNION ALL SELECT 4, 'purchase', n4 FROM agg
+    ORDER BY step
+    """,
+    tags=("U1", "A2", "X4"),
+)
+def u6_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered first-touch funnel (signup -> view -> click ->
+    purchase): a user advances to step k only if the FIRST occurrence
+    of each step strictly follows the first occurrence of the previous
+    one — the clickstream conversion query, computed as ONE
+    conditional-min aggregation per user plus a 4-row unpivot (no
+    per-step joins, no window; the strict-> semantics are documented
+    first-touch ordering, not re-anchored sub-funnels). All counts are
+    integers; ties at identical timestamps do not advance.
+
+    Scale shape: one map-side-combinable groupBy(user) over the event
+    stream, then constant-size arithmetic — the cheapest possible
+    funnel plan at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t1"),
+        first_ts("view").alias("t2"),
+        first_ts("click").alias("t3"),
+        first_ts("purchase").alias("t4"),
+    )
+    s1 = F.col("t1").isNotNull()
+    s2 = s1 & (F.col("t2") > F.col("t1"))
+    s3 = s2 & (F.col("t3") > F.col("t2"))
+    s4 = s3 & (F.col("t4") > F.col("t3"))
+    agg = per_user.agg(
+        F.sum(s1.cast("int")).cast("long").alias("n1"),
+        F.sum(s2.cast("int")).cast("long").alias("n2"),
+        F.sum(s3.cast("int")).cast("long").alias("n3"),
+        F.sum(s4.cast("int")).cast("long").alias("n4"),
+    )
+    return agg.selectExpr(
+        "stack(4, 1, 'signup', n1, 2, 'view', n2, 3, 'click', n3, "
+        "4, 'purchase', n4) AS (step, step_name, n_users)"
+    ).orderBy("step")
