@@ -296,6 +296,31 @@ def pq_encode(
     )
 
 
+def pq_lut(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-query (block, code) -> partial squared-distance lookup
+    table: m × |codebook| DECIMAL entries per query — the broadcast
+    side of every ADC scoring pass."""
+    from ..functions.vectors import l2sq
+
+    qb = _block_slices(queries, "query_id", m, sub, id_col, vec_col)
+    return qb.join(F.broadcast(codebooks), "block").select(
+        "query_id",
+        "block",
+        "code",
+        F.round(l2sq(F.col("bv"), F.col("subvec")), round_dp)
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     codebooks: DataFrame,
@@ -319,17 +344,7 @@ def pq_adc_topk(
     casts to DECIMAL(18,6) before the per-pair sum, so the m-term
     accumulation is exact decimal arithmetic and the (dist asc, id
     asc) ranking is bit-stable across engines and partitionings."""
-    from ..functions.vectors import l2sq
-
-    qb = _block_slices(queries, "query_id", m, sub, id_col, vec_col)
-    lut = qb.join(F.broadcast(codebooks), "block").select(
-        "query_id",
-        "block",
-        "code",
-        F.round(l2sq(F.col("bv"), F.col("subvec")), round_dp)
-        .cast("decimal(18,6)")
-        .alias("w"),
-    )
+    lut = pq_lut(queries, codebooks, m, sub, id_col, vec_col, round_dp)
     scored = (
         codes.select(F.col(id_col).alias("corpus_id"), "block", "code")
         .join(F.broadcast(lut), ["block", "code"])

@@ -285,6 +285,116 @@ def vec_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vec_ivfpq_topk",
+    oracle=f"""
+    WITH {_pq_sql(16, 4)}, cunp AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT c_label, list(cx ORDER BY pos) AS cvec
+      FROM (SELECT label AS c_label, pos, AVG(x) AS cx
+            FROM cunp GROUP BY label, pos) t
+      GROUP BY c_label
+    ), cells AS (
+      SELECT vec_id AS corpus_id, c_label FROM (
+        SELECT e.vec_id, c.c_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cvec) DESC, c.c_label
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, c_label FROM (
+        SELECT e.vec_id, c.c_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cvec) DESC, c.c_label
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id < 8
+      ) WHERE rn <= 3
+    ), cand AS (
+      SELECT p.query_id, s.corpus_id
+      FROM probes p JOIN cells s USING (c_label)
+      WHERE s.corpus_id != p.query_id
+    ), ipairs AS (
+      SELECT c.query_id, c.corpus_id, SUM(l.w) AS adist
+      FROM cand c
+      JOIN enc e ON e.corpus_id = c.corpus_id
+      JOIN qlut l ON l.query_id = c.query_id
+                 AND l.block = e.block AND l.code = e.code
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, corpus_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adist ASC, corpus_id
+             ) AS rank
+      FROM ipairs
+    )
+    SELECT query_id, rank, corpus_id
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("VEC", "ANN", "IVF", "PQ"),
+)
+def vec_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — the FAISS IVFADC shape that actually runs
+    at 100 TB: the coarse quantizer prunes candidates to the nprobe=3
+    probed cells (cost tracks cell occupancy, not |corpus|), and the
+    surviving candidates are scored entirely in the compressed domain
+    against the per-query ADC lookup table (the raw corpus vectors are
+    never touched at query time; memory is m codes per vector).
+    Flat-PQ variant: codes quantize the raw vectors, with the IVF
+    stage used for pruning only — residual encoding is a codebook
+    swap away and changes no plan shape. Exact-decimal ADC sums and
+    (dist asc, id asc) ranking keep the result bit-stable."""
+    from ..operators.similarity import (
+        assign_to_centroids,
+        label_centroids,
+        pq_codebooks,
+        pq_encode,
+        pq_lut,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = label_centroids(emb).localCheckpoint()
+    cells = assign_to_centroids(emb, cents, 1).select(
+        F.col("vec_id").alias("corpus_id"), "c_label"
+    )
+    probes = assign_to_centroids(queries, cents, 3).select(
+        F.col("vec_id").alias("query_id"), "c_label"
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "c_label")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id")
+    )
+    cb = pq_codebooks(emb, sub=4).localCheckpoint()
+    codes = pq_encode(emb, cb, m=16, sub=4).select(
+        F.col("vec_id").alias("corpus_id"), "block", "code"
+    )
+    lut = pq_lut(queries, cb, m=16, sub=4)
+    scored = (
+        cand.join(codes, "corpus_id")
+        .join(F.broadcast(lut), ["query_id", "block", "code"])
+        .groupBy("query_id", "corpus_id")
+        .agg(F.sum("w").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "corpus_id")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
     "vec_ivf_topk",
     oracle=f"""
     WITH {_SQL_CENTROIDS},

@@ -114,6 +114,7 @@ _SWEEP_FIRST = [
     "a16_cube_rollup",
     "w12_linear_interpolation",
     "u6_event_funnel",
+    "vec_ivfpq_topk",
     # green sentinels from rounds 1-2 for cross-round regression cover
     "a1_pricing_summary",
     "u1_union_event_log",

@@ -35,6 +35,7 @@ BNLJ_OK = {
     "u3_array_intersect_sources",  # collect_set'd tiny side
     "vec_brute_force_topk",  # 8 probe vectors
     "vec_ivf_topk",  # probes x centroids
+    "vec_ivfpq_topk",  # probes x centroids (coarse-quantizer stage)
     "vec_kmeans_lloyd",  # k=4 centroid side per Lloyd round
     "vec_label_centroid_assign",  # centroid side
     "x6_partial_pooling",  # 1-row global shrinkage stats side
