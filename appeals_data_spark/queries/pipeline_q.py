@@ -731,3 +731,76 @@ def pipe_model_score_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipe_chunk_overlap",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '')) AS ntok
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, source, ntok,
+             UNNEST(range(1, ntok + 1, 24)) AS start
+      FROM t WHERE ntok >= 1
+    ), sized AS (
+      SELECT doc_id, source,
+             LEAST(32, ntok - start + 1) AS chunk_len
+      FROM chunks
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(chunk_len) AS BIGINT) AS total_chunk_tokens,
+           CAST(SUM(CASE WHEN chunk_len < 32 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short_chunks
+    FROM sized GROUP BY source ORDER BY source
+    """,
+    tags=("TEXT", "R4"),
+)
+def pipe_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapped document chunking — the embedding-pipeline splitter
+    (size 32 tokens, stride 24, so consecutive chunks share 8):
+    chunk starts materialize as an exploded arithmetic sequence per
+    document, no self-join, no window; the rollup reports chunk
+    counts, the overlap-inflated token mass (total_chunk_tokens /
+    corpus tokens is the duplication factor the embedding budget
+    pays), and ragged-tail chunks. All integers — exact.
+
+    Scale shape: explode-by-sequence is embarrassingly parallel and
+    output-proportional; the single groupBy(source) map-side-combines.
+    This is pipe_pack_sequences' dual: packing concatenates documents
+    into fixed windows, chunking fans one document out into them."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.text import token_count
+
+    t = d.select("doc_id", "source", token_count("text").alias("ntok")).filter(
+        F.col("ntok") >= 1
+    )
+    chunks = t.select(
+        "doc_id",
+        "source",
+        "ntok",
+        F.explode(
+            F.sequence(F.lit(1), F.col("ntok"), F.lit(24))
+        ).alias("start"),
+    )
+    sized = chunks.select(
+        "doc_id",
+        "source",
+        F.least(F.lit(32), F.col("ntok") - F.col("start") + 1).alias("chunk_len"),
+    )
+    return (
+        sized.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_len").alias("total_chunk_tokens"),
+            F.sum(F.when(F.col("chunk_len") < 32, 1).otherwise(0)).alias(
+                "n_short_chunks"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -830,3 +830,87 @@ def text_top2gram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY source, token
+    ), stats AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (
+      SELECT COUNT(DISTINCT source) AS ns FROM tf
+    ), scored AS (
+      SELECT f.source, f.token, f.tf, s.df,
+             f.tf * CAST(ROUND(LN(CAST(ns AS DOUBLE) / s.df), 6)
+                         AS DECIMAL(18,6)) AS score
+      FROM tf f JOIN stats s USING (token) CROSS JOIN n
+    ), ranked AS (
+      SELECT source, token, tf, df, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY score DESC, token
+             ) AS rnk
+      FROM scored
+    )
+    SELECT source, rnk, token, tf, df, CAST(score AS DOUBLE) AS tfidf
+    FROM ranked WHERE rnk <= 5
+    ORDER BY source, rnk
+    """,
+    tags=("TEXT", "A14", "W4"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TF-IDF keyword extraction: term frequency within the
+    source × inverse source frequency across the corpus, top 5 terms
+    per source. The idf transcendental is evaluated once per DISTINCT
+    token, rounded, and cast to DECIMAL, so score = tf × idf is exact
+    integer×decimal arithmetic and the (score desc, token asc) rank is
+    bit-stable — the usual determinism contract.
+
+    Scale shape: one (source, token) groupBy with map-side partials;
+    df is a second tiny rollup of THAT table (never re-reads the
+    corpus); ranking windows over #sources × vocab rows."""
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()  # feeds tf, df, AND ns — one corpus scan
+    )
+    stats = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = tf.agg(F.countDistinct("source").alias("ns"))
+    scored = (
+        tf.join(broadcast(stats), "token")
+        .crossJoin(broadcast(n))
+        .select(
+            "source",
+            "token",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("ns").cast("double") / F.col("df")), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "rnk", "token", "tf", "df",
+                F.col("score").cast("double").alias("tfidf"))
+        .orderBy("source", "rnk")
+    )

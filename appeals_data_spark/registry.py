@@ -115,6 +115,8 @@ _SWEEP_FIRST = [
     "w12_linear_interpolation",
     "u6_event_funnel",
     "vec_ivfpq_topk",
+    "text_tfidf_topk",
+    "pipe_chunk_overlap",
     # green sentinels from rounds 1-2 for cross-round regression cover
     "a1_pricing_summary",
     "u1_union_event_log",
