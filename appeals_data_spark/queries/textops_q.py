@@ -914,3 +914,107 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("score").cast("double").alias("tfidf"))
         .orderBy("source", "rnk")
     )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS ndocs,
+             CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok WHERE token IN ('spark', 'window', 'hash')
+      GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), scored AS (
+      SELECT f.doc_id,
+             CAST(SUM(
+               CAST(ROUND(
+                 ROUND(LN(1 + (ndocs - df + 0.5) / (df + 0.5)), 6)
+                 * ((f.tf * 2.2)
+                    / (f.tf + 1.2 * (0.25 + 0.75 * l.dlen / s.avgdl))),
+                 6) AS DECIMAL(18,6))
+             ) AS DOUBLE) AS bm25
+      FROM tf f
+      JOIN df USING (token)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY f.doc_id
+    ), ranked AS (
+      SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT rnk, doc_id, bm25 FROM ranked WHERE rnk <= 10 ORDER BY rnk
+    """,
+    tags=("TEXT", "A14", "W4"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) for a fixed 3-term query —
+    the lexical-search baseline every retrieval pipeline starts from,
+    with real document-length normalization (unlike text_tfidf_topk's
+    per-source keyword view). The idf transcendental rounds per
+    distinct term, and each per-term contribution rounds to DECIMAL
+    BEFORE the per-doc sum, so the accumulation is exact decimal
+    arithmetic (partition-order-independent) and the (score desc,
+    doc_id) ranking is engine-stable.
+
+    Scale shape: the term filter prunes the exploded stream BEFORE the
+    (doc, term) aggregation (only query terms survive the shuffle);
+    doc lengths are a separate narrow rollup; df and the corpus stats
+    are #terms- and 1-row broadcasts. Query cost tracks posting-list
+    size, not corpus size — the inverted-index access pattern
+    expressed as joins."""
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dlen")).localCheckpoint()
+    stats = dl.agg(
+        F.count("*").cast("double").alias("ndocs"),
+        (F.sum("dlen").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin("spark", "window", "hash"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.round(
+        F.log(1 + (F.col("ndocs") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
+    )
+    contrib = F.round(
+        idf
+        * (
+            (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl")))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        tf.join(broadcast(df), "token")
+        .join(broadcast(dl), "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).cast("double").alias("bm25"))
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("rnk", "doc_id", "bm25")
+        .orderBy("rnk")
+    )

@@ -117,6 +117,7 @@ _SWEEP_FIRST = [
     "vec_ivfpq_topk",
     "text_tfidf_topk",
     "pipe_chunk_overlap",
+    "text_bm25_topk",
     # green sentinels from rounds 1-2 for cross-round regression cover
     "a1_pricing_summary",
     "u1_union_event_log",

@@ -29,6 +29,7 @@ BNLJ_OK = {
     "o4_complete_weeks_only",  # 1-row max-week scalar
     "p14_complete_cases",  # 1-row threshold scalar
     "pipe_mixture_weights",  # 1-row token-budget scalar side
+    "text_bm25_topk",  # 1-row corpus-stats scalar side
     "text_tfidf_topk",  # 1-row distinct-source-count scalar side
     "text_unigram_logprob",  # 1-row corpus-total scalar side
     "pipe_model_score_broadcast",  # 1-row fitted-coefficient side
