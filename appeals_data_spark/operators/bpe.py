@@ -35,7 +35,13 @@ def chars_of(word) -> F.Column:
     """Split a word into single-character symbols (1-pass substr map —
     avoids split-regex empty-element edge cases across engines)."""
     c = F.col(word) if isinstance(word, str) else word
-    return F.transform(F.sequence(F.lit(1), F.length(c)), lambda i: c.substr(i, F.lit(1)))
+    # Guard the empty word: sequence(1, 0) yields a DESCENDING [1, 0]
+    # (Spark defaults to step -1 when stop < start), which would emit
+    # two phantom empty-string symbols.
+    return F.when(
+        F.length(c) > 0,
+        F.transform(F.sequence(F.lit(1), F.length(c)), lambda i: c.substr(i, F.lit(1))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _adjacent_pairs(syms: F.Column) -> F.Column:
@@ -84,7 +90,7 @@ def bpe_merge_table(words: DataFrame, n_rounds: int = 3) -> DataFrame:
     argmax row broadcasts back. n_rounds is the iteration budget knob;
     lineage is cut every round so the plan stays flat.
     """
-    return _train(words, n_rounds)[0]
+    return _train(words, n_rounds, need_segmented=False)[0]
 
 
 def bpe_segmented_words(words: DataFrame, n_rounds: int = 3) -> DataFrame:
@@ -94,7 +100,9 @@ def bpe_segmented_words(words: DataFrame, n_rounds: int = 3) -> DataFrame:
     return _train(words, n_rounds)[1]
 
 
-def _train(words: DataFrame, n_rounds: int) -> tuple[DataFrame, DataFrame]:
+def _train(
+    words: DataFrame, n_rounds: int, need_segmented: bool = True
+) -> tuple[DataFrame, DataFrame]:
     cur = words.select("word", "n", chars_of("word").alias("syms"))
     out: DataFrame | None = None
     w = Window.orderBy(F.desc("pair_count"), F.asc("pa"), F.asc("pb"))
@@ -123,6 +131,11 @@ def _train(words: DataFrame, n_rounds: int) -> tuple[DataFrame, DataFrame]:
             F.lit(r).alias("merge_round"), "pa", "pb", "pair_count"
         )
         out = tagged if out is None else out.unionByName(tagged)
+        if r == n_rounds and not need_segmented:
+            # The final rewrite only matters to segmented-output
+            # callers; merge-table callers would pay a full (eager)
+            # dictionary pass for a result they discard.
+            break
         cur = (
             cur.crossJoin(F.broadcast(best.select("pa", "pb")))
             .select(

@@ -143,13 +143,16 @@ def label_centroids(
 ) -> DataFrame:
     """Coarse-quantizer centroids: per-label, per-dimension mean.
     Output (c_label, cvec array<double>) — small (|labels| rows),
-    always broadcast at the probe site."""
+    always broadcast at the probe site. Components round to 6 dp for
+    the same reason as lloyd_refine/pq_codebooks: the float mean's
+    partial-aggregate merge order is partitioning-dependent, and a
+    near-tie cell assignment must not flip across engines or runs."""
     unpacked = corpus.select(
         F.col(label_col).alias("c_label"), F.posexplode(vec_col).alias("pos", "x")
     )
     return (
         unpacked.groupBy("c_label", "pos")
-        .agg(F.avg("x").alias("cx"))
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cx"))
         .groupBy("c_label")
         .agg(
             F.transform(

@@ -455,11 +455,14 @@ def u6_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = s1 & (F.col("t2") > F.col("t1"))
     s3 = s2 & (F.col("t3") > F.col("t2"))
     s4 = s3 & (F.col("t4") > F.col("t3"))
+    # coalesce: a missing later step makes the flag NULL (t2 > t1 with
+    # NULL t2), and SUM skips NULLs — the oracle's CASE emits 0, so an
+    # all-NULL step must aggregate to 0, not NULL.
     agg = per_user.agg(
-        F.sum(s1.cast("int")).cast("long").alias("n1"),
-        F.sum(s2.cast("int")).cast("long").alias("n2"),
-        F.sum(s3.cast("int")).cast("long").alias("n3"),
-        F.sum(s4.cast("int")).cast("long").alias("n4"),
+        *[
+            F.sum(F.coalesce(s.cast("int"), F.lit(0))).cast("long").alias(f"n{i}")
+            for i, s in enumerate((s1, s2, s3, s4), start=1)
+        ]
     )
     return agg.selectExpr(
         "stack(4, 1, 'signup', n1, 2, 'view', n2, 3, 'click', n3, "

@@ -409,7 +409,12 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_round_sql(i: int) -> str:
     """One unrolled BPE training round for the DuckDB oracle —
     mirrors operators.bpe.bpe_merge_table exactly (pa != pb candidate
-    restriction, (count desc, pa, pb) tie-break, simultaneous fuse)."""
+    restriction, (count desc, pa, pb) tie-break, simultaneous fuse).
+    The merge join is LEFT JOIN ON TRUE, not CROSS JOIN: when a round
+    finds no mergeable pair (empty b{i}) the word table must pass
+    through unchanged — the NULL pa/pb falls to the ELSE branch —
+    exactly matching the operator's early stop; a cross join would
+    annihilate the dictionary instead."""
     return f"""
     c{i} AS (
       SELECT pa, pb, CAST(SUM(n) AS BIGINT) AS pair_count FROM (
@@ -432,7 +437,7 @@ def _bpe_round_sql(i: int) -> str:
                            AND w.syms[i] = b.pb THEN NULL
                       ELSE w.syms[i]
                     END), x -> x IS NOT NULL) AS syms
-      FROM w{i - 1} w CROSS JOIN b{i} b
+      FROM w{i - 1} w LEFT JOIN b{i} b ON TRUE
     )"""
 
 
@@ -650,7 +655,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dt GROUP BY doc_id, source
     ), scored AS (
       SELECT source, ntok,
-             LN(ntok) - CAST(s_clnc AS DOUBLE) / ntok AS ent
+             ROUND(LN(ntok), 6) - CAST(s_clnc AS DOUBLE) / ntok AS ent
       FROM per_doc
     )
     SELECT source,
@@ -693,7 +698,12 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c") * F.round(F.log(F.col("c")), 6).cast("decimal(18,6)")
         ).alias("s_clnc"),
     )
-    ent = F.log(F.col("ntok")) - F.col("s_clnc").cast("double") / F.col("ntok")
+    # Both transcendentals round to 6 dp before use — ln(c) feeding
+    # the decimal sum AND ln(ntok) here — so ent is a deterministic
+    # expression over exact inputs on both engines.
+    ent = F.round(F.log(F.col("ntok")), 6) - F.col("s_clnc").cast("double") / F.col(
+        "ntok"
+    )
     scored = per_doc.select("source", "ntok", ent.alias("ent"))
     return (
         scored.groupBy("source")

@@ -80,7 +80,7 @@ _SQL_CENTROIDS = """
       FROM embeddings
     ), cent AS (
       SELECT c_label, list(cx ORDER BY pos) AS cvec
-      FROM (SELECT label AS c_label, pos, AVG(x) AS cx
+      FROM (SELECT label AS c_label, pos, ROUND(AVG(x), 6) AS cx
             FROM unp GROUP BY label, pos) t
       GROUP BY c_label
     )
@@ -130,11 +130,13 @@ def vec_label_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_sql(m: int, sub: int) -> str:
-    """Shared PQ oracle CTEs (codebooks, codes, query LUT, ADC pair
-    distances) for block count ``m`` of width ``sub`` — mirrors
-    operators.similarity.pq_codebooks/pq_encode/pq_adc_topk."""
-    return f"""
+def _pq_sql(m: int, sub: int, include_pairs: bool = True) -> str:
+    """Shared PQ oracle CTEs (codebooks, codes, query LUT, and — for
+    the all-pairs ADC queries — pair distances) for block count ``m``
+    of width ``sub`` — mirrors operators.similarity.pq_codebooks/
+    pq_encode/pq_adc_topk. ``include_pairs=False`` stops after the
+    LUT for consumers that build their own candidate set (IVFPQ)."""
+    base = f"""
     unp AS (
       SELECT label AS code, generate_subscripts(embedding, 1) AS pos,
              unnest(CAST(embedding AS DOUBLE[])) AS x
@@ -169,7 +171,10 @@ def _pq_sql(m: int, sub: int) -> str:
                        * (bl.bv[i] - cb.subvec[i]))), 6) AS DECIMAL(18,6)) AS w
       FROM blocks bl JOIN cb ON cb.block = bl.block
       WHERE bl.vec_id < 8
-    ), pairs AS (
+    )"""
+    if not include_pairs:
+        return base
+    return base + """, pairs AS (
       SELECT l.query_id, e.corpus_id, SUM(l.w) AS adist
       FROM enc e JOIN qlut l ON l.block = e.block AND l.code = e.code
       WHERE e.corpus_id != l.query_id
@@ -287,13 +292,13 @@ def vec_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "vec_ivfpq_topk",
     oracle=f"""
-    WITH {_pq_sql(16, 4)}, cunp AS (
+    WITH {_pq_sql(16, 4, include_pairs=False)}, cunp AS (
       SELECT label, generate_subscripts(embedding, 1) AS pos,
              unnest(CAST(embedding AS DOUBLE[])) AS x
       FROM embeddings
     ), cent AS (
       SELECT c_label, list(cx ORDER BY pos) AS cvec
-      FROM (SELECT label AS c_label, pos, AVG(x) AS cx
+      FROM (SELECT label AS c_label, pos, ROUND(AVG(x), 6) AS cx
             FROM cunp GROUP BY label, pos) t
       GROUP BY c_label
     ), cells AS (

@@ -43,7 +43,7 @@ def _fuzzy_case(draw):
 @given(
     st.lists(
         st.tuples(
-            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.text(alphabet="abc", min_size=0, max_size=6),
             st.integers(1, 9),
         ),
         min_size=1,
