@@ -66,16 +66,23 @@ def pit_backlog(
     """
     enter = F.col(enter_col) if isinstance(enter_col, str) else enter_col
     exit_ = F.col(exit_col) if isinstance(exit_col, str) else exit_col
+    # One combined collect covers every omitted bound (the fallback
+    # path); callers passing both bounds never touch the driver.
+    bounds = None
+    if grid_end is None or (strategy == "explode" and grid_start is None):
+        bounds = grid.agg(
+            F.min("grid_date").alias("g0"), F.max("grid_date").alias("g1")
+        ).collect()[0]
     if grid_end is not None:
         last_grid = F.lit(grid_end).cast("date")
     else:
-        last_grid = F.lit(grid.agg(F.max("grid_date")).collect()[0][0])
+        last_grid = F.lit(bounds["g1"])
     exit_ = F.coalesce(exit_, F.date_add(last_grid, 1))
     if strategy == "explode":
         if grid_start is not None:
             first = F.lit(grid_start).cast("date")
         else:
-            first = F.lit(grid.agg(F.min("grid_date")).collect()[0][0])
+            first = F.lit(bounds["g0"])
         # first grid point >= enter: ceil-align to the grid phase
         off = F.datediff(enter, first)
         first_covered = F.date_add(

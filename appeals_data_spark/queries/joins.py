@@ -637,12 +637,6 @@ def j12_cross_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate's Exchange assertion in tests/test_plans.py::test_j21_*).
 # ---------------------------------------------------------------------------
 
-# One bucketed materialization per (session, sf_dir): the builders must
-# stay idempotent because the harness calls them repeatedly (warmup +
-# timed + differential).
-_BUCKETED_DONE: set[tuple[str, str]] = set()
-
-
 def bucketed_fact_tables(spark: SparkSession, sf_dir: str):
     """Materialize orders/lineitem bucketed by order key (8 buckets,
     sorted) and return them as catalog tables. This is SURVEY §4's
@@ -651,16 +645,18 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str):
     sort-merge with zero shuffle — the layout that kills the dominant
     fact-fact exchange at 100 TB (where re-shuffling 100 TB per query
     is the bottleneck; here the one-time write cost amortizes over
-    every downstream join)."""
+    every downstream join). Write-once per session via
+    catalog.scratch_path_once (session-private path; table names are
+    session-catalog-scoped already)."""
     import hashlib
     import os
-    import tempfile
+
+    from ..catalog import scratch_path_once
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     o_name, li_name = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _BUCKETED_DONE:
-        base = os.path.join(tempfile.gettempdir(), f"spark_graft_bkt_{tag}")
+
+    def write(base: str) -> None:
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"
         )
@@ -678,7 +674,8 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str):
                 .option("path", os.path.join(base, name))
                 .saveAsTable(name)
             )
-        _BUCKETED_DONE.add(key)
+
+    scratch_path_once(spark, sf_dir, "bkt", write)
     return spark.table(o_name), spark.table(li_name)
 
 

@@ -76,12 +76,6 @@ def s5_csv_dim_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# One partitioned materialization per (session, sf_dir) — idempotent
-# across the harness's repeated builder calls, same pattern as
-# joins.bucketed_fact_tables.
-_PARTITIONED_DONE: dict[tuple[str, str], str] = {}
-
-
 def partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize orders date-partitioned by order year — SURVEY §4's
     production layout for the fact tables (write_partitioned is the
@@ -89,15 +83,10 @@ def partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering on the partition column never opens non-matching
     partition directories (PartitionFilters prune at planning), which
     at 100 TB is the difference between scanning one year and scanning
-    the lake."""
-    import hashlib
-    import tempfile
+    the lake. Write-once per session via catalog.scratch_path_once."""
+    from ..catalog import scratch_path_once
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _PARTITIONED_DONE.get(key)
-    if path is None:
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        path = os.path.join(tempfile.gettempdir(), f"spark_graft_part_{tag}", "orders_by_yr")
+    def write(path: str) -> None:
         (
             load_table(spark, sf_dir, "orders")
             .withColumn("o_yr", F.year("o_orderdate"))
@@ -105,8 +94,10 @@ def partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("o_yr")
             .parquet(path)
         )
-        _PARTITIONED_DONE[key] = path
-    return spark.read.parquet(path)
+
+    return spark.read.parquet(
+        scratch_path_once(spark, sf_dir, "part_orders_by_yr", write)
+    )
 
 
 @register(

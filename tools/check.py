@@ -118,6 +118,10 @@ def main() -> int:
             sdf = q.builder(spark, args.sf)
             scols = sdf.columns
             srows = sdf.collect()
+            # Drop cache blocks a builder persisted (the simhash/minhash
+            # fast paths): a full-registry sweep would otherwise carry
+            # every earlier query's pinned storage into the later ones.
+            spark.catalog.clearCache()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
