@@ -396,6 +396,42 @@ def comp_priorloc_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_counts(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Ordered first-touch funnel over (user_id, event_type, ts): a
+    user advances to step k only if the FIRST occurrence of each step
+    strictly follows the first occurrence of the previous one. One
+    conditional-min aggregation per user plus an n-row unpivot — no
+    per-step joins, no window. Ties at identical timestamps do not
+    advance; a missing later step makes the chained flag NULL, which
+    coalesces to 0 so an all-missing step still reports 0, not NULL.
+
+    Scale shape: one map-side-combinable groupBy(user) over the event
+    stream, then constant-size arithmetic — the cheapest possible
+    funnel plan at 100 TB."""
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = events.groupBy("user_id").agg(
+        *[first_ts(t).alias(f"t{i}") for i, t in enumerate(steps, start=1)]
+    )
+    flags = [F.col("t1").isNotNull()]
+    for i in range(2, len(steps) + 1):
+        flags.append(flags[-1] & (F.col(f"t{i}") > F.col(f"t{i - 1}")))
+    agg = per_user.agg(
+        *[
+            F.sum(F.coalesce(s.cast("int"), F.lit(0))).cast("long").alias(f"n{i}")
+            for i, s in enumerate(flags, start=1)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{t}', n{i}" for i, t in enumerate(steps, start=1)
+    )
+    return agg.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (step, step_name, n_users)"
+    ).orderBy("step")
+
+
 @register(
     "u6_event_funnel",
     oracle="""
@@ -428,43 +464,9 @@ def comp_priorloc_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("U1", "A2", "X4"),
 )
 def u6_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered first-touch funnel (signup -> view -> click ->
-    purchase): a user advances to step k only if the FIRST occurrence
-    of each step strictly follows the first occurrence of the previous
-    one — the clickstream conversion query, computed as ONE
-    conditional-min aggregation per user plus a 4-row unpivot (no
-    per-step joins, no window; the strict-> semantics are documented
-    first-touch ordering, not re-anchored sub-funnels). All counts are
-    integers; ties at identical timestamps do not advance.
-
-    Scale shape: one map-side-combinable groupBy(user) over the event
-    stream, then constant-size arithmetic — the cheapest possible
-    funnel plan at 100 TB."""
+    """The clickstream conversion query: signup -> view -> click ->
+    purchase through :func:`funnel_counts` (see its docstring for the
+    first-touch semantics and the all-NULL-step golden test in
+    tests/test_operators_golden.py)."""
     e = load_table(spark, sf_dir, "events")
-
-    def first_ts(t: str):
-        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
-
-    per_user = e.groupBy("user_id").agg(
-        first_ts("signup").alias("t1"),
-        first_ts("view").alias("t2"),
-        first_ts("click").alias("t3"),
-        first_ts("purchase").alias("t4"),
-    )
-    s1 = F.col("t1").isNotNull()
-    s2 = s1 & (F.col("t2") > F.col("t1"))
-    s3 = s2 & (F.col("t3") > F.col("t2"))
-    s4 = s3 & (F.col("t4") > F.col("t3"))
-    # coalesce: a missing later step makes the flag NULL (t2 > t1 with
-    # NULL t2), and SUM skips NULLs — the oracle's CASE emits 0, so an
-    # all-NULL step must aggregate to 0, not NULL.
-    agg = per_user.agg(
-        *[
-            F.sum(F.coalesce(s.cast("int"), F.lit(0))).cast("long").alias(f"n{i}")
-            for i, s in enumerate((s1, s2, s3, s4), start=1)
-        ]
-    )
-    return agg.selectExpr(
-        "stack(4, 1, 'signup', n1, 2, 'view', n2, 3, 'click', n3, "
-        "4, 'purchase', n4) AS (step, step_name, n_users)"
-    ).orderBy("step")
+    return funnel_counts(e, ["signup", "view", "click", "purchase"])

@@ -324,6 +324,27 @@ def test_lloyd_refine_drops_empty_cluster(spark):
     assert set(counts) == {0, 1}
 
 
+def test_funnel_all_null_step_counts_zero(spark):
+    """A step no user ever reaches must report 0, not NULL (the
+    chained flag is NULL when the later timestamp is missing, and a
+    bare SUM would skip every row); ordering is strict, so a tie
+    timestamp does not advance."""
+    from appeals_data_spark.queries.events_q import funnel_counts
+
+    rows = [
+        (1, "signup", ts("2024-01-01T10:00:00")),
+        (1, "click", ts("2024-01-01T11:00:00")),  # skipped 'view'
+        (2, "signup", ts("2024-01-02T09:00:00")),
+        (2, "view", ts("2024-01-02T09:00:00")),  # tie: does not advance
+    ]
+    e = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp_ntz")
+    got = {
+        r.step_name: r.n_users
+        for r in funnel_counts(e, ["signup", "view", "click", "purchase"]).collect()
+    }
+    assert got == {"signup": 2, "view": 0, "click": 0, "purchase": 0}
+
+
 def test_bpe_merge_table_textbook(spark):
     """Sennrich et al.'s canonical word-dict example, hand-computed:
     round 1 ties es/st at 9 and the lexicographic tie-break picks es;
