@@ -469,3 +469,63 @@ def a16_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@register(
+    "a18_incremental_rollup",
+    oracle=f"""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders,
+           {SQL_DSUM.format(col='o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1
+    ORDER BY month
+    """,
+    tags=("A12", "S9", "X1"),
+)
+def a18_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the monthly rollup: partial
+    aggregates for months before the cutoff are MATERIALIZED once
+    (parquet scratch, session-private via catalog.scratch_path_once —
+    the "view state"), and each refresh aggregates only the delta
+    rows and merges by re-aggregating the unioned partials — the
+    lakehouse pattern where 100 TB of history is never rescanned,
+    only the live partition. The oracle is the FULL recompute, so the
+    driver check proves merge(state, delta) == recompute exactly:
+    decimal partial sums are associative, which is precisely why the
+    money contract (functions.scalars) uses them.
+
+    Partial-aggregate state is (month, n_orders, rev DECIMAL): count
+    merges by SUM, decimal sums merge exactly under any regrouping;
+    the cutoff is a month boundary here but the merge re-aggregation
+    stays correct for mid-month cutoffs too."""
+    from ..catalog import scratch_path_once
+    from ..functions.scalars import dec
+
+    cutoff = "1998-01-01"
+    o = load_table(spark, sf_dir, "orders")
+
+    def monthly(df):
+        return df.groupBy(month_trunc("o_orderdate").alias("month")).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec("o_totalprice")).alias("rev"),
+        )
+
+    def write(path: str) -> None:
+        monthly(o.filter(F.col("o_orderdate") < cutoff)).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    history = spark.read.parquet(
+        scratch_path_once(spark, sf_dir, "mv_monthly_rollup", write)
+    )
+    delta = monthly(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        history.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("month")
+    )

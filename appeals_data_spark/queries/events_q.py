@@ -418,9 +418,13 @@ def funnel_counts(events: DataFrame, steps: list[str]) -> DataFrame:
     flags = [F.col("t1").isNotNull()]
     for i in range(2, len(steps) + 1):
         flags.append(flags[-1] & (F.col(f"t{i}") > F.col(f"t{i - 1}")))
+    # Outer coalesce: SUM over zero users is NULL; an empty event set
+    # should report 0 at every step.
     agg = per_user.agg(
         *[
-            F.sum(F.coalesce(s.cast("int"), F.lit(0))).cast("long").alias(f"n{i}")
+            F.coalesce(F.sum(F.coalesce(s.cast("int"), F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias(f"n{i}")
             for i, s in enumerate(flags, start=1)
         ]
     )
@@ -451,8 +455,10 @@ def funnel_counts(events: DataFrame, steps: list[str]) -> DataFrame:
                   THEN 1 ELSE 0 END AS s4
       FROM per_user
     ), agg AS (
-      SELECT CAST(SUM(s1) AS BIGINT) AS n1, CAST(SUM(s2) AS BIGINT) AS n2,
-             CAST(SUM(s3) AS BIGINT) AS n3, CAST(SUM(s4) AS BIGINT) AS n4
+      SELECT CAST(COALESCE(SUM(s1), 0) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(s2), 0) AS BIGINT) AS n2,
+             CAST(COALESCE(SUM(s3), 0) AS BIGINT) AS n3,
+             CAST(COALESCE(SUM(s4), 0) AS BIGINT) AS n4
       FROM flags
     )
     SELECT 1 AS step, 'signup' AS step_name, n1 AS n_users FROM agg

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.scalars import dec
@@ -299,3 +300,84 @@ def r6_paired_field_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("field")
     )
+
+
+@register(
+    "r7_scd2_dimension",
+    oracle="""
+    WITH runs AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM runs
+    ), versions AS (
+      SELECT user_id, run_id, MIN(event_type) AS attr_value,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, run_id
+    )
+    SELECT user_id, CAST(run_id AS INT) AS version, attr_value,
+           valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+             AS valid_to,
+           CAST(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+                IS NULL AS INT) AS is_current,
+           n_events
+    FROM versions
+    ORDER BY user_id, version
+    """,
+    tags=("R3", "W3", "W7"),
+)
+def r7_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build from the event stream —
+    the warehouse-standard versioned dimension: consecutive runs of
+    the same attribute value collapse to one version row carrying
+    [valid_from, valid_to) and an is_current flag (open NULL valid_to
+    on the latest). Gaps-and-islands via lag-change flags + running
+    sum (one window pass), then a per-run rollup and a lead() to close
+    each version with the next one's start — no self-join anywhere.
+
+    Scale shape: two sorts of the same (user, ts) partitioning (the
+    run window and the version lead reuse the partition key, so AQE
+    plans one exchange), per-run rollup map-side-combines. Ties at
+    identical ts break by event_id on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    numbered = runs.withColumn(
+        "run_id",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    versions = numbered.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("attr_value"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("valid_from").over(wv)
+    return versions.select(
+        "user_id",
+        F.col("run_id").cast("int").alias("version"),
+        "attr_value",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+        "n_events",
+    ).orderBy("user_id", "version")

@@ -118,6 +118,8 @@ _SWEEP_FIRST = [
     "text_tfidf_topk",
     "pipe_chunk_overlap",
     "text_bm25_topk",
+    "a18_incremental_rollup",
+    "r7_scd2_dimension",
     # green sentinels from rounds 1-2 for cross-round regression cover
     "a1_pricing_summary",
     "u1_union_event_log",

@@ -82,6 +82,40 @@ def test_bpe_merge_invariants(spark, word_rows):
                     assert not (a == last.pa and b == last.pb)
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4),  # user
+            st.sampled_from(["signup", "view", "click", "purchase"]),
+            st.integers(0, 48),  # hour offset
+        ),
+        min_size=0,
+        max_size=14,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_funnel_counts_monotone(spark, rows):
+    """For ANY event set: funnel counts are non-increasing down the
+    steps (each flag conjoins the previous), never NULL, and bounded
+    by the distinct-user count."""
+    from appeals_data_spark.queries.events_q import funnel_counts
+
+    df = spark.createDataFrame(
+        [(u, t, BASE + timedelta(hours=h)) for u, t, h in rows],
+        "user_id bigint, event_type string, ts timestamp_ntz",
+    )
+    out = funnel_counts(df, ["signup", "view", "click", "purchase"]).collect()
+    counts = [r.n_users for r in sorted(out, key=lambda r: r.step)]
+    n_users = len({u for u, _, _ in rows})
+    assert all(c is not None for c in counts)
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert all(0 <= c <= n_users for c in counts)
+
+
 @given(_fuzzy_case())
 @_hyp
 def test_fuzzy_asof_invariants(spark, case):
