@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import literal_dim, load_table
 from ..operators.pit import date_grid, pit_backlog
 from ..registry import register
 
@@ -476,3 +476,181 @@ def u6_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators_golden.py)."""
     e = load_table(spark, sf_dir, "events")
     return funnel_counts(e, ["signup", "view", "click", "purchase"])
+
+
+# The reference's full disposition classifier (constants.R:15-18): 14
+# one-character VACOLS codes collapsing onto 4 terminal labels. Kept
+# 1:1 — adding or relabeling a disposition is data, not code (J14).
+ENDSTATE_CLASSIFIER = (
+    ("1", "DECISION"),
+    ("3", "DECISION"),
+    ("4", "DECISION"),
+    ("5", "VACATED"),
+    ("6", "WITHDRAWN"),
+    ("8", "WITHDRAWN"),
+    ("9", "WITHDRAWN"),
+    ("A", "GRANT"),
+    ("B", "GRANT"),
+    ("E", "WITHDRAWN"),
+    ("F", "WITHDRAWN"),
+    ("G", "WITHDRAWN"),
+    ("W", "WITHDRAWN"),
+    ("X", "WITHDRAWN"),
+)
+
+_ENDSTATE_CODES = [c for c, _ in ENDSTATE_CLASSIFIER]
+
+# Location log codes for the abeyance/dispatch parsers: the ten
+# comp_priorloc_parsers codes are irrelevant here, so this log draws
+# from the parser-relevant alphabet instead — the two AbeyanceLocs
+# ("24|39", constants.R:21), two codes matching the DispatchLocs regex
+# ("A.+|SUP|OPR", constants.R:23), and filler codes no parser matches.
+_LOCLOG12_CODES = [
+    "55", "18", "14", "92", "20", "48", "96", "D1", "24", "39", "A92", "SUP",
+]
+
+
+@register(
+    "u7_event_endstates",
+    oracle="""
+    WITH endstates AS (
+      SELECT o_custkey AS entity_id, cls.event_type,
+             CAST(o_orderdate AS TIMESTAMP) AS ts
+      FROM orders
+      JOIN (VALUES ('1','DECISION'), ('3','DECISION'), ('4','DECISION'),
+                   ('5','VACATED'), ('6','WITHDRAWN'), ('8','WITHDRAWN'),
+                   ('9','WITHDRAWN'), ('A','GRANT'), ('B','GRANT'),
+                   ('E','WITHDRAWN'), ('F','WITHDRAWN'), ('G','WITHDRAWN'),
+                   ('W','WITHDRAWN'), ('X','WITHDRAWN')) cls(code, event_type)
+        ON cls.code = (['1','3','4','5','6','8','9','A','B','E','F','G','W','X'])
+                        [CAST(o_orderkey % 14 AS INT) + 1]
+      WHERE o_orderstatus = 'F'
+    ), loclog AS (
+      SELECT user_id AS entity_id, ts AS locdout,
+             ts + to_minutes(CAST(FLOOR(value) AS BIGINT)) AS locdin,
+             (['55','18','14','92','20','48','96','D1','24','39','A92','SUP'])
+               [CAST(event_id % 12 AS INT) + 1] AS loc
+      FROM events
+    ), abeyance AS (
+      SELECT entity_id, 'TO_ABEYANCE' AS event_type, locdout AS ts
+      FROM loclog WHERE regexp_matches(loc, '24|39')
+      UNION ALL
+      SELECT entity_id, 'FROM_ABEYANCE', locdin
+      FROM loclog WHERE regexp_matches(loc, '24|39')
+    ), dispatch AS (
+      SELECT entity_id, 'DISPATCH' AS event_type, locdout AS ts
+      FROM loclog WHERE regexp_matches(loc, 'A.+|SUP|OPR')
+    ), cavc AS (
+      SELECT DISTINCT l_orderkey AS entity_id, 'CAVC' AS event_type,
+             CAST(l_shipdate AS TIMESTAMP) AS ts
+      FROM lineitem WHERE l_returnflag = 'R'
+    ), ev AS (
+      SELECT * FROM endstates UNION ALL SELECT * FROM abeyance
+      UNION ALL SELECT * FROM dispatch UNION ALL SELECT * FROM cavc
+    )
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT entity_id) AS n_entities,
+           MIN(YEAR(ts)) AS first_yr, MAX(YEAR(ts)) AS last_yr
+    FROM ev GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("U1", "J14", "P7", "A3"),
+)
+def u7_event_endstates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining named event families of event_all (events.R:898-991)
+    not covered by events_all/comp_priorloc_parsers, each via its
+    reference mechanism:
+
+    - Terminal dispositions through the FULL 14-code
+      EventEndStateClassifier inner-merge (events.R:844-868 +
+      constants.R:15-18): DECISION / VACATED / WITHDRAWN / GRANT. The
+      synthetic disposition code is drawn deterministically from the
+      14-code alphabet per finished order (``BFDC IS NOT NULL`` gate ~
+      ``o_orderstatus = 'F'``); the classifier is an inner join on a
+      broadcast literal dim, so unclassified codes drop — merge()
+      semantics, not a left join.
+    - TO/FROM_ABEYANCE (.parseAbeyanceLocs, events.R:164-177):
+      unanchored regex membership on AbeyanceLocs '24|39', then the
+      gather() shape — one log row emits a check-out AND a check-in
+      event.
+    - DISPATCH via the DispatchLocs regex 'A.+|SUP|OPR'
+      (constants.R:23, the dispatch detector inside
+      .parseDecisionLocs:205-215) — a regex-classified location, not
+      an equality code.
+    - CAVC (event_cavc, events.R:881-895): a date-column extract with
+      distinct(BFKEY, DATE) dedup — returned lines keyed by order with
+      duplicate receipt dates collapsed.
+
+    One plan, four branches; the rollup is per-type volume, entity
+    reach, and the active year span."""
+    o = load_table(spark, sf_dir, "orders")
+    code = F.element_at(
+        F.array(*[F.lit(c) for c in _ENDSTATE_CODES]),
+        (F.pmod(F.col("o_orderkey"), F.lit(14)) + 1).cast("int"),
+    )
+    classifier = literal_dim(
+        spark, ENDSTATE_CLASSIFIER, "code string, event_type string"
+    )
+    endstates = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .withColumn("code", code)
+        .join(F.broadcast(classifier), "code")
+        .select(
+            F.col("o_custkey").alias("entity_id"),
+            "event_type",
+            F.col("o_orderdate").cast("timestamp_ntz").alias("ts"),
+        )
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    loc = F.element_at(
+        F.array(*[F.lit(c) for c in _LOCLOG12_CODES]),
+        (F.pmod(F.col("event_id"), F.lit(12)) + 1).cast("int"),
+    )
+    loclog = e.select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("locdout"),
+        (
+            F.col("ts") + F.make_interval(mins=F.floor("value").cast("int"))
+        ).alias("locdin"),
+        loc.alias("loc"),
+    )
+    abeyance_rows = loclog.filter(F.col("loc").rlike("24|39"))
+    abeyance = abeyance_rows.select(
+        "entity_id",
+        F.lit("TO_ABEYANCE").alias("event_type"),
+        F.col("locdout").alias("ts"),
+    ).unionByName(
+        abeyance_rows.select(
+            "entity_id",
+            F.lit("FROM_ABEYANCE").alias("event_type"),
+            F.col("locdin").alias("ts"),
+        )
+    )
+    dispatch = loclog.filter(F.col("loc").rlike("A.+|SUP|OPR")).select(
+        "entity_id",
+        F.lit("DISPATCH").alias("event_type"),
+        F.col("locdout").alias("ts"),
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cavc = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("entity_id"),
+            F.lit("CAVC").alias("event_type"),
+            F.col("l_shipdate").cast("timestamp_ntz").alias("ts"),
+        )
+        .distinct()
+    )
+
+    ev = reduce(DataFrame.unionByName, [endstates, abeyance, dispatch, cavc])
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("entity_id").alias("n_entities"),
+            F.min(F.year("ts")).alias("first_yr"),
+            F.max(F.year("ts")).alias("last_yr"),
+        )
+        .orderBy("event_type")
+    )
