@@ -614,16 +614,18 @@ def u7_event_endstates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("locdin"),
         loc.alias("loc"),
     )
-    abeyance_rows = loclog.filter(F.col("loc").rlike("24|39"))
-    abeyance = abeyance_rows.select(
-        "entity_id",
-        F.lit("TO_ABEYANCE").alias("event_type"),
-        F.col("locdout").alias("ts"),
-    ).unionByName(
-        abeyance_rows.select(
+    abeyance = (
+        loclog.filter(F.col("loc").rlike("24|39"))
+        .select(
             "entity_id",
-            F.lit("FROM_ABEYANCE").alias("event_type"),
-            F.col("locdin").alias("ts"),
+            F.col("locdout").alias("TO_ABEYANCE"),
+            F.col("locdin").alias("FROM_ABEYANCE"),
+        )
+        .unpivot(
+            ids=["entity_id"],
+            values=["TO_ABEYANCE", "FROM_ABEYANCE"],
+            variableColumnName="event_type",
+            valueColumnName="ts",
         )
     )
     dispatch = loclog.filter(F.col("loc").rlike("A.+|SUP|OPR")).select(

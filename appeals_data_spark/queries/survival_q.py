@@ -149,10 +149,10 @@ def surv_median_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "closure_components",
-    oracle="""
-    WITH RECURSIVE ordered AS (
+# The "handoff" edge derivation shared by the closure and PageRank
+# graph queries: user u links to user v when v's event follows u's
+# within 25 seconds on the same event type.
+_HANDOFF_EDGES_SQL = """ordered AS (
       SELECT event_type, user_id,
              date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec,
              event_id,
@@ -166,7 +166,34 @@ def surv_median_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT user_id AS src, dst
       FROM ordered
       WHERE dst IS NOT NULL AND dst <> user_id AND nxt_sec - sec <= 25
-    ), und AS (
+    )"""
+
+
+def _handoff_edges(spark: SparkSession, sf_dir: str):
+    """Directed, deduplicated handoff edge list (see _HANDOFF_EDGES_SQL)."""
+    from ..operators.sessionize import epoch_seconds
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").withColumn("sec", epoch_seconds("ts"))
+    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    return (
+        e.select("event_type", "user_id", "sec", "event_id")
+        .withColumn("dst", F.lead("user_id").over(w))
+        .withColumn("gap", F.lead("sec").over(w) - F.col("sec"))
+        .filter(
+            F.col("dst").isNotNull()
+            & (F.col("gap") <= 25)
+            & (F.col("dst") != F.col("user_id"))
+        )
+        .select(F.col("user_id").alias("src"), F.col("dst"))
+        .distinct()
+    )
+
+
+@register(
+    "closure_components",
+    oracle=f"""
+    WITH RECURSIVE {_HANDOFF_EDGES_SQL}, und AS (
       SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
     ), nodes AS (
       SELECT DISTINCT src AS node FROM und
@@ -191,26 +218,8 @@ def closure_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint with per-iteration localCheckpoint. Output: component
     size histogram."""
     from ..operators.closure import connected_components
-    from ..operators.sessionize import epoch_seconds
-    from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "events").withColumn("sec", epoch_seconds("ts"))
-    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
-    nxt_user = F.lead("user_id").over(w)
-    nxt_sec = F.lead("sec").over(w)
-    edges = (
-        e.select("event_type", "user_id", "sec", "event_id")
-        .withColumn("dst", nxt_user)
-        .withColumn("gap", nxt_sec - F.col("sec"))
-        .filter(
-            F.col("dst").isNotNull()
-            & (F.col("gap") <= 25)
-            & (F.col("dst") != F.col("user_id"))
-        )
-        .select(F.col("user_id").alias("src"), F.col("dst"))
-        .distinct()
-    )
-    comp = connected_components(edges, "src", "dst")
+    comp = connected_components(_handoff_edges(spark, sf_dir), "src", "dst")
     sizes = comp.groupBy("component").agg(F.count("*").alias("size"))
     return (
         sizes.groupBy("size")
@@ -1041,3 +1050,78 @@ def x3_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit.crossJoin(F.broadcast(n)).select(
         F.round("b0", 5).alias("b0"), F.round("b1", 5).alias("b1"), "n"
     )
+
+
+def _pr_round_sql(i: int) -> str:
+    """One unrolled PageRank round as DuckDB CTEs (the x3_logistic_irls
+    unrolled-iteration oracle pattern): the dangling mass of round i-1,
+    then rank' = 0.15/N + 0.85 * (in-contributions + dangling/N)."""
+    return f""", d{i} AS (
+      SELECT COALESCE(SUM(p.rank), 0) AS dm
+      FROM r{i - 1} p LEFT JOIN deg ON deg.src = p.node
+      WHERE deg.src IS NULL
+    ), r{i} AS (
+      SELECT n.node,
+             0.15 / CAST(nn.n AS DOUBLE)
+               + 0.85 * (COALESCE(c.contrib, 0)
+                         + d{i}.dm / CAST(nn.n AS DOUBLE)) AS rank
+      FROM nodes n
+      CROSS JOIN nn CROSS JOIN d{i}
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.rank / deg.outdeg) AS contrib
+        FROM edges e
+        JOIN r{i - 1} p ON p.node = e.src
+        JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+    )"""
+
+
+_PR_ITERS = 6
+
+_PAGERANK_ORACLE = (
+    f"""
+    WITH {_HANDOFF_EDGES_SQL}, nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), nn AS (
+      SELECT COUNT(*) AS n FROM nodes
+    ), r0 AS (
+      SELECT node, 1.0 / CAST(nn.n AS DOUBLE) AS rank FROM nodes CROSS JOIN nn
+    )"""
+    + "".join(_pr_round_sql(i) for i in range(1, _PR_ITERS + 1))
+    + f"""
+    SELECT node, ROUND(rank, 6) AS rank
+    FROM r{_PR_ITERS} ORDER BY node
+    """
+)
+
+
+@register(
+    "graph_pagerank_handoff",
+    oracle=_PAGERANK_ORACLE,
+    tags=("J19", "X4"),
+)
+def graph_pagerank_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the handoff graph (same directed edge set as
+    closure_components): 6 synchronous rounds at damping 0.85, uniform
+    dangling-mass redistribution, so total rank stays 1. The reference
+    chains appeals by repeated self-joins (J19,
+    scratch/other/event-history.R:34-58); ranking the resulting handoff
+    graph is the natural "who concentrates flow" extension and the
+    engine's representative fixed-round iterative-algorithm shape
+    alongside Lloyd k-means and IRLS.
+
+    Oracle: the identical recurrence unrolled as 6 CTE rounds; both
+    engines iterate in their own float-sum order, absorbed by the final
+    6-dp rounding."""
+    from ..operators.graph import pagerank
+
+    ranks = pagerank(
+        _handoff_edges(spark, sf_dir), "src", "dst",
+        damping=0.85, iterations=_PR_ITERS,
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")

@@ -549,3 +549,35 @@ def test_lineitem_fusion_survives_dangling_order_keys(spark):
         )
     finally:
         ev.load_table = orig
+
+
+def test_pagerank_two_cycle_uniform(spark):
+    from appeals_data_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src bigint, dst bigint")
+    out = {r.node: r.rank for r in pagerank(edges, iterations=4).collect()}
+    # A symmetric 2-cycle keeps the uniform distribution fixed exactly.
+    assert out == {1: 0.5, 2: 0.5}
+
+
+def test_pagerank_star_one_round_hand_computed(spark):
+    from appeals_data_spark.operators.graph import pagerank
+
+    # 1 -> 2 <- 3, node 2 dangling. After one round (d=0.85, N=3):
+    # dangling mass = 1/3 redistributed uniformly.
+    edges = spark.createDataFrame([(1, 2), (3, 2)], "src bigint, dst bigint")
+    out = {r.node: r.rank for r in pagerank(edges, iterations=1).collect()}
+    leaf = 0.15 / 3 + 0.85 * ((1 / 3) / 3)
+    hub = 0.15 / 3 + 0.85 * (2 / 3 + (1 / 3) / 3)
+    assert out[1] == pytest.approx(leaf)
+    assert out[3] == pytest.approx(leaf)
+    assert out[2] == pytest.approx(hub)
+    # Total rank is conserved every round.
+    assert sum(out.values()) == pytest.approx(1.0)
+
+
+def test_pagerank_empty_graph(spark):
+    from appeals_data_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert pagerank(edges).count() == 0
