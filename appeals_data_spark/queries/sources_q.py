@@ -169,3 +169,135 @@ def s1_portable_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = f"orders_sql_{tag}"
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
     return spark.sql(_PORTABLE_SQL.format(orders=view))
+
+
+def _interleave_sql(d1: str, d2: str, bits: int, shr: str) -> str:
+    """Morton/Z-value bit interleave as engine-neutral SQL text:
+    ``shr`` is the shift-right template ('shiftright({x}, {i})' for
+    Spark SQL, '({x} >> {i})' for DuckDB); '&' and arithmetic are
+    shared. Even bit positions take d1, odd take d2."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({shr.format(x=d1, i=i)} & 1) * {1 << (2 * i)})")
+        terms.append(f"(({shr.format(x=d2, i=i)} & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+_Z_BITS = 16
+# Probe: a 128-wide customer-key slice — selective on d1, indifferent
+# to d2, the pattern multi-dimensional clustering exists to serve.
+_Z_PROBE_LO, _Z_PROBE_HI = 100, 227
+
+
+def _zorder_oracle() -> str:
+    z = _interleave_sql("d1", "d2", _Z_BITS, "({x} >> {i})")
+    return f"""
+    WITH dims AS (
+      SELECT o_custkey % 65536 AS d1,
+             DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               % 65536 AS d2,
+             o_orderkey
+      FROM orders
+    ), keyed AS (
+      SELECT d1, d2,
+             ({z}) // 1048576 AS zfile,
+             o_orderkey // 1024 AS lfile
+      FROM dims
+    ), zf AS (
+      SELECT 'zorder' AS layout, zfile AS f, MIN(d1) AS lo, MAX(d1) AS hi,
+             COUNT(*) AS n,
+             SUM(CASE WHEN d1 BETWEEN {_Z_PROBE_LO} AND {_Z_PROBE_HI}
+                      THEN 1 ELSE 0 END) AS n_match
+      FROM keyed GROUP BY zfile
+    ), lf AS (
+      SELECT 'linear' AS layout, lfile AS f, MIN(d1) AS lo, MAX(d1) AS hi,
+             COUNT(*) AS n,
+             SUM(CASE WHEN d1 BETWEEN {_Z_PROBE_LO} AND {_Z_PROBE_HI}
+                      THEN 1 ELSE 0 END) AS n_match
+      FROM keyed GROUP BY lfile
+    ), files AS (
+      SELECT * FROM zf UNION ALL SELECT * FROM lf
+    )
+    SELECT layout,
+           COUNT(*) AS n_files,
+           CAST(SUM(CASE WHEN lo <= {_Z_PROBE_HI} AND hi >= {_Z_PROBE_LO}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(SUM(CASE WHEN lo <= {_Z_PROBE_HI} AND hi >= {_Z_PROBE_LO}
+                    THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matched
+    FROM files GROUP BY layout ORDER BY layout
+    """
+
+
+@register(
+    "opt_zorder_skipping",
+    oracle=_zorder_oracle(),
+    tags=("S9", "A13"),
+)
+def opt_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering vs insertion-order layout, measured
+    by min/max-zone data skipping — the mechanism behind Delta/Iceberg
+    OPTIMIZE ZORDER and parquet row-group pruning. Every row gets a
+    32-bit Morton code interleaving (custkey % 2^16) with the order
+    date's day offset; files are fixed z-prefix buckets (z >> 20) vs
+    orderkey-range buckets for the linear control. For a selective
+    probe on ONE dimension, the z-layout's per-file [min,max] zones
+    overlap the probe in O(sqrt(files)) — the report shows files and
+    rows a zone-map reader would scan under each layout against the
+    true match count. All integer arithmetic; the interleave SQL text
+    is generated once and shared by both engines (engine-specific only
+    in the shift-right spelling).
+
+    At 100 TB this is a WRITE-side layout choice: sort by the Morton
+    key before the partitioned write (one range shuffle), and every
+    later multi-dimension selective scan prunes without re-shuffling."""
+    o = load_table(spark, sf_dir, "orders")
+    dims = o.select(
+        (F.col("o_custkey") % 65536).alias("d1"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01"))
+            % 65536
+        ).alias("d2"),
+        "o_orderkey",
+    )
+    z = F.expr(_interleave_sql("d1", "d2", _Z_BITS, "shiftright({x}, {i})"))
+    keyed = dims.select(
+        "d1",
+        F.floor(z / F.lit(1048576)).alias("zfile"),
+        F.floor(F.col("o_orderkey") / F.lit(1024)).alias("lfile"),
+    )
+    probe = F.col("d1").between(_Z_PROBE_LO, _Z_PROBE_HI)
+    # Both layouts from ONE scan: explode each row into its (layout,
+    # file) pair, then a single shuffle keyed on (layout, f).
+    both = keyed.select(
+        "d1",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"), F.col("zfile").alias("f")
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"), F.col("lfile").alias("f")
+                ),
+            )
+        ).alias("lf"),
+    )
+    files = both.groupBy("lf.layout", "lf.f").agg(
+        F.min("d1").alias("lo"),
+        F.max("d1").alias("hi"),
+        F.count("*").alias("n"),
+        F.sum(probe.cast("int")).alias("n_match"),
+    )
+    hit = (F.col("lo") <= _Z_PROBE_HI) & (F.col("hi") >= _Z_PROBE_LO)
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(hit.cast("int")).cast("long").alias("files_scanned"),
+            F.sum(F.when(hit, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("long").alias("rows_matched"),
+        )
+        .orderBy("layout")
+    )

@@ -463,3 +463,90 @@ def w12_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_filled"),
         F.col("val").isNotNull().cast("int").alias("is_actual"),
     ).orderBy("nation", "d")
+
+
+# Truncated-EWMA weights: (1-alpha)^i for lag i, alpha = 0.2, DEFINED
+# as their 4-dp decimal roundings. All accumulation below is exact
+# decimal arithmetic; the one division happens between two doubles
+# that are exact conversions of identical decimals on both engines
+# (numerator units stay under 2^53 through sf0.1), so the emitted
+# double needs no rounding step — and has no rounding-tie hazard at
+# any magnitude (a plain 6-dp ROUND flipped on an 8.7e6-magnitude tie
+# in testing).
+_EWMA_LAGS = 8
+_EWMA_W = ["1.0", "0.8", "0.64", "0.512", "0.4096", "0.3277", "0.2621", "0.2097"]
+
+
+def _ewma_oracle() -> str:
+    terms = " + ".join(
+        f"COALESCE(CAST({w} AS DECIMAL(6,4)) * x_{i}, 0)"
+        for i, w in enumerate(_EWMA_W)
+    )
+    wsum = " + ".join(
+        f"CASE WHEN x_{i} IS NOT NULL THEN CAST({w} AS DECIMAL(6,4)) "
+        f"ELSE CAST(0 AS DECIMAL(6,4)) END"
+        for i, w in enumerate(_EWMA_W)
+    )
+    lags = ",\n             ".join(
+        f"LAG(rev, {i}) OVER (PARTITION BY prio ORDER BY month) AS x_{i}"
+        for i in range(1, _EWMA_LAGS)
+    )
+    return f"""
+    WITH monthly AS (
+      SELECT o_orderpriority AS prio,
+             CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ), lagged AS (
+      SELECT prio, month, rev AS x_0,
+             {lags}
+      FROM monthly
+    )
+    SELECT prio, month,
+           CAST(({terms}) AS DOUBLE) / CAST(({wsum}) AS DOUBLE) AS ewma
+    FROM lagged ORDER BY prio, month
+    """
+
+
+@register(
+    "w13_ewma_smoothing",
+    oracle=_ewma_oracle(),
+    tags=("W9", "A12", "S11"),
+)
+def w13_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of monthly revenue per
+    order priority, truncated at 8 lags — the bounded-memory form of
+    the reference's plot-side smoothers (impact.R:149, S11, like
+    w11_rolling_mean). Truncation is the scale-honest choice: the
+    infinite recursion needs sequential per-partition state, while the
+    8-term window is ONE window spec (each lag reuses the same sort)
+    and renormalizes its weights at the series head where lags are
+    missing. Numerator and denominator accumulate in EXACT decimal
+    (weights are decimal by definition, revenue stays on the
+    exact-decimal contract), so the one double division has identical
+    operands on both engines and the result needs no rounding."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.partitionBy("prio").orderBy("month")
+    xs = [F.col("rev")] + [
+        F.lag("rev", i).over(w) for i in range(1, _EWMA_LAGS)
+    ]
+    dec0 = F.lit("0").cast("decimal(6,4)")
+    num = None
+    den = None
+    for wt, x in zip(_EWMA_W, xs):
+        wd = F.lit(wt).cast("decimal(6,4)")
+        t = F.coalesce(wd * x, F.lit(0))
+        d = F.when(x.isNotNull(), wd).otherwise(dec0)
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return (
+        monthly.select(
+            "prio",
+            "month",
+            (num.cast("double") / den.cast("double")).alias("ewma"),
+        ).orderBy("prio", "month")
+    )
