@@ -656,3 +656,85 @@ def u7_event_endstates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Trace-classification patterns: regexes over the ordered '>'-joined
+# event-type trace — the MATCH_RECOGNIZE-style sequence predicate
+# expressed as string matching over the listagg'd trace, the same
+# mechanism status-api-traces.R uses to bucket journeys.
+_TRACE_PATTERNS = (
+    ("converted", "signup.*purchase"),
+    ("direct_conversion", "signup>purchase"),
+    ("window_shopper", "view(>view)+"),
+    ("reactivated", "purchase.*signup"),
+)
+
+
+@register(
+    "x4_trace_regex",
+    oracle="""
+    WITH traces AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS trace
+      FROM events
+      GROUP BY user_id
+    ), tot AS (SELECT COUNT(*) AS n_total FROM traces)
+    SELECT p.pattern_name,
+           CAST(SUM(CASE WHEN regexp_matches(t.trace, p.pat)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN regexp_matches(t.trace, p.pat)
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+             / (SELECT n_total FROM tot) AS share
+    FROM traces t
+    CROSS JOIN (VALUES ('converted', 'signup.*purchase'),
+                       ('direct_conversion', 'signup>purchase'),
+                       ('window_shopper', 'view(>view)+'),
+                       ('reactivated', 'purchase.*signup'))
+         p(pattern_name, pat)
+    GROUP BY p.pattern_name
+    ORDER BY p.pattern_name
+    """,
+    tags=("X4", "P8", "A10"),
+)
+def x4_trace_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over process traces: each user's full
+    ordered event trace is classified by unanchored regexes (converted
+    = a signup EVENTUALLY followed by a purchase; direct = adjacent;
+    window_shopper = consecutive views; reactivated = a signup after a
+    purchase) — the MATCH_RECOGNIZE shape built from the X4 trace
+    listagg (status-api-traces.R:110-120) plus the P8 rlike family.
+
+    One shuffle builds all traces; the pattern dim is a broadcast
+    literal, so adding a journey class is data, not code. Counts are
+    integer-exact; the share division has identical integer operands
+    on both engines, so the emitted double needs no rounding."""
+    e = load_table(spark, sf_dir, "events")
+    traces = e.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("trace")
+    )
+    pats = literal_dim(
+        spark, _TRACE_PATTERNS, "pattern_name string, pat string"
+    )
+    classified = traces.join(F.broadcast(pats)).select(
+        "pattern_name", F.expr("trace RLIKE pat").cast("int").alias("hit")
+    )
+    total = traces.agg(F.count("*").alias("n_total"))
+    return (
+        classified.groupBy("pattern_name")
+        .agg(F.sum("hit").cast("long").alias("n_users"))
+        .join(F.broadcast(total))
+        .select(
+            "pattern_name",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("n_total")).alias("share"),
+        )
+        .orderBy("pattern_name")
+    )

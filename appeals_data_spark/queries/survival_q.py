@@ -1125,3 +1125,85 @@ def graph_pagerank_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=0.85, iterations=_PR_ITERS,
     )
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+@register(
+    "x3_ab_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS grp, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY 1
+    ), w AS (
+      SELECT MAX(CASE WHEN grp = '1-URGENT' THEN n END) AS n1,
+             MAX(CASE WHEN grp = '1-URGENT' THEN sx END) AS sx1,
+             MAX(CASE WHEN grp = '1-URGENT' THEN sxx END) AS sxx1,
+             MAX(CASE WHEN grp = '5-LOW' THEN n END) AS n2,
+             MAX(CASE WHEN grp = '5-LOW' THEN sx END) AS sx2,
+             MAX(CASE WHEN grp = '5-LOW' THEN sxx END) AS sxx2
+      FROM s
+    )
+    SELECT n1, n2,
+           sx1 / n1 AS mean_a,
+           sx2 / n2 AS mean_b,
+           (sx1 / n1 - sx2 / n2)
+             / SQRT(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+                    + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2) AS t_welch
+    FROM w
+    """,
+    tags=("X3", "A2"),
+)
+def x3_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test between the urgent and low order-
+    priority cohorts on order value — the A/B-test primitive next to
+    x3_grouped_correlation, from the same one-pass sufficient-stats
+    shape (the reference fits cohort contrasts via per-group summaries,
+    effect-on-outcomes.Rmd). Sums are exact DECIMAL (sx at scale 2 and
+    sxx at scale 4 both convert to double exactly at these magnitudes),
+    and every emitted double is one deterministic expression over
+    those exact inputs — no rounding step, no summation-order race.
+
+    Scale shape: one map-side-combinable groupBy over the filtered
+    fact scan, then a 2-row conditional pivot; nothing downstream of
+    the first aggregate touches data volume."""
+    from ..functions.scalars import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    x = dec("o_totalprice")
+    s = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(x * x).cast("double").alias("sxx"),
+        )
+    )
+
+    def pick(col: str, grp: str):
+        return F.max(F.when(F.col("grp") == grp, F.col(col)))
+
+    w = s.agg(
+        pick("n", "1-URGENT").alias("n1"),
+        pick("sx", "1-URGENT").alias("sx1"),
+        pick("sxx", "1-URGENT").alias("sxx1"),
+        pick("n", "5-LOW").alias("n2"),
+        pick("sx", "5-LOW").alias("sx2"),
+        pick("sxx", "5-LOW").alias("sxx2"),
+    )
+    n1, sx1, sxx1 = F.col("n1"), F.col("sx1"), F.col("sxx1")
+    n2, sx2, sxx2 = F.col("n2"), F.col("sx2"), F.col("sxx2")
+    se2 = ((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1 + (
+        (sxx2 - sx2 * sx2 / n2) / (n2 - 1)
+    ) / n2
+    return w.select(
+        "n1",
+        "n2",
+        (sx1 / n1).alias("mean_a"),
+        (sx2 / n2).alias("mean_b"),
+        ((sx1 / n1 - sx2 / n2) / F.sqrt(se2)).alias("t_welch"),
+    )

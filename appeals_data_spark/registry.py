@@ -120,6 +120,12 @@ _SWEEP_FIRST = [
     "text_bm25_topk",
     "a18_incremental_rollup",
     "r7_scd2_dimension",
+    "u7_event_endstates",
+    "graph_pagerank_handoff",
+    "w13_ewma_smoothing",
+    "opt_zorder_skipping",
+    "x4_trace_regex",
+    "x3_ab_welch_ttest",
     # green sentinels from rounds 1-2 for cross-round regression cover
     "a1_pricing_summary",
     "u1_union_event_log",

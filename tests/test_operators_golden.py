@@ -581,3 +581,27 @@ def test_pagerank_empty_graph(spark):
 
     edges = spark.createDataFrame([], "src bigint, dst bigint")
     assert pagerank(edges).count() == 0
+
+
+def test_morton_interleave_matches_python(spark):
+    """The z-order SQL interleave (queries/sources_q._interleave_sql)
+    agrees with a bit-twiddling Python reference on edge values."""
+    from appeals_data_spark.queries.sources_q import _interleave_sql
+
+    def py_morton(a: int, b: int, bits: int = 16) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    cases = [(0, 0), (1, 0), (0, 1), (65535, 65535), (43690, 21845), (257, 4096)]
+    df = spark.createDataFrame(cases, "d1 bigint, d2 bigint").select(
+        "d1",
+        "d2",
+        F.expr(
+            _interleave_sql("d1", "d2", 16, "shiftright({x}, {i})")
+        ).alias("z"),
+    )
+    for r in df.collect():
+        assert r.z == py_morton(r.d1, r.d2), (r.d1, r.d2)

@@ -41,6 +41,7 @@ BNLJ_OK = {
     "vec_kmeans_lloyd",  # k=4 centroid side per Lloyd round
     "vec_label_centroid_assign",  # centroid side
     "x6_partial_pooling",  # 1-row global shrinkage stats side
+    "x4_trace_regex",  # 4-row pattern dim + 1-row trace-total scalar
 }
 
 MAX_SCAN_FIELDS = 10  # widest table has 16 cols; every query projects fewer
