@@ -1207,3 +1207,63 @@ def x3_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sx2 / n2).alias("mean_b"),
         ((sx1 / n1 - sx2 / n2) / F.sqrt(se2)).alias("t_welch"),
     )
+
+
+@register(
+    "x3_mad_outliers",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS x,
+             quantile_cont(o_totalprice, 0.5)
+               OVER (PARTITION BY o_orderpriority) AS med
+      FROM orders
+    ), devd AS (
+      SELECT grp, med, ABS(x - med) AS adev,
+             quantile_cont(ABS(x - med), 0.5)
+               OVER (PARTITION BY grp) AS mad
+      FROM base
+    )
+    SELECT grp, ANY_VALUE(med) AS med, ANY_VALUE(mad) AS mad,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN adev > 3 * 1.4826 * mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM devd GROUP BY grp ORDER BY grp
+    """,
+    tags=("X3", "A7"),
+)
+def x3_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median absolute deviation
+    with the 1.4826 normal-consistency factor, flagging rows beyond
+    3 robust sigmas — the heavy-tail-safe alternative to mean/stddev
+    z-scores for reporting anomalies (A7's quantile machinery applied
+    to quality control). Both exact medians run as WINDOW aggregates
+    over the same group partitioning (the percentile/quantile_cont
+    agreement surv_median_lifetime pins), so the whole thing is one
+    shuffle on the group key — no fact re-scan, no join back; both
+    engines interpolate the same stored doubles, so the medians and
+    the comparison cut agree exactly with no rounding step."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("grp")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("x"),
+    ).withColumn("med", F.expr("percentile(x, 0.5)").over(w))
+    devd = base.withColumn(
+        "adev", F.abs(F.col("x") - F.col("med"))
+    ).withColumn("mad", F.expr("percentile(adev, 0.5)").over(w))
+    return (
+        devd.groupBy("grp")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("int")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("grp")
+    )

@@ -126,6 +126,7 @@ _SWEEP_FIRST = [
     "opt_zorder_skipping",
     "x4_trace_regex",
     "x3_ab_welch_ttest",
+    "x3_mad_outliers",
     # green sentinels from rounds 1-2 for cross-round regression cover
     "a1_pricing_summary",
     "u1_union_event_log",
