@@ -529,3 +529,81 @@ def a18_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "a20_retention_cohorts",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id,
+             CAST(DATE_TRUNC('month', MIN(ts)) AS DATE) AS cohort_month
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id,
+             CAST(DATE_TRUNC('month', ts) AS DATE) AS act_month
+      FROM events
+    ), indexed AS (
+      SELECT c.cohort_month,
+             (YEAR(a.act_month) * 12 + MONTH(a.act_month))
+               - (YEAR(c.cohort_month) * 12 + MONTH(c.cohort_month)) AS k,
+             a.user_id
+      FROM activity a JOIN cohorts c USING (user_id)
+    ), counts AS (
+      SELECT cohort_month, k, COUNT(DISTINCT user_id) AS n_active
+      FROM indexed WHERE k BETWEEN 0 AND 12 GROUP BY cohort_month, k
+    )
+    SELECT cohort_month, CAST(k AS BIGINT) AS k,
+           n_active,
+           MAX(CASE WHEN k = 0 THEN n_active END)
+             OVER (PARTITION BY cohort_month) AS n_cohort,
+           CAST(n_active AS DOUBLE)
+             / MAX(CASE WHEN k = 0 THEN n_active END)
+                 OVER (PARTITION BY cohort_month) AS retention
+    FROM counts
+    ORDER BY cohort_month, k
+    """,
+    tags=("A12", "A3", "W8"),
+)
+def a20_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention triangle: users cohorted by first-activity month,
+    distinct-active counts at month offsets 0..12, and retention as a
+    share of the cohort's month-0 size — the standard cohort-analysis
+    rollup (the A12 monthly machinery composed with A3 distinct counts
+    and the W8 rate-vs-group-total shape).
+
+    Scale shape: first-touch min(ts), the distinct (user, month)
+    dedup, and the cohort join all key on user_id, so the three
+    user-keyed stages reuse one hash partitioning; only the final
+    (cohort, k) count shuffles differently, and it is #cohorts x 13
+    rows. Retention is a division of two exact integers — identical
+    doubles on both engines with no rounding step."""
+    e = load_table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).cast("date").alias("cohort_month")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("month", "ts").cast("date").alias("act_month")
+    ).distinct()
+    mnum = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    indexed = activity.join(cohorts, "user_id").select(
+        "cohort_month",
+        (mnum(F.col("act_month")) - mnum(F.col("cohort_month"))).alias("k"),
+        "user_id",
+    )
+    counts = (
+        indexed.filter(F.col("k").between(0, 12))
+        .groupBy("cohort_month", "k")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_month")
+    n0 = F.max(F.when(F.col("k") == 0, F.col("n_active"))).over(w)
+    return (
+        counts.select(
+            "cohort_month",
+            F.col("k").cast("long").alias("k"),
+            "n_active",
+            n0.alias("n_cohort"),
+            (F.col("n_active").cast("double") / n0).alias("retention"),
+        )
+        .orderBy("cohort_month", "k")
+    )

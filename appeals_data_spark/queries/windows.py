@@ -550,3 +550,90 @@ def w13_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (num.cast("double") / den.cast("double")).alias("ewma"),
         ).orderBy("prio", "month")
     )
+
+
+@register(
+    "w14_cusum_changepoint",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderpriority AS grp,
+             CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ), stats AS (
+      SELECT grp, month,
+             CAST(SUM(rev) OVER (PARTITION BY grp ORDER BY month
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS cum,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY month) AS k,
+             CAST(SUM(rev) OVER (PARTITION BY grp) AS DOUBLE) AS sx,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM monthly
+    ), s AS (
+      SELECT grp, month, n, cum - k * (sx / n) AS cusum
+      FROM stats
+    )
+    SELECT grp, month AS change_month, cusum AS cusum_stat,
+           CAST(n AS BIGINT) AS n_months
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+                                   ORDER BY ABS(cusum) DESC, month) AS rn
+      FROM s
+    ) WHERE rn = 1
+    ORDER BY grp
+    """,
+    tags=("W3", "W6", "X3"),
+)
+def w14_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the monthly revenue series per
+    order priority: the cumulative deviation from the series mean,
+    S_k = sum_{i<=k} x_i - k*mean, peaks (in absolute value) at the
+    most likely level-shift month — the classic offline CUSUM
+    estimator, here as pure window algebra (W3's running sums + the
+    A14 argmax). The cumulative and total sums stay EXACT decimal and
+    convert to double exactly at these magnitudes, so S_k and the
+    argmax ranking are identical on both engines with no rounding
+    step; ties on |S_k| break on the earlier month.
+
+    Scale shape: one map-side-combinable monthly rollup, then two
+    window passes over #months-per-group rows sharing one partition
+    key — data volume never reaches the window."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    wo = Window.partitionBy("grp").orderBy("month")
+    wa = Window.partitionBy("grp")
+    stats = monthly.select(
+        "grp",
+        "month",
+        F.sum("rev").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("double").alias("cum"),
+        F.row_number().over(wo).alias("k"),
+        F.sum("rev").over(wa).cast("double").alias("sx"),
+        F.count("*").over(wa).alias("n"),
+    )
+    s = stats.select(
+        "grp",
+        "month",
+        "n",
+        (F.col("cum") - F.col("k") * (F.col("sx") / F.col("n"))).alias("cusum"),
+    )
+    ranked = s.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(F.abs(F.col("cusum")).desc(), "month")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "grp",
+            F.col("month").alias("change_month"),
+            F.col("cusum").alias("cusum_stat"),
+            F.col("n").cast("long").alias("n_months"),
+        )
+        .orderBy("grp")
+    )

@@ -127,6 +127,8 @@ _SWEEP_FIRST = [
     "x4_trace_regex",
     "x3_ab_welch_ttest",
     "x3_mad_outliers",
+    "a20_retention_cohorts",
+    "w14_cusum_changepoint",
     # green sentinels from rounds 1-2 for cross-round regression cover
     "a1_pricing_summary",
     "u1_union_event_log",
