@@ -607,3 +607,79 @@ def a20_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "k")
     )
+
+
+@register(
+    "a21_sliding_mau",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), bounds AS (
+      SELECT MIN(d) AS lo, MAX(d) AS hi FROM user_days
+    ), contrib AS (
+      SELECT user_id,
+             UNNEST(generate_series(d, d + INTERVAL 27 DAY,
+                                    INTERVAL 1 DAY)) AS g
+      FROM user_days
+    ), mau AS (
+      SELECT CAST(g AS DATE) AS d, COUNT(DISTINCT user_id) AS mau
+      FROM contrib GROUP BY 1
+    ), dau AS (
+      SELECT d, COUNT(*) AS dau FROM user_days GROUP BY d
+    )
+    SELECT m.d, COALESCE(a.dau, 0) AS dau, m.mau,
+           CAST(COALESCE(a.dau, 0) AS DOUBLE) / m.mau AS stickiness
+    FROM mau m LEFT JOIN dau a USING (d)
+    WHERE m.d BETWEEN (SELECT lo FROM bounds) + INTERVAL 27 DAY
+                  AND (SELECT hi FROM bounds)
+    ORDER BY m.d
+    """,
+    tags=("A3", "J17", "A12"),
+)
+def a21_sliding_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 28-day active users (MAU) per day, with same-day DAU
+    and the DAU/MAU stickiness ratio — the engagement rollup whose
+    naive form (a distinct count per day over a sliding window) is
+    quadratic. Spark-first shape: dedupe to (user, day) once, then
+    each user-day CONTRIBUTES itself to the next 28 days via a
+    map-side explode (the operators/pit.py strategy applied to
+    distinct counting), so the only shuffles are the dedupe and the
+    per-day distinct aggregation — no self-join, no per-day re-scan.
+    Days before a full window has accumulated are trimmed using the
+    observed date bounds. Counts are integer-exact; stickiness divides
+    two identical integers on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.date_add(F.col("d"), 27),
+                F.expr("interval 1 day"),
+            )
+        ).alias("g"),
+    )
+    mau = contrib.groupBy(F.col("g").alias("d")).agg(
+        F.count_distinct("user_id").alias("mau")
+    )
+    dau = user_days.groupBy("d").agg(F.count("*").alias("dau"))
+    bounds = user_days.agg(
+        F.date_add(F.min("d"), 27).alias("lo"), F.max("d").alias("hi")
+    )
+    return (
+        mau.join(dau, "d", "left")
+        .join(F.broadcast(bounds))
+        .filter(F.col("d").between(F.col("lo"), F.col("hi")))
+        .select(
+            "d",
+            F.coalesce(F.col("dau"), F.lit(0)).alias("dau"),
+            "mau",
+            (
+                F.coalesce(F.col("dau"), F.lit(0)).cast("double") / F.col("mau")
+            ).alias("stickiness"),
+        )
+        .orderBy("d")
+    )

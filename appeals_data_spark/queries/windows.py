@@ -637,3 +637,47 @@ def w14_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "w15_ntile_deciles",
+    oracle="""
+    WITH tiled AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM tiled GROUP BY decile ORDER BY decile
+    """,
+    tags=("W7", "A7", "A13"),
+)
+def w15_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding by NTILE with a deterministic total order
+    (price, then key) and per-band summaries — the ranked-bucket
+    report shape (A13's histogram by equal POPULATION instead of equal
+    width). Both engines share NTILE's front-loaded-remainder
+    definition, so band membership is identical.
+
+    Scale note: an unpartitioned NTILE is a global sort — fine here
+    because the banding runs on the orders rollup grain, but at 100 TB
+    the same report should come from approx percentile BOUNDARIES
+    (computed map-side) + a range filter per band, which is one
+    aggregation instead of a total sort; the exact NTILE form is the
+    correctness anchor the approximate path is checked against."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .orderBy("decile")
+    )

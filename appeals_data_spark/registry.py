@@ -129,6 +129,8 @@ _SWEEP_FIRST = [
     "x3_mad_outliers",
     "a20_retention_cohorts",
     "w14_cusum_changepoint",
+    "a21_sliding_mau",
+    "w15_ntile_deciles",
     # green sentinels from rounds 1-2 for cross-round regression cover
     "a1_pricing_summary",
     "u1_union_event_log",
