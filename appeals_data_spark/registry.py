@@ -63,60 +63,11 @@ def register(
 # checks last within that block), then the already-green remainder in
 # registration order.
 _SWEEP_FIRST = [
-    # Round-3 rotation: rounds 1+2 left exactly 31 registered queries with
-    # no driver row in either round (all locally green). They fill the
-    # front of the window now, flagship composite ports first.
-    "comp_ep_classifier_eval",
-    "r6_paired_field_changes",
-    "x3_logistic_irls",
-    "x6_grouped_model_fit",
-    "vec_kmeans_lloyd",
-    "vec_label_centroid_assign",
-    "x4_transition_matrix",
-    "surv_median_lifetime",
-    "surv_cuminc",
-    "surv_km_counts",
-    "stream_click_attribution",
-    "stream_dedup_user_types",
-    "stream_event_union",
-    "text_quality_flags",
-    "text_char_classes",
-    "text_lang_confusion",
-    "text_fingerprint_md5",
-    "text_winnow_fingerprints",
-    "text_subword_tokens",
-    "text_vocab_topk",
-    "pipe_mixture_weights",
-    "pipe_stratified_sample",
-    "pipe_split_shards",
-    "pipe_model_score_broadcast",
-    "skew_salted_join",
-    "u5_event_where_hook",
-    "mm_resize_dims",
-    "mm_frame_sample",
-    # new in round 3 (oracle-backed)
-    "x6_random_intercept_em",
-    "x6_mixed_treatment_em",
-    "j21_bucketed_copartition_join",
-    "mm_decode_image",
-    "text_top2gram_repetition",
-    "s9_partition_pruned_rollup",
-    "s1_portable_sql_rollup",
-    "dedup_substring_coverage",
-    "text_unigram_logprob",
-    "text_token_entropy",
-    "vec_pq_adc_topk",
-    "vec_pq_rerank_topk",
-    "pipe_temperature_mixture",
-    "text_bpe_merges",
-    "x3_grouped_correlation",
-    "text_bpe_vocab",
-    "a16_cube_rollup",
-    "w12_linear_interpolation",
-    "u6_event_funnel",
-    "vec_ivfpq_topk",
-    "text_tfidf_topk",
-    "pipe_chunk_overlap",
+    # Round-4 rotation: after r1∪r2∪r3 exactly 17 registered queries have
+    # never received a driver row (all locally green — they landed after
+    # the round-3 window was fixed). They lead the window: the 14
+    # oracle-backed ones first, the 3 permanent rows-only sketches after
+    # (their oracled portable twins are already driver-green).
     "text_bm25_topk",
     "a18_incremental_rollup",
     "r7_scd2_dimension",
@@ -131,28 +82,48 @@ _SWEEP_FIRST = [
     "w14_cusum_changepoint",
     "a21_sliding_mau",
     "w15_ntile_deciles",
-    # green sentinels from rounds 1-2 for cross-round regression cover
-    "a1_pricing_summary",
-    "u1_union_event_log",
-    "dedup_minhash_portable",
-    "j10_fuzzy_asof_match",
-    "stream_session_stats",
-    "comp_decision_locs",
-    "dedup_canonical_corpus",
-    "x6_partial_pooling",
-    # never swept, rows-only (weakest driver signal; their oracle-backed
-    # portable twins are already driver-green)
     "dedup_minhash_lsh",
     "dedup_simhash_hamming",
     "vec_lsh_topk",
-    # more green-in-r2 regression cover to round out the ~50 window
-    "pipe_curation_funnel",
-    "stream_doc_curation",
-    "vec_brute_force_topk",
-    "vec_ivf_topk",
-    "skew_salted_agg",
-    "text_token_stats",
-    "dedup_embedding_cosine",
+    # new in round 4 (oracle-backed) — need first driver rows
+    "x6_logistic_glmm",
+    "x3_linear_svm_eval",
+    # green sentinels for cross-round regression cover (r1/r2/r3 greens
+    # spanning the flagship families: TPC-H agg, fused event union,
+    # as-of join, classifier eval, survival, composed ANN)
+    "a1_pricing_summary",
+    "u1_union_event_log",
+    "j10_fuzzy_asof_match",
+    "comp_ep_classifier_eval",
+    "surv_cuminc",
+    "vec_ivfpq_topk",
+    # aged round-1 greens (no driver row since r1) — refresh the oldest
+    # verdicts, one representative per family plus the j1 watch item
+    "j1_revenue_by_nation",
+    "a12_monthly_rollup",
+    "a2_conditional_agg_flags",
+    "a3_distinct_counts",
+    "a7_quantile_summary",
+    "a8_crosstab",
+    "a9_pivot_agg",
+    "a10_listagg",
+    "a13_histogram",
+    "a14_ranked_selection",
+    "a15_fiscal_year_summary",
+    "p1_projection_alias_nulltest",
+    "p4_range_in_between",
+    "p7_like_rlike",
+    "p9_case_when_derive",
+    "p13_deterministic_topn",
+    "j2_left_join_order_counts",
+    "j3_composite_key_join",
+    "j4_wildcard_hierarchy_join",
+    "j6_nonequi_temporal_join",
+    "j8_argmax_latest_order",
+    "j15_anti_semi_join",
+    "w4_topk_per_group",
+    "w5_variable_distance_lead",
+    "r1_unpivot_measures",
 ]
 
 
