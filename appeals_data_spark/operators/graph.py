@@ -11,8 +11,11 @@ equi-join (edges ⋈ ranks on src) + one groupBy(dst) — both shuffles on
 the same keys every round, so at cluster scale the edge side can be
 pre-partitioned once and reused. The dangling-node mass is a 1-row
 aggregate broadcast back with a nested-loop join whose build side is a
-single row (whitelisted in the plan gate); no per-iteration driver
-collect. Lineage is cut with ``localCheckpoint`` per round, the same
+single row. Note: the plan gate (tests/test_plans.py) never sees these
+per-iteration joins — ``localCheckpoint`` truncates lineage each round,
+so the audited plan is only the post-checkpoint final segment; the
+per-round scale cost is reported separately by tools/audit_plans.py's
+iterative annotations. No per-iteration driver collect. Lineage is cut with ``localCheckpoint`` per round, the same
 discipline as :func:`closure.connected_components` and the Lloyd/IRLS
 loops.
 """

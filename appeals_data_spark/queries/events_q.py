@@ -573,9 +573,13 @@ def u7_event_endstates(spark: SparkSession, sf_dir: str) -> DataFrame:
       gather() shape — one log row emits a check-out AND a check-in
       event.
     - DISPATCH via the DispatchLocs regex 'A.+|SUP|OPR'
-      (constants.R:23, the dispatch detector inside
-      .parseDecisionLocs:205-215) — a regex-classified location, not
-      an equality code.
+      (constants.R:23). Simplification: the reference uses DispatchLocs
+      only inside .parseDecisionLocs:205-215's run-grouping
+      (cumsum(!grepl)) to derive SIGNED_DECISION events; here it is a
+      per-row regex classification emitting one DISPATCH event per
+      matching log row — a simplified per-row form of the reference's
+      dispatch detector, not the run-grouped shape (Spark and oracle
+      stay internally consistent).
     - CAVC (event_cavc, events.R:881-895): a date-column extract with
       distinct(BFKEY, DATE) dedup — returned lines keyed by order with
       duplicate receipt dates collapsed.

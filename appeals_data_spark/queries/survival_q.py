@@ -1209,9 +1209,16 @@ def x3_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Robust-sigma cutoff 3 * 1.4826 computed ONCE in Python and spliced as
+# the identical double literal into both engines, so the comparison
+# thresholds are bit-identical (no latent boundary-flip at other scale
+# factors from Python-vs-DuckDB constant-folding differences).
+_MAD_CUT = 3 * 1.4826
+
+
 @register(
     "x3_mad_outliers",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT o_orderpriority AS grp, o_totalprice AS x,
              quantile_cont(o_totalprice, 0.5)
@@ -1225,7 +1232,7 @@ def x3_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT grp, ANY_VALUE(med) AS med, ANY_VALUE(mad) AS mad,
            COUNT(*) AS n,
-           CAST(SUM(CASE WHEN adev > 3 * 1.4826 * mad
+           CAST(SUM(CASE WHEN adev > CAST({_MAD_CUT!r} AS DOUBLE) * mad
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM devd GROUP BY grp ORDER BY grp
     """,
@@ -1260,7 +1267,7 @@ def x3_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("mad").alias("mad"),
             F.count("*").alias("n"),
             F.sum(
-                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("int")
+                (F.col("adev") > F.lit(_MAD_CUT) * F.col("mad")).cast("int")
             )
             .cast("long")
             .alias("n_outliers"),
