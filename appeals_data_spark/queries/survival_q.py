@@ -1274,3 +1274,224 @@ def x3_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+def _glmm_oracle(iters: int = 3) -> str:
+    """Unrolled PQL (IRLS-within-EM) oracle for the logistic GLMM:
+    round i derives IRLS working responses from round i-1's
+    (b0, beta, u_g, tau2) on the group x arm cells, estimates beta by
+    the precision-weighted within estimator, then runs the EM
+    random-intercept update on the treatment-adjusted working means.
+    Formulas mirror x6_logistic_glmm term for term."""
+    parts = [
+        """
+    WITH cells AS (
+      SELECT c_nationkey AS grp,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                       AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                       AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS k1
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+    ), st0 AS (
+      SELECT grp, n0, k0, n1, k1,
+             CAST(0 AS DOUBLE) AS u, CAST(0 AS DOUBLE) AS b0,
+             CAST(0 AS DOUBLE) AS beta, CAST(0.25 AS DOUBLE) AS tau2
+      FROM cells
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , e{i} AS (
+      SELECT grp, n0, k0, n1, k1, u, tau2,
+             b0 + u AS eta0, b0 + beta + u AS eta1
+      FROM st{i - 1}
+    ), z{i} AS (
+      SELECT grp, n0, k0, n1, k1, tau2,
+             CASE WHEN n0 > 0 THEN
+               n0 * (1/(1+exp(-eta0))) * (1 - 1/(1+exp(-eta0))) END AS w0,
+             CASE WHEN n0 > 0 THEN
+               eta0 + (CAST(k0 AS DOUBLE)/n0 - 1/(1+exp(-eta0)))
+                 / ((1/(1+exp(-eta0))) * (1 - 1/(1+exp(-eta0)))) END AS z0,
+             CASE WHEN n1 > 0 THEN
+               n1 * (1/(1+exp(-eta1))) * (1 - 1/(1+exp(-eta1))) END AS w1,
+             CASE WHEN n1 > 0 THEN
+               eta1 + (CAST(k1 AS DOUBLE)/n1 - 1/(1+exp(-eta1)))
+                 / ((1/(1+exp(-eta1))) * (1 - 1/(1+exp(-eta1)))) END AS z1
+      FROM e{i}
+    ), bb{i} AS (
+      SELECT SUM((z1 - z0) * (w1*w0/(w1+w0))) / SUM(w1*w0/(w1+w0)) AS beta
+      FROM z{i} WHERE n0 > 0 AND n1 > 0
+    ), a{i} AS (
+      SELECT grp, n0, k0, n1, k1, tau2, beta,
+             (COALESCE(w0*z0, 0) + COALESCE(w1*(z1 - beta), 0))
+               / (COALESCE(w0, 0) + COALESCE(w1, 0)) AS zadj,
+             1.0 / (COALESCE(w0, 0) + COALESCE(w1, 0)) AS s2
+      FROM z{i} CROSS JOIN bb{i}
+    ), m{i} AS (
+      SELECT SUM(zadj/(tau2+s2)) / SUM(1.0/(tau2+s2)) AS b0 FROM a{i}
+    ), t{i} AS (
+      SELECT AVG(POW((tau2/(tau2+s2)) * (zadj - (SELECT b0 FROM m{i})), 2)
+                 + (tau2/(tau2+s2)) * s2) AS tau2 FROM a{i}
+    ), st{i} AS (
+      SELECT a.grp, a.n0, a.k0, a.n1, a.k1,
+             (a.tau2/(a.tau2+a.s2)) * (a.zadj - m{i}.b0) AS u,
+             m{i}.b0 AS b0, a.beta AS beta, t{i}.tau2 AS tau2
+      FROM a{i} a CROSS JOIN m{i} CROSS JOIN t{i}
+    )""")
+    parts.append(f"""
+    SELECT grp, n0 + n1 AS n,
+           CASE WHEN n0 > 0 THEN ROUND(CAST(k0 AS DOUBLE)/n0, 6) END AS raw_control,
+           CASE WHEN n1 > 0 THEN ROUND(CAST(k1 AS DOUBLE)/n1, 6) END AS raw_treated,
+           ROUND(u, 6) AS u, ROUND(b0, 6) AS b0,
+           ROUND(beta, 6) AS beta, ROUND(tau2, 6) AS tau2
+    FROM st{iters} ORDER BY grp""")
+    return "".join(parts)
+
+
+@register(
+    "x6_logistic_glmm",
+    oracle=_glmm_oracle(),
+    tags=("X6", "X3", "GLM"),
+)
+def x6_logistic_glmm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic (binomial-family) mixed model — the reference's ACTUAL
+    glmer shape (notebooks/hearings/effect-on-outcomes.Rmd:236
+    ``glmer(allowed ~ hearing + (...|issue_type), family=binomial)``),
+    fit by PQL: IRLS working responses composed with the
+    random-intercept EM, closing the link-function gap left by the
+    Gaussian x6_random_intercept_em / x6_mixed_treatment_em.
+
+    Model: logit P(y=1) = b0 + beta*t + u_g, u_g ~ N(0, tau^2).
+    Because treatment and group are the only covariates, the data
+    collapse to (group, arm) cells and every IRLS quantity is exact
+    from cell counts (all rows in a cell share eta, hence mu and w).
+    Each of the 3 fixed PQL rounds:
+
+      1. IRLS step (ml.glm.logistic_irls's transform on cells):
+         eta_gt = b0 + beta*t + u_g; mu = sigmoid(eta); w = mu(1-mu);
+         working mean zbar_gt = eta + (k/n - mu)/w with weight
+         W_gt = n_gt * w.
+      2. beta by the precision-weighted WITHIN estimator over groups
+         observing both arms (random intercepts cancel in within-group
+         differences — the x6_mixed_treatment_em trick, now on the
+         weighted working scale): h_g = W1*W0/(W1+W0).
+      3. EM random-intercept update on the treatment-adjusted working
+         means zadj_g (variance s2_g = 1/(W0+W1)): precision-weighted
+         b0, posterior shrinkage u_g = B_g (zadj_g - b0) with
+         B_g = tau2/(tau2+s2_g), then tau2 <- avg(u^2 + B s2).
+
+    Deterministic start (b0, beta, u) = 0, tau2 = 0.25; the oracle
+    unrolls the identical 3 rounds as CTEs (the x3_logistic_irls /
+    x6_*_em pattern). Treatment = synthetic orderkey parity, outcome =
+    order finished, groups = customer nation.
+
+    Physically: ONE fact-scale join + groupBy produces the cells; all
+    3 PQL rounds are whole-frame window expressions over the
+    #groups-sized table — one plan, one extra exchange, no per-round
+    jobs, no driver collect (contrast x3_logistic_irls, whose
+    sufficient stats are fact-scale and need a broadcast-back per
+    round)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    t1 = F.col("o_orderkey") % 2 == 1
+    fin = F.col("o_orderstatus") == "F"
+    d = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("grp"))
+        .agg(
+            F.sum(F.when(~t1, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(~t1 & fin, 1).otherwise(0)).alias("k0"),
+            F.sum(F.when(t1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(t1 & fin, 1).otherwise(0)).alias("k1"),
+        )
+        .withColumn("u", F.lit(0.0))
+        .withColumn("b0", F.lit(0.0))
+        .withColumn("beta", F.lit(0.0))
+        .withColumn("tau2", F.lit(0.25))
+    )
+    wall = Window.partitionBy()
+
+    def sig(eta):
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+
+    for _ in range(3):
+        d = d.withColumn("eta0", F.col("b0") + F.col("u")).withColumn(
+            "eta1", F.col("b0") + F.col("beta") + F.col("u")
+        )
+        mu0, mu1 = sig(F.col("eta0")), sig(F.col("eta1"))
+        w0c, w1c = mu0 * (1 - mu0), mu1 * (1 - mu1)
+        d = (
+            d.withColumn("w0", F.when(F.col("n0") > 0, F.col("n0") * w0c))
+            .withColumn(
+                "z0",
+                F.when(
+                    F.col("n0") > 0,
+                    F.col("eta0")
+                    + (F.col("k0").cast("double") / F.col("n0") - mu0) / w0c,
+                ),
+            )
+            .withColumn("w1", F.when(F.col("n1") > 0, F.col("n1") * w1c))
+            .withColumn(
+                "z1",
+                F.when(
+                    F.col("n1") > 0,
+                    F.col("eta1")
+                    + (F.col("k1").cast("double") / F.col("n1") - mu1) / w1c,
+                ),
+            )
+        )
+        both = (F.col("n0") > 0) & (F.col("n1") > 0)
+        h = F.col("w1") * F.col("w0") / (F.col("w1") + F.col("w0"))
+        d = d.withColumn(
+            "beta",
+            F.sum(F.when(both, (F.col("z1") - F.col("z0")) * h)).over(wall)
+            / F.sum(F.when(both, h)).over(wall),
+        )
+        wt = F.coalesce(F.col("w0"), F.lit(0.0)) + F.coalesce(
+            F.col("w1"), F.lit(0.0)
+        )
+        d = d.withColumn(
+            "zadj",
+            (
+                F.coalesce(F.col("w0") * F.col("z0"), F.lit(0.0))
+                + F.coalesce(F.col("w1") * (F.col("z1") - F.col("beta")), F.lit(0.0))
+            )
+            / wt,
+        ).withColumn("s2", F.lit(1.0) / wt)
+        d = d.withColumn(
+            "b0",
+            F.sum(F.col("zadj") / (F.col("tau2") + F.col("s2"))).over(wall)
+            / F.sum(F.lit(1.0) / (F.col("tau2") + F.col("s2"))).over(wall),
+        )
+        bshrink = F.col("tau2") / (F.col("tau2") + F.col("s2"))
+        d = (
+            d.withColumn(
+                "tau2_new",
+                F.avg(
+                    F.pow(bshrink * (F.col("zadj") - F.col("b0")), 2)
+                    + bshrink * F.col("s2")
+                ).over(wall),
+            )
+            .withColumn("u", bshrink * (F.col("zadj") - F.col("b0")))
+            .withColumn("tau2", F.col("tau2_new"))
+            .drop("eta0", "eta1", "w0", "z0", "w1", "z1", "zadj", "s2", "tau2_new")
+        )
+    return d.select(
+        "grp",
+        (F.col("n0") + F.col("n1")).alias("n"),
+        F.when(
+            F.col("n0") > 0, F.round(F.col("k0").cast("double") / F.col("n0"), 6)
+        ).alias("raw_control"),
+        F.when(
+            F.col("n1") > 0, F.round(F.col("k1").cast("double") / F.col("n1"), 6)
+        ).alias("raw_treated"),
+        F.round("u", 6).alias("u"),
+        F.round("b0", 6).alias("b0"),
+        F.round("beta", 6).alias("beta"),
+        F.round("tau2", 6).alias("tau2"),
+    ).orderBy("grp")
