@@ -1,0 +1,89 @@
+"""Distributed linear SVM by full-batch pegasos subgradient descent.
+
+Reference analog: the docket-order classifiers
+(scratch/decisions/docket-order.R:329-348), which train e1071 ``svm`` /
+kernlab ``ksvm`` models on two numeric features with 4:1 class weights.
+The Spark-first re-expression is a deterministic class-weighted LINEAR
+SVM: the reference's plots show the learned boundary is used as a
+near-linear separator over the two date axes, and a linear model is the
+form whose training loop is exactly oracle-checkable (each round is one
+aggregation; an RBF kernel would need the kernel matrix). MLlib's
+LinearSVC fits the same model but with a non-reproducible optimizer —
+this loop is the differential-testable twin.
+
+Pegasos (Shalev-Shwartz et al. 2011), full-batch variant so every
+round is deterministic:
+
+    w_{i} = (1 - 1/i) * w_{i-1}
+            + (1 / (lambda * i * n)) * sum_{violators} c_y * y * x
+
+where violators are rows with margin y * (w . x) < 1 and c_y is the
+per-class cost weight (the reference's ``class.weights``). The bias
+rides as a constant feature and is regularized with the rest (pure
+pegasos). Each round is ONE aggregation of the weighted violator sums
+with the refit coefficients broadcast back (model-as-data, the
+ml.glm.logistic_irls shape); ``localCheckpoint`` per round keeps the
+fit at `iters` data passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pegasos_linear_svm(
+    df: DataFrame,
+    y: Column,
+    xs: list[Column],
+    lam: float = 0.1,
+    iters: int = 5,
+    pos_weight: float = 1.0,
+    neg_weight: float = 1.0,
+) -> DataFrame:
+    """Fit y in {+1,-1} ~ sign(w0 + w1*x1 + ... + wk*xk); returns the
+    1-row coefficient frame (w0..wk). ``y`` must evaluate to +-1.0."""
+    k = len(xs)
+    d = df.select(
+        y.cast("double").alias("_y"),
+        *[x.cast("double").alias(f"_x{j + 1}") for j, x in enumerate(xs)],
+    )
+    cw = F.when(F.col("_y") > 0, F.lit(pos_weight)).otherwise(F.lit(neg_weight))
+    coefs = d.sparkSession.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(k + 1)]
+    )
+    for i in range(1, iters + 1):
+        wx = F.col("w0") + sum(
+            (F.col(f"w{j + 1}") * F.col(f"_x{j + 1}") for j in range(k)),
+            F.lit(0.0),
+        )
+        viol = F.col("_y") * wx < 1
+        feats = [F.lit(1.0)] + [F.col(f"_x{j + 1}") for j in range(k)]
+        s = (
+            d.crossJoin(F.broadcast(coefs))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.coalesce(
+                        F.sum(F.when(viol, cw * F.col("_y") * feats[j])),
+                        F.lit(0.0),
+                    ).alias(f"sv{j}")
+                    for j in range(k + 1)
+                ],
+            )
+        )
+        keep = 1.0 - 1.0 / i
+        coefs = (
+            s.crossJoin(F.broadcast(coefs))
+            .select(
+                *[
+                    (
+                        F.lit(keep) * F.col(f"w{j}")
+                        + F.col(f"sv{j}") / (lam * i * F.col("n"))
+                    ).alias(f"w{j}")
+                    for j in range(k + 1)
+                ]
+            )
+            .localCheckpoint()
+        )
+    return coefs

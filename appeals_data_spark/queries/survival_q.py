@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.scalars import fiscal_year
 from ..operators.survival import kaplan_meier, km_counts
-from ..registry import register
+from ..registry import materialize_ctes, register
 
 
 def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,7 +722,7 @@ def _em_oracle(iters: int = 4) -> str:
 
 @register(
     "x6_random_intercept_em",
-    oracle=_em_oracle(),
+    oracle=materialize_ctes(_em_oracle()),
     tags=("X6", "X3", "GLM"),
 )
 def x6_random_intercept_em(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -877,7 +877,7 @@ def _mixed_oracle(iters: int = 4) -> str:
 
 @register(
     "x6_mixed_treatment_em",
-    oracle=_mixed_oracle(),
+    oracle=materialize_ctes(_mixed_oracle()),
     tags=("X6", "X3", "GLM"),
 )
 def x6_mixed_treatment_em(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,7 +1028,7 @@ def _irls_oracle(iters: int = 3) -> str:
 
 @register(
     "x3_logistic_irls",
-    oracle=_irls_oracle(),
+    oracle=materialize_ctes(_irls_oracle()),
     tags=("X3", "GLM", "J19"),
 )
 def x3_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1102,7 +1102,7 @@ _PAGERANK_ORACLE = (
 
 @register(
     "graph_pagerank_handoff",
-    oracle=_PAGERANK_ORACLE,
+    oracle=materialize_ctes(_PAGERANK_ORACLE),
     tags=("J19", "X4"),
 )
 def graph_pagerank_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1353,7 +1353,7 @@ def _glmm_oracle(iters: int = 3) -> str:
 
 @register(
     "x6_logistic_glmm",
-    oracle=_glmm_oracle(),
+    oracle=materialize_ctes(_glmm_oracle()),
     tags=("X6", "X3", "GLM"),
 )
 def x6_logistic_glmm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1495,3 +1495,138 @@ def x6_logistic_glmm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("beta", 6).alias("beta"),
         F.round("tau2", 6).alias("tau2"),
     ).orderBy("grp")
+
+
+def _svm_oracle(lam: float = 0.05, iters: int = 10) -> str:
+    """Unrolled full-batch pegasos oracle (the x3_logistic_irls
+    pattern): round i computes the class-weighted violator sums from
+    round i-1's coefficients, then the pegasos update
+    w = (1-1/i) w + sv/(lambda*i*n). Arithmetic association matches
+    ml.svm.pegasos_linear_svm term for term (w0 + (w1*x1 + w2*x2)) so
+    both engines evaluate bit-identical margins."""
+    parts = [
+        """
+    WITH d AS MATERIALIZED (
+      SELECT CASE WHEN CAST(l_quantity AS DOUBLE) / 50
+                       + CAST(l_discount AS DOUBLE) * 10
+                       + 0.6 * (CAST((l_orderkey * 2654435761) % 1000 AS DOUBLE) / 1000)
+                       > 1.7
+                  THEN 1.0 ELSE -1.0 END AS y,
+             CAST(l_quantity AS DOUBLE) / 50 - 0.5 AS x1,
+             CAST(l_discount AS DOUBLE) * 10 - 0.5 AS x2
+      FROM lineitem
+    ), nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM d),
+    it0 AS MATERIALIZED (SELECT CAST(0 AS DOUBLE) AS w0,
+                   CAST(0 AS DOUBLE) AS w1, CAST(0 AS DOUBLE) AS w2)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , s{i} AS MATERIALIZED (
+      SELECT COALESCE(SUM(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
+               THEN (CASE WHEN y > 0 THEN 4.0 ELSE 1.0 END) * y END), 0) AS sv0,
+             COALESCE(SUM(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
+               THEN (CASE WHEN y > 0 THEN 4.0 ELSE 1.0 END) * y * x1 END), 0) AS sv1,
+             COALESCE(SUM(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
+               THEN (CASE WHEN y > 0 THEN 4.0 ELSE 1.0 END) * y * x2 END), 0) AS sv2
+      FROM d CROSS JOIN it{i - 1}
+    ), it{i} AS MATERIALIZED (
+      SELECT (1 - 1.0/{i}) * w0 + sv0 / ({lam!r} * {i} * n) AS w0,
+             (1 - 1.0/{i}) * w1 + sv1 / ({lam!r} * {i} * n) AS w1,
+             (1 - 1.0/{i}) * w2 + sv2 / ({lam!r} * {i} * n) AS w2
+      FROM s{i} CROSS JOIN it{i - 1} CROSS JOIN nn
+    )""")
+    parts.append(f"""
+    , ev AS (
+      SELECT
+        CAST(SUM(CASE WHEN y > 0 AND w0 + (w1*x1 + w2*x2) >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN y < 0 AND w0 + (w1*x1 + w2*x2) >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN y < 0 AND w0 + (w1*x1 + w2*x2) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        CAST(SUM(CASE WHEN y > 0 AND w0 + (w1*x1 + w2*x2) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM d CROSS JOIN it{iters}
+    )
+    SELECT (SELECT n FROM nn) AS n, tp, fp, tn, fn,
+           ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 6) AS accuracy,
+           ROUND(w0, 5) AS w0, ROUND(w1, 5) AS w1, ROUND(w2, 5) AS w2
+    FROM ev CROSS JOIN it{iters}""")
+    return "".join(parts)
+
+
+@register(
+    "x3_linear_svm_eval",
+    oracle=_svm_oracle(),
+    tags=("X3", "GLM", "J19"),
+)
+def x3_linear_svm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-weighted linear SVM trained end-to-end in the engine plus
+    its confusion-matrix evaluation — the docket-order classifier
+    analog (scratch/decisions/docket-order.R:329-348: e1071
+    ``svm(orig_aod ~ DEASSIGN + BFD19, class.weights = c(aod=4,
+    other=1))``), closing the last X3 model family. Two numeric
+    features (quantity, discount — fixed-constant scaled to ~[0,1], as
+    the reference's two date axes are commensurate); the label is a
+    noisy linear ground truth over those features (threshold on
+    x1 + x2 plus deterministic integer-hash noise — the reference's
+    "older cases are AOD" date-boundary shape; pure integer/double
+    arithmetic so both engines derive bit-identical labels, no libm),
+    imbalanced ~4:1 so the reference's 4:1 ``class.weights`` bite.
+    Features are fixed-constant centered (-0.5) so the boundary's bias
+    is near zero and the fit converges in ten full-batch pegasos
+    rounds (ml.svm.pegasos_linear_svm) with the identical rounds
+    unrolled as oracle CTEs; measured at sf0.01 the fit reaches ~0.91
+    accuracy with positive-recall favored by the class weights.
+
+    Each training round is ONE fact-scale aggregation (three weighted
+    violator sums) with the 1-row coefficient frame broadcast back —
+    no collect, no per-row Python; the eval pass is one more broadcast
+    + conditional aggregation. Integer confusion counts make the
+    differential check exact; coefficients round to 5 dp (both engines
+    iterate with their own float-sum order)."""
+    from ..ml.svm import pegasos_linear_svm
+
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = [
+        F.col("l_quantity").cast("double") / 50,
+        F.col("l_discount").cast("double") * 10,
+    ]
+    xs = [raw[0] - 0.5, raw[1] - 0.5]
+    noise = (
+        ((F.col("l_orderkey") * F.lit(2654435761)) % 1000).cast("double") / 1000
+    )
+    y = F.when(raw[0] + raw[1] + F.lit(0.6) * noise > 1.7, 1.0).otherwise(-1.0)
+    coefs = pegasos_linear_svm(
+        li, y=y, xs=xs, lam=0.05, iters=10, pos_weight=4.0, neg_weight=1.0
+    )
+    d = li.select(
+        y.alias("y"),
+        xs[0].alias("x1"),
+        xs[1].alias("x2"),
+    )
+    score = F.col("w0") + (F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2"))
+    ev = (
+        d.crossJoin(F.broadcast(coefs))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(((F.col("y") > 0) & (score >= 0)).cast("int")).cast("long").alias("tp"),
+            F.sum(((F.col("y") < 0) & (score >= 0)).cast("int")).cast("long").alias("fp"),
+            F.sum(((F.col("y") < 0) & (score < 0)).cast("int")).cast("long").alias("tn"),
+            F.sum(((F.col("y") > 0) & (score < 0)).cast("int")).cast("long").alias("fn"),
+            F.any_value(F.col("w0")).alias("_w0"),
+            F.any_value(F.col("w1")).alias("_w1"),
+            F.any_value(F.col("w2")).alias("_w2"),
+        )
+    )
+    return ev.select(
+        "n",
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round(
+            (F.col("tp") + F.col("tn")).cast("double")
+            / (F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn")),
+            6,
+        ).alias("accuracy"),
+        F.round("_w0", 5).alias("w0"),
+        F.round("_w1", 5).alias("w1"),
+        F.round("_w2", 5).alias("w2"),
+    )

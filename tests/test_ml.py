@@ -85,3 +85,67 @@ def test_logistic_irls_recovers_log_odds(spark):
     logit = lambda p: math.log(p / (1 - p))  # noqa: E731
     assert abs(got["b0"] - logit(0.25)) < 1e-3
     assert abs(got["b1"] - (logit(0.75) - logit(0.25))) < 1e-3
+
+
+def test_pegasos_separates_linearly_separable_data(spark):
+    # Deterministic separable toy set: y = +1 iff x1 + x2 > 1. Twenty
+    # full-batch pegasos rounds with a weak regularizer must classify
+    # every point correctly (margin 0.2 around the boundary; the bias
+    # moves at O(1/(lambda*i)) so separation needs ~20 rounds here).
+    import pyspark.sql.functions as F
+
+    from appeals_data_spark.ml.svm import pegasos_linear_svm
+
+    df = (
+        spark.range(400)
+        .withColumn("x1", (F.col("id") % 20).cast("double") / 10.0)
+        .withColumn("x2", ((F.col("id") / 20).cast("int") % 20).cast("double") / 10.0)
+        .filter(F.abs(F.col("x1") + F.col("x2") - 1.0) > 0.2)
+        .withColumn("y", F.when(F.col("x1") + F.col("x2") > 1.0, 1.0).otherwise(-1.0))
+    )
+    coefs = pegasos_linear_svm(
+        df, y=F.col("y"), xs=[F.col("x1"), F.col("x2")], lam=0.01, iters=20
+    ).first()
+    score = (
+        F.lit(coefs["w0"])
+        + F.lit(coefs["w1"]) * F.col("x1")
+        + F.lit(coefs["w2"]) * F.col("x2")
+    )
+    errs = df.filter((F.col("y") > 0) != (score >= 0)).count()
+    assert errs == 0
+    # The boundary normal must point along (+1, +1).
+    assert coefs["w1"] > 0 and coefs["w2"] > 0
+
+
+def test_pegasos_class_weights_shift_boundary(spark):
+    # Same data with a 10:1 positive class weight: the positive region
+    # must not shrink — every point the unweighted model calls positive
+    # stays positive, and the count of predicted positives grows.
+    import pyspark.sql.functions as F
+
+    from appeals_data_spark.ml.svm import pegasos_linear_svm
+
+    df = (
+        spark.range(400)
+        .withColumn("x1", (F.col("id") % 20).cast("double") / 10.0)
+        .withColumn("x2", ((F.col("id") / 20).cast("int") % 20).cast("double") / 10.0)
+        .withColumn("y", F.when(F.col("x1") + F.col("x2") > 2.4, 1.0).otherwise(-1.0))
+    )
+
+    def npos(pos_weight):
+        c = pegasos_linear_svm(
+            df,
+            y=F.col("y"),
+            xs=[F.col("x1"), F.col("x2")],
+            lam=0.1,
+            iters=5,
+            pos_weight=pos_weight,
+        ).first()
+        score = (
+            F.lit(c["w0"])
+            + F.lit(c["w1"]) * F.col("x1")
+            + F.lit(c["w2"]) * F.col("x2")
+        )
+        return df.filter(score >= 0).count()
+
+    assert npos(10.0) >= npos(1.0)

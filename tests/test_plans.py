@@ -34,6 +34,7 @@ BNLJ_OK = {
     "text_unigram_logprob",  # 1-row corpus-total scalar side
     "pipe_model_score_broadcast",  # 1-row fitted-coefficient side
     "x3_logistic_irls",  # 1-row IRLS coefficient side per round
+    "x3_linear_svm_eval",  # 1-row pegasos coefficient side per round
     "u3_array_intersect_sources",  # collect_set'd tiny side
     "vec_brute_force_topk",  # 8 probe vectors
     "vec_ivf_topk",  # probes x centroids
