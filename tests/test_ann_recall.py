@@ -142,3 +142,44 @@ def test_lsh_tables_add_recall(ground_truth):
         truth,
     )
     assert multi >= single  # candidate union can only grow
+
+
+def test_ivfpq_composed_recall_floor(spark, ground_truth):
+    # The composed production shape (vec_ivfpq_topk: coarse-quantizer
+    # cell pruning x compressed-domain ADC scoring) multiplies two
+    # approximations; gate its end-to-end recall so a probe-count or
+    # codebook regression can't pass silently behind the green gates of
+    # its two halves.
+    from appeals_data_spark.registry import all_queries
+
+    _, _, truth = ground_truth
+    found = {
+        (r.query_id, r.corpus_id)
+        for r in all_queries()["vec_ivfpq_topk"].builder(spark, SF_SMOKE).collect()
+    }
+    assert _recall(found, truth) >= 0.175  # measured 0.225 (nprobe=3, 16x4 PQ)
+
+
+def test_ivfpq_exact_rerank_dominates_adc(spark, ground_truth):
+    # Exact scoring over the SAME probed cells (ivf_topk nprobe=3) must
+    # recall at least as much as compressed-domain ADC over those cells
+    # — quantization can only lose candidates on this fixed fixture, so
+    # a flip means the ADC LUT or the cell pruning changed.
+    from appeals_data_spark.registry import all_queries
+
+    emb, queries, truth = ground_truth
+    adc = _recall(
+        {
+            (r.query_id, r.corpus_id)
+            for r in all_queries()["vec_ivfpq_topk"].builder(spark, SF_SMOKE).collect()
+        },
+        truth,
+    )
+    exact = _recall(
+        {
+            (r.query_id, r.corpus_id)
+            for r in ivf_topk(emb, queries, k=K, nprobe=3).collect()
+        },
+        truth,
+    )
+    assert exact >= adc  # measured 0.50 vs 0.225
