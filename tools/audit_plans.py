@@ -30,6 +30,39 @@ def plan_string(spark, df) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def build_with_segments(spark, builder, sf_dir):
+    """Build a query's DataFrame while capturing the plan of every
+    ``localCheckpoint``'d segment BEFORE its lineage is truncated.
+
+    Iterative operators (PageRank, closure, Lloyd, IRLS, pegasos, BPE)
+    cut lineage per round, so the final plan shows only the
+    post-checkpoint residue — e.g. Exchange=1 for a 6-round PageRank.
+    Intercepting the checkpoint call records each round's real plan, so
+    the audit can state the honest total scale cost (rounds x
+    join+agg) instead of the residue. Segments don't double count:
+    round i's plan scans round i-1's checkpointed RDD."""
+    try:
+        # Spark 4: instances are the classic subclass, which overrides
+        # localCheckpoint — patching the abstract base would be a no-op.
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - older Spark
+        from pyspark.sql import DataFrame
+
+    segments: list[str] = []
+    orig = DataFrame.localCheckpoint
+
+    def patched(self, *a, **kw):
+        segments.append(plan_string(spark, self))
+        return orig(self, *a, **kw)
+
+    DataFrame.localCheckpoint = patched
+    try:
+        plan = plan_string(spark, builder(spark, sf_dir))
+    finally:
+        DataFrame.localCheckpoint = orig
+    return plan, segments
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.01"
@@ -50,7 +83,7 @@ def main() -> None:
         return len(re.findall(rf"\(\d+\) {op}\b", plan))
 
     for name in names:
-        plan = plan_string(spark, qs[name].builder(spark, sf_dir))
+        plan, segments = build_with_segments(spark, qs[name].builder, sf_dir)
         # pre-execution AQE plans carry no codegen annotations, so the
         # summary sticks to the join/shuffle/pushdown facts
         print(
@@ -60,6 +93,19 @@ def main() -> None:
             f"BNLJ={nodes(plan, 'BroadcastNestedLoopJoin')} "
             f"Cartesian={nodes(plan, 'CartesianProduct')}"
         )
+        if segments:
+            seg_ex = sum(nodes(p, "Exchange") for p in segments)
+            seg_j = sum(
+                nodes(p, "BroadcastHashJoin")
+                + nodes(p, "SortMergeJoin")
+                + nodes(p, "BroadcastNestedLoopJoin")
+                for p in segments
+            )
+            print(
+                f"   iterative: {len(segments)} checkpointed segments hide "
+                f"Exchange={seg_ex} joins={seg_j} from the final plan "
+                f"(honest total Exchange={nodes(plan, 'Exchange') + seg_ex})"
+            )
         for p in re.findall(r"PushedFilters: \[(.+?)\]", plan)[:6]:
             print("   PushedFilters:", p[:110])
         for s in re.findall(r"ReadSchema: (.+)", plan)[:6]:
