@@ -45,9 +45,12 @@ def pagerank(
     out-edges — redistributed uniformly, the textbook formulation, so
     total rank stays 1 every round.
 
-    N is materialized once with a driver-side ``count()`` (a scalar,
-    not row data — the same bounded-collect contract as pit.date_grid
-    bounds).
+    N is model-as-data: a 1-row count aggregate broadcast into the
+    rank initialization and every round (the same shape as the
+    dangling-mass scalar) — no driver-side action anywhere; an empty
+    graph flows through as empty frames (the per-row divisions never
+    evaluate) and returns the empty (node, rank) result the oracle's
+    CTE chain over zero nodes produces.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
@@ -56,17 +59,19 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
-    n = nodes.count()
-    if n == 0:
-        # Empty graph: no nodes, no ranks (the oracle's CTE chain over
-        # zero nodes yields the same empty result).
-        return nodes.withColumn("rank", F.lit(0.0))
+    nn = nodes.agg(
+        F.count("*").cast("double").alias("n_nodes")
+    ).localCheckpoint()
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # (src, dst, outdeg) is loop-invariant: build once, checkpoint once.
     edeg = e.join(deg, "src").localCheckpoint()
     has_out = deg.select(F.col("src").alias("node"))
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    ranks = (
+        nodes.join(F.broadcast(nn))
+        .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("rank"))
+        .localCheckpoint()
+    )
     for _ in range(iterations):
         contrib = (
             edeg.join(ranks, edeg.src == ranks.node)
@@ -84,14 +89,15 @@ def pagerank(
         ranks = (
             nodes.join(contrib, "node", "left")
             .join(F.broadcast(dangling))
+            .join(F.broadcast(nn))
             .select(
                 "node",
                 (
-                    F.lit((1.0 - damping) / n)
+                    F.lit(1.0 - damping) / F.col("n_nodes")
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dm") / F.lit(float(n))
+                        + F.col("dm") / F.col("n_nodes")
                     )
                 ).alias("rank"),
             )

@@ -199,7 +199,7 @@ def _ex(plan: str) -> int:
 ITERATIVE_SEGMENTS = {
     "closure_components": (3, 10),
     "dedup_canonical_corpus": (5, 18),
-    "graph_pagerank_handoff": (1, 5),  # empty-graph early exit at sf0.001
+    "graph_pagerank_handoff": (10, 41),  # N is a broadcast agg: full plan chain even on the empty sf0.001 graph
     "text_bm25_topk": (1, 1),
     "text_bpe_merges": (5, 5),
     "text_bpe_vocab": (6, 5),
@@ -227,16 +227,16 @@ def test_iterative_hidden_exchanges_frozen(all_plans):
 
 
 def test_pagerank_per_round_exchanges_frozen(spark):
-    # The honest scale statement for the flagship iterative: at sf0.01
-    # the graph is non-empty, and each of the 6 synchronous rounds
-    # costs 5 exchanges (edge-rank join + contribution agg + dangling
-    # anti-join + rank rebuild) that the final Exchange=1 plan hides
-    # behind localCheckpoint. 6 rounds x 5 = 30 per-round exchanges +
-    # 10 one-off (node set, loop-invariant edge side).
+    # The honest scale statement for the flagship iterative: each of
+    # the 6 synchronous rounds costs 5 exchanges (edge-rank join +
+    # contribution agg + dangling anti-join + rank rebuild) that the
+    # final Exchange=1 plan hides behind localCheckpoint. 6 rounds x 5
+    # = 30 per-round exchanges + 11 one-off (node set, 1-row N
+    # aggregate, loop-invariant edge side).
     plan, segs = build_with_segments(
         spark, all_queries()["graph_pagerank_handoff"].builder, SF_CORRECT
     )
-    # nodes + checkpointed edge side + rank init, then one per round
-    assert len(segs) == 9, len(segs)
-    assert [_ex(p) for p in segs[:3]] == [5, 5, 0]
-    assert [_ex(p) for p in segs[3:]] == [5] * 6
+    # nodes + N agg + checkpointed edge side + rank init, then rounds
+    assert len(segs) == 10, len(segs)
+    assert [_ex(p) for p in segs[:4]] == [5, 1, 5, 0]
+    assert [_ex(p) for p in segs[4:]] == [5] * 6
