@@ -1028,3 +1028,97 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rnk", "doc_id", "bm25")
         .orderBy("rnk")
     )
+
+
+@register(
+    "pipe_perplexity_buckets",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ), tot AS (
+      SELECT SUM(n) AS t FROM vocab
+    ), lp AS (
+      SELECT token,
+             CAST(ROUND(LN(n) - LN((SELECT t FROM tot)), 6) AS DECIMAL(18,6))
+               AS lp
+      FROM vocab
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS ntok,
+             CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS score
+      FROM tok JOIN lp USING (token)
+      GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, ntok, score,
+             NTILE(10) OVER (ORDER BY score, doc_id) AS decile
+      FROM per_doc
+    )
+    SELECT decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           ROUND(MIN(score), 6) AS min_score,
+           ROUND(MAX(score), 6) AS max_score,
+           decile >= 8 AS keep
+    FROM banded GROUP BY decile ORDER BY decile
+    """,
+    tags=("PIPE", "TEXT", "QUALITY", "W15"),
+)
+def pipe_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019,
+    arXiv:1911.00359): score every document with the corpus-trained
+    unigram LM (text_unigram_logprob's exact-decimal contract — the
+    perplexity proxy), band the corpus into NTILE(10) quality deciles,
+    and keep the head (top-3 deciles by mean token log-probability =
+    lowest perplexity), reporting per-band volume and score range —
+    the head/middle/tail split CCNet uses to select training data.
+
+    Determinism: per-doc scores are single divisions of exact-decimal
+    sums (never order-dependent float accumulation) and NTILE orders
+    by (score, doc_id), so band assignment is bit-stable across
+    engines. Physical shape: the LM train/score is the
+    text_unigram_logprob plan (vocab groupBy + broadcast-back); the
+    global NTILE is one single-partition window over the #docs-sized
+    per_doc table — at 100 TB replace with a range-partitioned
+    percent_rank or approx-quantile band edges (the w15_ntile_deciles
+    trade documented there)."""
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("n")).localCheckpoint()
+    total = vocab.agg(F.sum("n").alias("t"))
+    lp = vocab.crossJoin(broadcast(total)).select(
+        "token",
+        F.round(F.log(F.col("n")) - F.log(F.col("t")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    per_doc = (
+        tok.join(broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("ntok"),
+            (F.sum("lp").cast("double") / F.count("*")).alias("score"),
+        )
+    )
+    banded = per_doc.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("score", "doc_id"))
+    )
+    return (
+        banded.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+        .withColumn("keep", F.col("decile") >= 8)
+        .orderBy("decile")
+    )

@@ -635,3 +635,106 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vecs"))
         .orderBy("cluster")
     )
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH {_SQL_CENTROIDS},
+    member AS (
+      SELECT vec_id, v, c_label, c_cos FROM (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.c_label,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      c.cvec) AS c_cos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cvec) DESC, c.c_label
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), rep AS (
+      SELECT c_label, vec_id AS rep_id, v AS rep_vec FROM (
+        SELECT c_label, vec_id, v,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c_label ORDER BY c_cos DESC, vec_id
+               ) AS rr
+        FROM member
+      ) WHERE rr = 1
+    )
+    SELECT m.c_label AS cluster,
+           COUNT(*) AS n_members,
+           ANY_VALUE(r.rep_id) AS rep_id,
+           CAST(SUM(CASE WHEN m.vec_id <> r.rep_id
+                         AND list_cosine_similarity(m.v, r.rep_vec) >= 0.25
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic_dup,
+           ROUND(AVG(list_cosine_similarity(m.v, r.rep_vec)), 6)
+             AS avg_cos_to_rep
+    FROM member m JOIN rep r USING (c_label)
+    GROUP BY m.c_label ORDER BY cluster
+    """,
+    tags=("VEC", "DEDUP", "IVF"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, the SemDeDup shape (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then prune items
+    too close to their cluster's representative — the embedding-side
+    counterpart of the MinHash text dedup family, catching paraphrases
+    exact/near text hashing can't. Clustering here is the label-
+    centroid coarse quantizer (vec_label_centroid_assign's build);
+    the representative is the member closest to its centroid (argmax
+    cosine, id tiebreak) and members with cos(v, rep) >= 0.25 are
+    flagged as semantic duplicates — SemDeDup-lite: dedup against the
+    representative is linear per cluster where full SemDeDup's
+    within-cluster pairwise pass is quadratic; the report is
+    per-cluster members / representative / prune count / mean
+    closeness.
+
+    Physical shape at 100 TB: centroids and the k-row representative
+    table broadcast; the corpus is touched twice (assign, score) with
+    no all-pairs join anywhere — candidate work is O(N), and the
+    within-cluster quadratic of full SemDeDup is avoided by
+    construction."""
+    from ..functions.vectors import cosine
+    from ..operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "c_label",
+        cosine(F.col("embedding"), F.col("cvec")).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_label"))
+    member = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    wrep = Window.partitionBy("c_label").orderBy(F.desc("c_cos"), F.asc("vec_id"))
+    rep = (
+        member.withColumn("rr", F.row_number().over(wrep))
+        .filter(F.col("rr") == 1)
+        .select(
+            "c_label",
+            F.col("vec_id").alias("rep_id"),
+            F.col("embedding").alias("rep_vec"),
+        )
+    )
+    cos_rep = cosine(F.col("embedding"), F.col("rep_vec"))
+    return (
+        member.join(F.broadcast(rep), "c_label")
+        .groupBy(F.col("c_label").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.any_value("rep_id").alias("rep_id"),
+            F.sum(
+                ((F.col("vec_id") != F.col("rep_id")) & (cos_rep >= 0.25)).cast(
+                    "int"
+                )
+            )
+            .cast("long")
+            .alias("n_semantic_dup"),
+            F.round(F.avg(cos_rep), 6).alias("avg_cos_to_rep"),
+        )
+        .orderBy("cluster")
+    )

@@ -103,6 +103,8 @@ _SWEEP_FIRST = [
     # new in round 4 (oracle-backed) — need first driver rows
     "x6_logistic_glmm",
     "x3_linear_svm_eval",
+    "dedup_semantic_clusters",
+    "pipe_perplexity_buckets",
     # green sentinels for cross-round regression cover (r1/r2/r3 greens
     # spanning the flagship families: TPC-H agg, fused event union,
     # as-of join, classifier eval, survival, composed ANN)
@@ -137,8 +139,6 @@ _SWEEP_FIRST = [
     "j8_argmax_latest_order",
     "j15_anti_semi_join",
     "w4_topk_per_group",
-    "w5_variable_distance_lead",
-    "r1_unpivot_measures",
 ]
 
 
