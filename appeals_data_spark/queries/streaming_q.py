@@ -298,3 +298,57 @@ def stream_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "quality")
     )
+
+
+@register(
+    "stream_centroid_occupancy",
+    oracle="""
+    WITH unp AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT c_label, list(cx ORDER BY pos) AS cvec
+      FROM (SELECT label AS c_label, pos, ROUND(AVG(x), 6) AS cx
+            FROM unp GROUP BY label, pos) t
+      GROUP BY c_label
+    ), assigned AS (
+      SELECT vec_id, c_label, c_cos FROM (
+        SELECT e.vec_id, c.c_label,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      c.cvec) AS c_cos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cvec) DESC, c.c_label
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    )
+    SELECT c_label, COUNT(*) AS n,
+           ROUND(MIN(c_cos), 6) AS min_cos,
+           ROUND(MAX(c_cos), 6) AS max_cos
+    FROM assigned GROUP BY c_label ORDER BY c_label
+    """,
+    tags=("STREAM", "VEC", "IVF"),
+)
+def stream_centroid_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online nearest-centroid scoring — batch twin of
+    streaming.vec_stream.scored_stream + centroid_occupancy (the
+    model-serving side of the IVF family: live embeddings scored
+    against a broadcast centroid index). The twin runs the IDENTICAL
+    stateless per-row fold (no window ranking — streams can't rank, so
+    neither does the twin), proving the fold's (cos DESC, label ASC)
+    argmax equals the oracle's ROW_NUMBER formulation; occupancy
+    reports order-independent extremes, exact under any micro-batch
+    or partition split."""
+    from ..operators.similarity import label_centroids
+    from ..streaming.vec_stream import (
+        centroid_array,
+        centroid_occupancy,
+        scored_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_arr = centroid_array(label_centroids(emb))
+    return centroid_occupancy(scored_stream(emb, cent_arr)).orderBy("c_label")

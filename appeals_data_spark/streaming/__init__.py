@@ -15,6 +15,12 @@ files.
 """
 
 from .doc_stream import curate_docs, document_stream  # noqa: F401
+from .vec_stream import (  # noqa: F401
+    centroid_array,
+    centroid_occupancy,
+    embedding_stream,
+    scored_stream,
+)
 from .event_stream import (  # noqa: F401
     deduped_stream,
     event_stream,

@@ -279,3 +279,62 @@ def test_foreach_batch_sees_each_batch_once(spark, tmp_path):
         ckpt,
     )
     assert sum(n for _, n in seen) == sum(n for _, n in before)
+
+
+@pytest.fixture(scope="module")
+def embeddings_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("embeddings_stream")
+    shutil.copy(f"{SF_SMOKE}/embeddings.parquet", d / "part-0000.parquet")
+    return str(d)
+
+
+def test_centroid_occupancy_parity(spark, embeddings_dir):
+    # Online nearest-centroid scoring: the centroid index is trained on
+    # the batch table (model-as-data), broadcast into the stream, and
+    # the streamed occupancy must equal the batch twin exactly.
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.operators.similarity import label_centroids
+    from appeals_data_spark.streaming import (
+        centroid_array,
+        centroid_occupancy,
+        embedding_stream,
+        scored_stream,
+    )
+
+    cent_arr = centroid_array(
+        label_centroids(load_table(spark, SF_SMOKE, "embeddings"))
+    ).localCheckpoint()
+    stream_out = run_to_memory(
+        spark,
+        centroid_occupancy(
+            scored_stream(embedding_stream(spark, embeddings_dir), cent_arr)
+        ),
+        "t_centroid_occupancy",
+    )
+    batch = all_queries()["stream_centroid_occupancy"].builder(spark, SF_SMOKE)
+    cols = ["c_label", "n", "min_cos", "max_cos"]
+    assert _rows(stream_out, cols) == _rows(batch, cols)
+
+
+def test_scored_stream_is_stateless(spark, embeddings_dir):
+    # The scoring stage must stay append-able (no state store): a
+    # stateless projection drains in append mode without complaint.
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.operators.similarity import label_centroids
+    from appeals_data_spark.streaming import (
+        centroid_array,
+        embedding_stream,
+        scored_stream,
+    )
+
+    cent_arr = centroid_array(
+        label_centroids(load_table(spark, SF_SMOKE, "embeddings"))
+    ).localCheckpoint()
+    out = run_to_memory(
+        spark,
+        scored_stream(embedding_stream(spark, embeddings_dir), cent_arr),
+        "t_scored_append",
+        output_mode="append",
+    )
+    n_batch = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert out.count() == n_batch
