@@ -41,6 +41,8 @@ BNLJ_OK = {
     "text_unigram_logprob",  # 1-row corpus-total scalar side
     "pipe_perplexity_buckets",  # 1-row corpus-total scalar side (LM train)
     "dedup_semantic_clusters",  # centroid + per-cluster representative sides
+    "pipe_classifier_filter",  # 1-row pegasos coefficient side per round
+    "stream_centroid_occupancy",  # 1-row centroid-array model side
     "pipe_model_score_broadcast",  # 1-row fitted-coefficient side
     "x3_logistic_irls",  # 1-row IRLS coefficient side per round
     "x3_linear_svm_eval",  # 1-row pegasos coefficient side per round
@@ -202,6 +204,7 @@ ITERATIVE_SEGMENTS = {
     "closure_components": (3, 10),
     "dedup_canonical_corpus": (5, 18),
     "graph_pagerank_handoff": (10, 41),  # N is a broadcast agg: full plan chain even on the empty sf0.001 graph
+    "pipe_classifier_filter": (20, 20),
     "pipe_perplexity_buckets": (1, 1),
     "text_bm25_topk": (1, 1),
     "text_bpe_merges": (5, 5),
