@@ -30,8 +30,12 @@ from appeals_data_spark.session import get_spark
 # "value" stays untouched.
 SECONDARY = [
     "a21_sliding_mau",
+    "dedup_semantic_clusters",
     "dedup_substring_coverage",
     "graph_pagerank_handoff",
+    "pipe_classifier_filter",
+    "pipe_perplexity_buckets",
+    "stream_centroid_occupancy",
     "text_bm25_topk",
     "text_bpe_merges",
     "vec_ivfpq_topk",
