@@ -92,6 +92,15 @@ def main() -> int:
         "external driver's environment; catalog.load_table must still "
         "set every conf the queries depend on at runtime",
     )
+    ap.add_argument(
+        "--window",
+        type=int,
+        default=0,
+        metavar="N",
+        help="check only the first N registry entries — simulates the "
+        "external driver's sweep window (it records rows for exactly "
+        "the first ~50 of all_queries() per round)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -109,6 +118,8 @@ def main() -> int:
         spark = get_spark("check")
     qs = all_queries()
     names = args.names or list(qs)
+    if args.window:
+        names = names[: args.window]
     n_pass = n_fail = n_rowsonly = 0
     failures = []
     for name in names:
