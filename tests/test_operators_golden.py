@@ -605,3 +605,50 @@ def test_morton_interleave_matches_python(spark):
     )
     for r in df.collect():
         assert r.z == py_morton(r.d1, r.d2), (r.d1, r.d2)
+
+
+def test_materialize_ctes_rewrites_only_cte_definitions():
+    from appeals_data_spark.registry import materialize_ctes
+
+    sql = (
+        "WITH a AS (SELECT 1 AS x), b AS (\n"
+        "  SELECT CAST(x AS DOUBLE) AS y,\n"
+        "         SUM(x) OVER w AS s\n"
+        "  FROM a\n"
+        "  WINDOW w AS (PARTITION BY x)\n"
+        ")\n"
+        "SELECT y AS z FROM b"
+    )
+    out = materialize_ctes(sql)
+    # both CTEs marked
+    assert "WITH a AS MATERIALIZED (" in out
+    assert ", b AS MATERIALIZED (" in out
+    # column aliases, CAST targets, and named WINDOW clauses untouched
+    assert "CAST(x AS DOUBLE)" in out
+    assert "WINDOW w AS (PARTITION BY x)" in out
+    assert "y AS z" in out
+    # idempotent: a second pass changes nothing
+    assert materialize_ctes(out) == out
+
+
+def test_nearest_centroid_fold_tiebreak(spark):
+    # Two centroids exactly equidistant from the probe: the fold's
+    # strict > must keep the FIRST (lowest label) — the same
+    # (cos DESC, label ASC) order the window-ranked assigners use.
+    import pyspark.sql.functions as F
+
+    from appeals_data_spark.streaming.vec_stream import (
+        centroid_array,
+        nearest_centroid_struct,
+    )
+
+    cents = spark.createDataFrame(
+        [(2, [1.0, 0.0]), (1, [0.0, 1.0])], "c_label int, cvec array<double>"
+    )
+    probe = spark.createDataFrame(
+        [([1.0, 1.0],)], "embedding array<float>"
+    ).crossJoin(F.broadcast(centroid_array(cents)))
+    best = probe.select(
+        nearest_centroid_struct(F.col("cents"), F.col("embedding")).alias("b")
+    ).first()["b"]
+    assert best["c_label"] == 1
