@@ -683,3 +683,63 @@ def a21_sliding_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "a22_approx_quantile_bound",
+    oracle="""
+    SELECT o_orderpriority AS grp,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS exact_p50,
+           TRUE AS approx_within_bound
+    FROM orders
+    GROUP BY grp ORDER BY grp
+    """,
+    tags=("A7", "APPROX"),
+)
+def a22_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified approximate quantiles — the 100 TB scale path for A7:
+    exact ``percentile`` needs a full sort/collect of each group, while
+    ``percentile_approx`` (Greenwald-Khanna) streams in one pass with a
+    mergeable sketch and a PROVEN rank-error bound of n/accuracy. The
+    approximate VALUE itself is partitioning-dependent (sketch merges
+    commute only up to the error bound), so it can't be hash-compared
+    across engines; what IS deterministic is the certificate: with
+    accuracy=100 (rank error <= 1%), the returned value's rank must
+    land in [0.45n, 0.55n] (1% bound + 4% slack for duplicate mass).
+    The query emits that certificate as a boolean next to the exact
+    median, and the oracle pins the certificate TRUE and the exact
+    median by value — so the driver's hash check fails if the sketch's
+    bound is ever violated, without ever comparing the unstable
+    approximate value. Pre-agg-then-join shape: sketch + exact in one
+    grouped pass, rank count in a second, broadcast-joined (both
+    aggregations partial)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("x"),
+    )
+    stats = o.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(x, 0.5)").alias("exact_p50"),
+        F.expr("percentile_approx(x, 0.5, 100)").alias("approx_p50"),
+    )
+    ranked = (
+        o.join(F.broadcast(stats), "grp")
+        .groupBy("grp")
+        .agg(
+            F.any_value("n").alias("n"),
+            F.any_value("exact_p50").alias("exact_p50"),
+            F.sum((F.col("x") < F.col("approx_p50")).cast("int")).alias("n_lt"),
+            F.sum((F.col("x") <= F.col("approx_p50")).cast("int")).alias("n_le"),
+        )
+    )
+    lo = F.floor(0.45 * F.col("n"))
+    hi = F.ceil(0.55 * F.col("n"))
+    return ranked.select(
+        "grp",
+        "n",
+        F.round("exact_p50", 6).alias("exact_p50"),
+        ((F.col("n_lt") <= hi) & (F.col("n_le") >= lo)).alias(
+            "approx_within_bound"
+        ),
+    ).orderBy("grp")

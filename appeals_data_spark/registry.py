@@ -107,6 +107,7 @@ _SWEEP_FIRST = [
     "pipe_perplexity_buckets",
     "stream_centroid_occupancy",
     "pipe_classifier_filter",
+    "a22_approx_quantile_bound",
     # green sentinels for cross-round regression cover (r1/r2/r3 greens
     # spanning the flagship families: TPC-H agg, fused event union,
     # as-of join, classifier eval, survival, composed ANN)
@@ -138,7 +139,6 @@ _SWEEP_FIRST = [
     "j3_composite_key_join",
     "j4_wildcard_hierarchy_join",
     "j6_nonequi_temporal_join",
-    "j8_argmax_latest_order",
 ]
 
 
