@@ -743,3 +743,40 @@ def a22_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_within_bound"
         ),
     ).orderBy("grp")
+
+
+@register(
+    "a23_approx_distinct_bound",
+    oracle="""
+    SELECT o_orderpriority AS grp,
+           COUNT(DISTINCT o_custkey) AS exact_distinct,
+           TRUE AS approx_within_bound
+    FROM orders
+    GROUP BY grp ORDER BY grp
+    """,
+    tags=("A3", "APPROX"),
+)
+def a23_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified approximate distinct counts — the A3 scale path:
+    COUNT(DISTINCT) shuffles every distinct key, while
+    ``approx_count_distinct`` (HyperLogLog++, rsd=0.05) is a mergeable
+    fixed-size sketch with one partial-agg pass. As with
+    a22_approx_quantile_bound, the sketch VALUE is not hash-comparable
+    across engines — the emitted certificate is: |approx - exact| <=
+    3 * rsd * exact (three standard errors), which the oracle pins
+    TRUE next to the exact count. A sketch-quality regression
+    (precision misconfiguration, merge bug) flips the boolean and
+    fails the driver's hash check."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+        F.expr("approx_count_distinct(o_custkey, 0.05)").alias("approx_distinct"),
+    )
+    bound = 3 * 0.05 * F.col("exact_distinct")
+    return agg.select(
+        "grp",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct")) <= bound
+        ).alias("approx_within_bound"),
+    ).orderBy("grp")

@@ -108,6 +108,7 @@ _SWEEP_FIRST = [
     "stream_centroid_occupancy",
     "pipe_classifier_filter",
     "a22_approx_quantile_bound",
+    "a23_approx_distinct_bound",
     # green sentinels for cross-round regression cover (r1/r2/r3 greens
     # spanning the flagship families: TPC-H agg, fused event union,
     # as-of join, classifier eval, survival, composed ANN)
@@ -138,7 +139,6 @@ _SWEEP_FIRST = [
     "j2_left_join_order_counts",
     "j3_composite_key_join",
     "j4_wildcard_hierarchy_join",
-    "j6_nonequi_temporal_join",
 ]
 
 
