@@ -352,3 +352,58 @@ def stream_centroid_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cent_arr = centroid_array(label_centroids(emb))
     return centroid_occupancy(scored_stream(emb, cent_arr)).orderBy("c_label")
+
+
+@register(
+    "stream_lm_gate",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ), tot AS (
+      SELECT SUM(n) AS t FROM vocab
+    ), lp AS (
+      SELECT token,
+             CAST(ROUND(LN(n) - LN((SELECT t FROM tot)), 6) AS DECIMAL(18,6))
+               AS lp
+      FROM vocab
+    ), per_doc AS (
+      SELECT doc_id, source,
+             CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS score
+      FROM tok JOIN lp USING (token)
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN score >= -3.402 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           ROUND(MIN(score), 6) AS min_score,
+           ROUND(MAX(score), 6) AS max_score
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    tags=("STREAM", "PIPE", "TEXT", "QUALITY"),
+)
+def stream_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-batch / serve-stream LM quality gate — batch twin of
+    streaming.doc_stream.lm_scored_docs + lm_gate_rollup: the unigram
+    LM trains on the batch corpus (text_unigram_logprob's exact-decimal
+    contract), packs into a 1-row map<token, logprob> model artifact,
+    and every document is scored by a STATELESS sequential decimal fold
+    over its token array with the model broadcast in — the streaming
+    analog of CCNet's LM quality gate, needing no state store and no
+    window. The fold re-casts each step to DECIMAL(28,6), so the
+    per-doc sum is exact and order-independent — bit-equal to the
+    oracle's join + SUM(decimal) over the same addends (the corpus is
+    its own training set, so no token hits the OOV floor here; streamed
+    NEW tokens would take the documented floor instead of crashing the
+    score). Gate threshold -3.402 sits between the p25/p50 of the
+    sf0.01 score distribution."""
+    from ..streaming.doc_stream import lm_gate_rollup, lm_score_map, lm_scored_docs
+
+    d = load_table(spark, sf_dir, "documents")
+    lm = lm_score_map(d)
+    return lm_gate_rollup(lm_scored_docs(d, lm)).orderBy("source")

@@ -82,3 +82,74 @@ def curate_docs(docs: DataFrame) -> DataFrame:
         .alias("split"),
         h_shard.alias("shard"),
     )
+
+
+def lm_score_map(corpus: DataFrame) -> DataFrame:
+    """Train the unigram LM on a batch corpus and pack it into ONE row
+    holding map<token, logprob DECIMAL(18,6)> — the broadcastable model
+    artifact for stream-side scoring (the centroid_array shape). The
+    log-probs follow text_unigram_logprob's determinism contract: ln is
+    evaluated once per distinct token, rounded to 6 dp, and cast to
+    exact decimal BEFORE any aggregation."""
+    from ..functions.text import tokens
+
+    tok = corpus.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("n")).localCheckpoint()
+    total = vocab.agg(F.sum("n").alias("t"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(F.log(F.col("n")) - F.log(F.col("t")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    return lp.agg(
+        F.map_from_entries(F.collect_list(F.struct("token", "lp"))).alias("lm")
+    )
+
+
+# Out-of-vocabulary floor: far below any in-corpus log-prob, exact in
+# both engines (decimal literal). Streams can carry tokens the batch
+# LM never saw; the floor keeps the score defined without a state
+# store or a retrain.
+LM_OOV_FLOOR = "-20.0"
+
+
+def lm_scored_docs(docs: DataFrame, lm_row: DataFrame) -> DataFrame:
+    """(doc_id, source, ntok, score) for each document — STATELESS:
+    the LM map rides in via a broadcast 1-row cross join and the
+    per-doc sum is a sequential decimal fold over the token array
+    (each step re-cast to DECIMAL(28,6), so the accumulation is exact
+    and order-independent — bit-equal to the oracle's join + SUM over
+    the same addends). Works identically on a batch table or a
+    file-source stream."""
+    from ..functions.text import tokens
+
+    toks = tokens(F.lower(F.col("text")))
+    zero = F.lit("0.000000").cast("decimal(28,6)")
+    floor = F.lit(LM_OOV_FLOOR).cast("decimal(18,6)")
+    sumlp = F.aggregate(
+        toks,
+        zero,
+        lambda acc, x: (
+            acc + F.coalesce(F.element_at(F.col("lm"), x), floor)
+        ).cast("decimal(28,6)"),
+    )
+    return docs.crossJoin(F.broadcast(lm_row)).select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("ntok"),
+        (sumlp.cast("double") / F.size(toks)).alias("score"),
+    )
+
+
+def lm_gate_rollup(scored: DataFrame, threshold: float = -3.402) -> DataFrame:
+    """Per-source quality-gate rollup of the LM-scored docs: volume,
+    gate passes, and the order-independent score extremes."""
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("score") >= threshold).cast("int"))
+        .cast("long")
+        .alias("n_pass"),
+        F.round(F.min("score"), 6).alias("min_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+    )

@@ -43,6 +43,7 @@ BNLJ_OK = {
     "dedup_semantic_clusters",  # centroid + per-cluster representative sides
     "pipe_classifier_filter",  # 1-row pegasos coefficient side per round
     "stream_centroid_occupancy",  # 1-row centroid-array model side
+    "stream_lm_gate",  # 1-row LM-map model side
     "pipe_model_score_broadcast",  # 1-row fitted-coefficient side
     "x3_logistic_irls",  # 1-row IRLS coefficient side per round
     "x3_linear_svm_eval",  # 1-row pegasos coefficient side per round
@@ -205,6 +206,7 @@ ITERATIVE_SEGMENTS = {
     "dedup_canonical_corpus": (5, 18),
     "graph_pagerank_handoff": (10, 41),  # N is a broadcast agg: full plan chain even on the empty sf0.001 graph
     "pipe_classifier_filter": (20, 20),
+    "stream_lm_gate": (1, 1),
     "pipe_perplexity_buckets": (1, 1),
     "text_bm25_topk": (1, 1),
     "text_bpe_merges": (5, 5),

@@ -338,3 +338,50 @@ def test_scored_stream_is_stateless(spark, embeddings_dir):
     )
     n_batch = load_table(spark, SF_SMOKE, "embeddings").count()
     assert out.count() == n_batch
+
+
+@pytest.fixture(scope="module")
+def documents_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("documents_stream")
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", d / "part-0000.parquet")
+    return str(d)
+
+
+def test_lm_gate_parity(spark, documents_dir):
+    # Train-batch / serve-stream: the unigram LM trains on the batch
+    # table, broadcasts as a 1-row map, and the streamed gate rollup
+    # must equal the batch twin exactly (decimal folds are exact).
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.streaming.doc_stream import (
+        document_stream,
+        lm_gate_rollup,
+        lm_score_map,
+        lm_scored_docs,
+    )
+
+    lm = lm_score_map(load_table(spark, SF_SMOKE, "documents")).localCheckpoint()
+    stream_out = run_to_memory(
+        spark,
+        lm_gate_rollup(lm_scored_docs(document_stream(spark, documents_dir), lm)),
+        "t_lm_gate",
+    )
+    batch = all_queries()["stream_lm_gate"].builder(spark, SF_SMOKE)
+    cols = ["source", "n_docs", "n_pass", "min_score", "max_score"]
+    assert _rows(stream_out, cols) == _rows(batch, cols)
+
+
+def test_lm_gate_oov_floor(spark):
+    # A streamed token the batch LM never saw takes the documented
+    # floor instead of crashing or silently dropping the document.
+    import pyspark.sql.functions as F
+
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.streaming.doc_stream import lm_score_map, lm_scored_docs
+
+    lm = lm_score_map(load_table(spark, SF_SMOKE, "documents"))
+    novel = spark.createDataFrame(
+        [(1, "zzzunseen zzzunseen", "en", "srcX", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    row = lm_scored_docs(novel, lm).first()
+    assert row["score"] == -20.0
