@@ -1,0 +1,55 @@
+"""Partitioning-independence gate.
+
+The engine's central determinism claim: registered results are
+BIT-IDENTICAL under any partitioning, because float-sensitive
+aggregations run in exact decimal, transcendentals are evaluated
+pre-aggregation and rounded, folds are sequential per row, and
+boundary comparisons use constants spliced identically into both
+engines. This test re-runs representative float-sensitive queries
+under deliberately different shuffle fan-outs AND scan split sizes and
+asserts exact equality — the property that makes the DuckDB hash
+comparison (and AQE re-planning at 100 TB) safe.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from appeals_data_spark.registry import all_queries
+
+from conftest import SF_SMOKE
+
+# Each exercises a different exactness contract: decimal money sums,
+# IRLS/pegasos float folds behind rounded outputs, the decimal LM fold,
+# EM window chains, PQ ADC decimal scoring, sketch certificates.
+QUERIES = [
+    "a1_pricing_summary",
+    "stream_lm_gate",
+    "x3_linear_svm_eval",
+    "x6_logistic_glmm",
+    "text_unigram_logprob",
+    "vec_pq_adc_topk",
+    "a22_approx_quantile_bound",
+]
+
+
+def _run(spark, name, shuffle_parts, max_split):
+    spark.catalog.clearCache()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_split))
+    try:
+        df = all_queries()[name].builder(spark, SF_SMOKE)
+        return sorted((tuple(r) for r in df.collect()), key=repr)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
+        spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_partitioning_independence(spark, name):
+    wide = _run(spark, name, 32, 128 * 1024 * 1024)
+    narrow = _run(spark, name, 5, 64 * 1024)  # tiny splits: many scan tasks
+    assert wide == narrow
