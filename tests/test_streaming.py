@@ -385,3 +385,82 @@ def test_lm_gate_oov_floor(spark):
     )
     row = lm_scored_docs(novel, lm).first()
     assert row["score"] == -20.0
+
+
+def test_watermark_drops_late_rows_after_finalization(spark, tmp_path):
+    # Pin the late-data contract of the watermarked tumbling windows
+    # (the engine's analog of the reference's manual trailing-month
+    # hygiene, impact.R:65-66). Three staged micro-batches
+    # (maxFilesPerTrigger=1, mtime-ordered):
+    #   1. events 10:00-10:29  -> watermark after batch = 10:19
+    #   2. event 10:45         -> watermark advances to 10:35; windows
+    #      10:00 and 10:10 finalize and emit
+    #   3. a LATE row at 10:06 (window already finalized) + an on-time
+    #      10:46 row
+    # Append mode must emit window 10:00 with the batch-1 count ONLY —
+    # the late row is dropped, and the finalized window is not
+    # re-emitted. (Subtlety worth pinning: a late row arriving in the
+    # SAME batch that finalizes its window is still included; only
+    # post-finalization arrivals drop. Batch over the same files counts
+    # the late row — the divergence is the watermark's documented job.)
+    import os
+    import shutil as sh
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from appeals_data_spark.streaming.event_stream import tumbling_counts
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+
+    def write_part(rows, name, mtime):
+        tmp = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = str(d / name)
+        sh.copy(os.path.join(tmp, src), dst)
+        os.utime(dst, (mtime, mtime))
+
+    T = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    base = [(i, T(10, m), 1, "click", 1.0, "{}") for i, m in enumerate([0, 5, 15, 25, 29])]
+    write_part(base, "part-0000.parquet", 1_700_000_000)
+    write_part([(50, T(10, 45), 1, "click", 1.0, "{}")], "part-0001.parquet", 1_700_000_100)
+    write_part(
+        [(100, T(10, 6), 1, "click", 1.0, "{}"), (101, T(10, 46), 1, "click", 1.0, "{}")],
+        "part-0002.parquet",
+        1_700_000_200,
+    )
+
+    schema = spark.read.parquet(str(d)).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = run_to_memory(
+        spark,
+        tumbling_counts(raw, window="10 minutes", watermark="10 minutes"),
+        "t_watermark_late_drop",
+        output_mode="append",
+    )
+    got = sorted((str(r["window_start"]), r["n"]) for r in out.collect())
+    assert got == [
+        ("2024-01-01 10:00:00", 2),  # late 10:06 row dropped, no re-emit
+        ("2024-01-01 10:10:00", 1),
+        ("2024-01-01 10:20:00", 2),
+    ]
+    # Batch over the same files sees everything, late row included.
+    batch = (
+        spark.read.parquet(str(d))
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .count()
+        .filter(F.col("window.start") == T(10, 0))
+        .first()
+    )
+    assert batch["count"] == 3
