@@ -40,9 +40,22 @@ def pegasos_linear_svm(
     iters: int = 5,
     pos_weight: float = 1.0,
     neg_weight: float = 1.0,
+    exact_sum_decimals: int | None = None,
 ) -> DataFrame:
     """Fit y in {+1,-1} ~ sign(w0 + w1*x1 + ... + wk*xk); returns the
     1-row coefficient frame (w0..wk). ``y`` must evaluate to +-1.0.
+
+    ``exact_sum_decimals``: when the caller's features (and class
+    weights) are exactly representable at <= that many decimal places,
+    pass it to accumulate the violator sums in DECIMAL(38, d) instead
+    of double. Each per-row contribution cw*y*x_j is cast to the exact
+    decimal it denotes (the double's ~1e-16 representation error is
+    far from any cast boundary), so the fold is EXACT and therefore
+    independent of partial-aggregation merge order — the engine's
+    partitioning-independence contract (tests/test_determinism.py).
+    Leave None for features that are not decimal-exact; the sums then
+    carry last-ulp merge-order sensitivity behind the caller's output
+    rounding.
 
     Deliberately re-scans the source per round instead of caching the
     training projection: the per-round read is a column-pruned parquet
@@ -68,17 +81,21 @@ def pegasos_linear_svm(
         )
         viol = F.col("_y") * wx < 1
         feats = [F.lit(1.0)] + [F.col(f"_x{j + 1}") for j in range(k)]
+
+        def _sv(j: int) -> Column:
+            contrib = F.when(viol, cw * F.col("_y") * feats[j])
+            if exact_sum_decimals is None:
+                return F.coalesce(F.sum(contrib), F.lit(0.0)).alias(f"sv{j}")
+            dt = f"decimal(38,{exact_sum_decimals})"
+            return F.coalesce(
+                F.sum(contrib.cast(dt)).cast("double"), F.lit(0.0)
+            ).alias(f"sv{j}")
+
         s = (
             d.crossJoin(F.broadcast(coefs))
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                *[
-                    F.coalesce(
-                        F.sum(F.when(viol, cw * F.col("_y") * feats[j])),
-                        F.lit(0.0),
-                    ).alias(f"sv{j}")
-                    for j in range(k + 1)
-                ],
+                *[_sv(j) for j in range(k + 1)],
             )
         )
         keep = 1.0 - 1.0 / i

@@ -376,6 +376,12 @@ def stream_centroid_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS score
       FROM tok JOIN lp USING (token)
       GROUP BY doc_id, source
+    ), all_docs AS (
+      -- zero-token documents emit no tok row; they score the OOV
+      -- floor, exactly as lm_scored_docs's size(toks)=0 branch does
+      SELECT d.doc_id, d.source, COALESCE(p.score, -20.0) AS score
+      FROM documents d
+      LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     )
     SELECT source,
            COUNT(*) AS n_docs,
@@ -383,7 +389,7 @@ def stream_centroid_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_pass,
            ROUND(MIN(score), 6) AS min_score,
            ROUND(MAX(score), 6) AS max_score
-    FROM per_doc GROUP BY source ORDER BY source
+    FROM all_docs GROUP BY source ORDER BY source
     """,
     tags=("STREAM", "PIPE", "TEXT", "QUALITY"),
 )
@@ -400,8 +406,10 @@ def stream_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's join + SUM(decimal) over the same addends (the corpus is
     its own training set, so no token hits the OOV floor here; streamed
     NEW tokens would take the documented floor instead of crashing the
-    score). Gate threshold -3.402 sits between the p25/p50 of the
-    sf0.01 score distribution."""
+    score, and a ZERO-token document scores the floor outright in both
+    engines rather than NULLing out of the rollup). Gate threshold
+    -3.402 sits between the p25/p50 of the sf0.01 score
+    distribution."""
     from ..streaming.doc_stream import lm_gate_rollup, lm_score_map, lm_scored_docs
 
     d = load_table(spark, sf_dir, "documents")

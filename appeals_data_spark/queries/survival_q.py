@@ -1311,18 +1311,19 @@ def _glmm_oracle(iters: int = 3) -> str:
     ), z{i} AS (
       SELECT grp, n0, k0, n1, k1, tau2,
              CASE WHEN n0 > 0 THEN
-               n0 * (1/(1+exp(-eta0))) * (1 - 1/(1+exp(-eta0))) END AS w0,
+               n0 * ((1/(1+exp(-eta0))) * (1 - 1/(1+exp(-eta0)))) END AS w0,
              CASE WHEN n0 > 0 THEN
                eta0 + (CAST(k0 AS DOUBLE)/n0 - 1/(1+exp(-eta0)))
                  / ((1/(1+exp(-eta0))) * (1 - 1/(1+exp(-eta0)))) END AS z0,
              CASE WHEN n1 > 0 THEN
-               n1 * (1/(1+exp(-eta1))) * (1 - 1/(1+exp(-eta1))) END AS w1,
+               n1 * ((1/(1+exp(-eta1))) * (1 - 1/(1+exp(-eta1)))) END AS w1,
              CASE WHEN n1 > 0 THEN
                eta1 + (CAST(k1 AS DOUBLE)/n1 - 1/(1+exp(-eta1)))
                  / ((1/(1+exp(-eta1))) * (1 - 1/(1+exp(-eta1)))) END AS z1
       FROM e{i}
     ), bb{i} AS (
-      SELECT SUM((z1 - z0) * (w1*w0/(w1+w0))) / SUM(w1*w0/(w1+w0)) AS beta
+      SELECT CAST(SUM(CAST(ROUND((z1 - z0) * (w1*w0/(w1+w0)), 12) AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(w1*w0/(w1+w0), 12) AS DECIMAL(38,12))) AS DOUBLE) AS beta
       FROM z{i} WHERE n0 > 0 AND n1 > 0
     ), a{i} AS (
       SELECT grp, n0, k0, n1, k1, tau2, beta,
@@ -1331,9 +1332,13 @@ def _glmm_oracle(iters: int = 3) -> str:
              1.0 / (COALESCE(w0, 0) + COALESCE(w1, 0)) AS s2
       FROM z{i} CROSS JOIN bb{i}
     ), m{i} AS (
-      SELECT SUM(zadj/(tau2+s2)) / SUM(1.0/(tau2+s2)) AS b0 FROM a{i}
+      SELECT CAST(SUM(CAST(ROUND(zadj/(tau2+s2), 12) AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(1.0/(tau2+s2), 12) AS DECIMAL(38,12))) AS DOUBLE) AS b0
+      FROM a{i}
     ), t{i} AS (
-      SELECT AVG(POW((tau2/(tau2+s2)) * (zadj - (SELECT b0 FROM m{i})), 2)
+      SELECT CAST(SUM(CAST(ROUND(POW((tau2/(tau2+s2)) * (zadj - (SELECT b0 FROM m{i})), 2)
+                 + (tau2/(tau2+s2)) * s2, 12) AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(POW((tau2/(tau2+s2)) * (zadj - (SELECT b0 FROM m{i})), 2)
                  + (tau2/(tau2+s2)) * s2) AS tau2 FROM a{i}
     ), st{i} AS (
       SELECT a.grp, a.n0, a.k0, a.n1, a.k1,
@@ -1447,10 +1452,25 @@ def x6_logistic_glmm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         both = (F.col("n0") > 0) & (F.col("n1") > 0)
         h = F.col("w1") * F.col("w0") / (F.col("w1") + F.col("w0"))
+
+        # Every whole-frame fold rounds its summand to 12 dp and
+        # accumulates in DECIMAL(38,12): the sums are then exact, so
+        # the fit is bit-identical under any partitioning (the
+        # partitioning-independence gate) and neither engine's
+        # accumulation order matters. 12 dp dwarfs the 6 dp output
+        # rounding; the identical ROUND(.,12)+CAST appears in the
+        # oracle CTEs.
+        def dsum(c):
+            return (
+                F.sum(F.round(c, 12).cast("decimal(38,12)"))
+                .over(wall)
+                .cast("double")
+            )
+
         d = d.withColumn(
             "beta",
-            F.sum(F.when(both, (F.col("z1") - F.col("z0")) * h)).over(wall)
-            / F.sum(F.when(both, h)).over(wall),
+            dsum(F.when(both, (F.col("z1") - F.col("z0")) * h))
+            / dsum(F.when(both, h)),
         )
         wt = F.coalesce(F.col("w0"), F.lit(0.0)) + F.coalesce(
             F.col("w1"), F.lit(0.0)
@@ -1465,17 +1485,18 @@ def x6_logistic_glmm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("s2", F.lit(1.0) / wt)
         d = d.withColumn(
             "b0",
-            F.sum(F.col("zadj") / (F.col("tau2") + F.col("s2"))).over(wall)
-            / F.sum(F.lit(1.0) / (F.col("tau2") + F.col("s2"))).over(wall),
+            dsum(F.col("zadj") / (F.col("tau2") + F.col("s2")))
+            / dsum(F.lit(1.0) / (F.col("tau2") + F.col("s2"))),
         )
         bshrink = F.col("tau2") / (F.col("tau2") + F.col("s2"))
+        tau2_summand = (
+            F.pow(bshrink * (F.col("zadj") - F.col("b0")), 2)
+            + bshrink * F.col("s2")
+        )
         d = (
             d.withColumn(
                 "tau2_new",
-                F.avg(
-                    F.pow(bshrink * (F.col("zadj") - F.col("b0")), 2)
-                    + bshrink * F.col("s2")
-                ).over(wall),
+                dsum(tau2_summand) / F.count(tau2_summand).over(wall),
             )
             .withColumn("u", bshrink * (F.col("zadj") - F.col("b0")))
             .withColumn("tau2", F.col("tau2_new"))
@@ -1503,13 +1524,16 @@ def _svm_oracle(lam: float = 0.05, iters: int = 10) -> str:
     round i-1's coefficients, then the pegasos update
     w = (1-1/i) w + sv/(lambda*i*n). Arithmetic association matches
     ml.svm.pegasos_linear_svm term for term (w0 + (w1*x1 + w2*x2)) so
-    both engines evaluate bit-identical margins."""
+    both engines evaluate bit-identical margins, and the violator sums
+    accumulate in DECIMAL(38,6) exactly as the Spark fit does
+    (exact_sum_decimals=6) so neither engine's sum depends on
+    accumulation order."""
     parts = [
         """
     WITH d AS MATERIALIZED (
       SELECT CASE WHEN CAST(l_quantity AS DOUBLE) / 50
                        + CAST(l_discount AS DOUBLE) * 10
-                       + 0.6 * (CAST((l_orderkey * 2654435761) % 1000 AS DOUBLE) / 1000)
+                       + 0.6 * (CAST(((l_orderkey % 1048573) * 2654435761) % 1000 AS DOUBLE) / 1000)
                        > 1.7
                   THEN 1.0 ELSE -1.0 END AS y,
              CAST(l_quantity AS DOUBLE) / 50 - 0.5 AS x1,
@@ -1522,12 +1546,15 @@ def _svm_oracle(lam: float = 0.05, iters: int = 10) -> str:
     for i in range(1, iters + 1):
         parts.append(f"""
     , s{i} AS MATERIALIZED (
-      SELECT COALESCE(SUM(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
-               THEN (CASE WHEN y > 0 THEN 4.0 ELSE 1.0 END) * y END), 0) AS sv0,
-             COALESCE(SUM(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
-               THEN (CASE WHEN y > 0 THEN 4.0 ELSE 1.0 END) * y * x1 END), 0) AS sv1,
-             COALESCE(SUM(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
-               THEN (CASE WHEN y > 0 THEN 4.0 ELSE 1.0 END) * y * x2 END), 0) AS sv2
+      SELECT COALESCE(CAST(SUM(CAST(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
+               THEN (CASE WHEN y > 0 THEN 4.0 ELSE 1.0 END) * y END
+               AS DECIMAL(38,6))) AS DOUBLE), 0) AS sv0,
+             COALESCE(CAST(SUM(CAST(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
+               THEN (CASE WHEN y > 0 THEN 4.0 ELSE 1.0 END) * y * x1 END
+               AS DECIMAL(38,6))) AS DOUBLE), 0) AS sv1,
+             COALESCE(CAST(SUM(CAST(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
+               THEN (CASE WHEN y > 0 THEN 4.0 ELSE 1.0 END) * y * x2 END
+               AS DECIMAL(38,6))) AS DOUBLE), 0) AS sv2
       FROM d CROSS JOIN it{i - 1}
     ), it{i} AS MATERIALIZED (
       SELECT (1 - 1.0/{i}) * w0 + sv0 / ({lam!r} * {i} * n) AS w0,
@@ -1579,8 +1606,11 @@ def x3_linear_svm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     violator sums) with the 1-row coefficient frame broadcast back —
     no collect, no per-row Python; the eval pass is one more broadcast
     + conditional aggregation. Integer confusion counts make the
-    differential check exact; coefficients round to 5 dp (both engines
-    iterate with their own float-sum order)."""
+    differential check exact; the violator folds run in DECIMAL(38,6)
+    (features are exact <=2dp values) so every training round — and
+    hence the coefficients themselves — is bit-deterministic under any
+    partitioning and identical across engines; the 5 dp coefficient
+    rounding is presentational."""
     from ..ml.svm import pegasos_linear_svm
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1589,12 +1619,28 @@ def x3_linear_svm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_discount").cast("double") * 10,
     ]
     xs = [raw[0] - 0.5, raw[1] - 0.5]
+    # orderkey reduced mod 2^20-prime BEFORE the Knuth multiplier so the
+    # product stays < 2^52 at any scale factor: DuckDB would raise on
+    # int64 overflow and non-ANSI Spark would silently wrap negative.
     noise = (
-        ((F.col("l_orderkey") * F.lit(2654435761)) % 1000).cast("double") / 1000
+        (((F.col("l_orderkey") % 1048573) * F.lit(2654435761)) % 1000).cast(
+            "double"
+        )
+        / 1000
     )
     y = F.when(raw[0] + raw[1] + F.lit(0.6) * noise > 1.7, 1.0).otherwise(-1.0)
     coefs = pegasos_linear_svm(
-        li, y=y, xs=xs, lam=0.05, iters=10, pos_weight=4.0, neg_weight=1.0
+        li,
+        y=y,
+        xs=xs,
+        lam=0.05,
+        iters=10,
+        pos_weight=4.0,
+        neg_weight=1.0,
+        # quantity/50 and discount*10 are exact <=2dp values, so the
+        # violator folds accumulate in DECIMAL(38,6) — order-independent
+        # (partitioning-independence gate) and engine-identical.
+        exact_sum_decimals=6,
     )
     d = li.select(
         y.alias("y"),

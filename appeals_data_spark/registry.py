@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
-_CTE_DEF = re.compile(r"((?:\bWITH|,)\s*\w+\s+AS)\s*\(")
+_CTE_DEF = re.compile(
+    r"((?:\bWITH|,)\s*\w+\s+AS)\s*\("
+    r"(?=(?:\s|--[^\n]*\n)*(?:SELECT|WITH|VALUES)\b)",
+    re.IGNORECASE,
+)
 
 
 def materialize_ctes(sql: str) -> str:
@@ -26,9 +30,12 @@ def materialize_ctes(sql: str) -> str:
     several round-i CTEs; without materialization DuckDB inlines and
     re-evaluates the chain exponentially (measured 34s -> 0.2s on the
     10-round pegasos oracle). Textually safe: a CTE definition is the
-    only place ``name AS (`` follows WITH or a comma (column aliases
-    are ``expr AS name``; CAST types are never followed by ``(``;
-    anchoring on WITH/comma excludes DuckDB named-WINDOW clauses)."""
+    only place ``name AS (`` follows WITH or a comma AND the paren
+    opens a query (SELECT/WITH/VALUES lookahead). Column aliases are
+    ``expr AS name``; CAST types are never followed by ``(``; named
+    WINDOW clauses — including the 2nd+ entry of a multi-window list,
+    which the comma anchor alone would hit — open with
+    PARTITION/ORDER/ROWS/RANGE, never a query keyword."""
     return _CTE_DEF.sub(r"\1 MATERIALIZED (", sql)
 
 

@@ -110,7 +110,11 @@ def lm_score_map(corpus: DataFrame) -> DataFrame:
 # Out-of-vocabulary floor: far below any in-corpus log-prob, exact in
 # both engines (decimal literal). Streams can carry tokens the batch
 # LM never saw; the floor keeps the score defined without a state
-# store or a retrain.
+# store or a retrain. A ZERO-token document (empty/whitespace text)
+# also takes the floor outright — otherwise sum/size would be 0/0
+# (NULL), the doc would slip through rollups unscored, and the
+# DuckDB oracle (whose token join emits no row for it) would count
+# documents differently than Spark.
 LM_OOV_FLOOR = "-20.0"
 
 
@@ -138,7 +142,9 @@ def lm_scored_docs(docs: DataFrame, lm_row: DataFrame) -> DataFrame:
         "doc_id",
         "source",
         F.size(toks).alias("ntok"),
-        (sumlp.cast("double") / F.size(toks)).alias("score"),
+        F.when(F.size(toks) > 0, sumlp.cast("double") / F.size(toks))
+        .otherwise(F.lit(float(LM_OOV_FLOOR)))
+        .alias("score"),
     )
 
 

@@ -613,9 +613,10 @@ def test_materialize_ctes_rewrites_only_cte_definitions():
     sql = (
         "WITH a AS (SELECT 1 AS x), b AS (\n"
         "  SELECT CAST(x AS DOUBLE) AS y,\n"
-        "         SUM(x) OVER w AS s\n"
+        "         SUM(x) OVER w AS s,\n"
+        "         COUNT(*) OVER w2 AS c\n"
         "  FROM a\n"
-        "  WINDOW w AS (PARTITION BY x)\n"
+        "  WINDOW w AS (PARTITION BY x), w2 AS (ORDER BY x)\n"
         ")\n"
         "SELECT y AS z FROM b"
     )
@@ -623,9 +624,11 @@ def test_materialize_ctes_rewrites_only_cte_definitions():
     # both CTEs marked
     assert "WITH a AS MATERIALIZED (" in out
     assert ", b AS MATERIALIZED (" in out
-    # column aliases, CAST targets, and named WINDOW clauses untouched
+    # column aliases, CAST targets, and named WINDOW clauses untouched —
+    # including the 2nd+ window of a multi-window list, whose leading
+    # comma makes it look like a CTE definition to a naive anchor
     assert "CAST(x AS DOUBLE)" in out
-    assert "WINDOW w AS (PARTITION BY x)" in out
+    assert "WINDOW w AS (PARTITION BY x), w2 AS (ORDER BY x)" in out
     assert "y AS z" in out
     # idempotent: a second pass changes nothing
     assert materialize_ctes(out) == out

@@ -387,6 +387,38 @@ def test_lm_gate_oov_floor(spark):
     assert row["score"] == -20.0
 
 
+def test_lm_gate_zero_token_doc_scores_floor(spark):
+    # An empty/whitespace document has no tokens: sum/size would be
+    # 0/0 (NULL) and the doc would slip through rollups unscored.
+    # Both the scorer and the DuckDB oracle give it the OOV floor, so
+    # n_docs agrees across engines and the gate deterministically
+    # rejects it.
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.streaming.doc_stream import (
+        lm_gate_rollup,
+        lm_score_map,
+        lm_scored_docs,
+    )
+
+    lm = lm_score_map(load_table(spark, SF_SMOKE, "documents"))
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "srcX", 0),
+            (2, "   \t \n ", "en", "srcX", 7),
+            (3, "the of and", "en", "srcX", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    scored = lm_scored_docs(docs, lm)
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    assert rows[1]["ntok"] == 0 and rows[1]["score"] == -20.0
+    assert rows[2]["ntok"] == 0 and rows[2]["score"] == -20.0
+    assert rows[3]["score"] is not None and rows[3]["score"] > -20.0
+    roll = lm_gate_rollup(scored).first()
+    assert roll["n_docs"] == 3  # empty docs counted, not dropped
+    assert roll["min_score"] == -20.0
+
+
 def test_watermark_drops_late_rows_after_finalization(spark, tmp_path):
     # Pin the late-data contract of the watermarked tumbling windows
     # (the engine's analog of the reference's manual trailing-month
