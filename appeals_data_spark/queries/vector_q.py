@@ -668,7 +668,8 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN m.vec_id <> r.rep_id
                          AND list_cosine_similarity(m.v, r.rep_vec) >= 0.25
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic_dup,
-           ROUND(AVG(list_cosine_similarity(m.v, r.rep_vec)), 6)
+           ROUND(CAST(SUM(CAST(ROUND(list_cosine_similarity(m.v, r.rep_vec), 12)
+                               AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
              AS avg_cos_to_rep
     FROM member m JOIN rep r USING (c_label)
     GROUP BY m.c_label ORDER BY cluster
@@ -734,7 +735,18 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("n_semantic_dup"),
-            F.round(F.avg(cos_rep), 6).alias("avg_cos_to_rep"),
+            # mean via 12dp-rounded decimal summands: the fold is exact,
+            # so the mean is independent of partition merge order and of
+            # either engine's accumulation order (the stream_centroid_
+            # occupancy min/max discipline, kept as a mean here because
+            # SemDeDup reports mean closeness)
+            F.round(
+                F.sum(F.round(cos_rep, 12).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cos_to_rep"),
         )
         .orderBy("cluster")
     )
