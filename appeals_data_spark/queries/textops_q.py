@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..ml.unigram_lm import unigram_logprob_frame
 from ..functions.text import (
     STOPWORDS,
     char_classes,
@@ -604,20 +605,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
-    # Materialize the tiny vocab once: it feeds the total, the log-prob
-    # table, AND anchors them both — without the barrier the corpus
-    # scan would run three times (score + vocab + total chains).
-    vocab = tok.groupBy("token").agg(F.count("*").alias("n")).localCheckpoint()
-    total = vocab.agg(F.sum("n").alias("t"))
-    lp = (
-        vocab.crossJoin(broadcast(total))
-        .select(
-            "token",
-            F.round(F.log(F.col("n")) - F.log(F.col("t")), 6)
-            .cast("decimal(18,6)")
-            .alias("lp"),
-        )
-    )
+    lp = unigram_logprob_frame(tok)
     per_doc = (
         tok.join(broadcast(lp), "token")
         .groupBy("doc_id", "source")
@@ -1092,14 +1080,7 @@ def pipe_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
-    vocab = tok.groupBy("token").agg(F.count("*").alias("n")).localCheckpoint()
-    total = vocab.agg(F.sum("n").alias("t"))
-    lp = vocab.crossJoin(broadcast(total)).select(
-        "token",
-        F.round(F.log(F.col("n")) - F.log(F.col("t")), 6)
-        .cast("decimal(18,6)")
-        .alias("lp"),
-    )
+    lp = unigram_logprob_frame(tok)
     per_doc = (
         tok.join(broadcast(lp), "token")
         .groupBy("doc_id")

@@ -88,20 +88,14 @@ def lm_score_map(corpus: DataFrame) -> DataFrame:
     """Train the unigram LM on a batch corpus and pack it into ONE row
     holding map<token, logprob DECIMAL(18,6)> — the broadcastable model
     artifact for stream-side scoring (the centroid_array shape). The
-    log-probs follow text_unigram_logprob's determinism contract: ln is
-    evaluated once per distinct token, rounded to 6 dp, and cast to
-    exact decimal BEFORE any aggregation."""
+    log-probs follow the shared ``ml.unigram_lm`` determinism
+    contract: ln is evaluated once per distinct token, rounded to
+    6 dp, and cast to exact decimal BEFORE any aggregation."""
     from ..functions.text import tokens
+    from ..ml.unigram_lm import unigram_logprob_frame
 
     tok = corpus.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
-    vocab = tok.groupBy("token").agg(F.count("*").alias("n")).localCheckpoint()
-    total = vocab.agg(F.sum("n").alias("t"))
-    lp = vocab.crossJoin(F.broadcast(total)).select(
-        "token",
-        F.round(F.log(F.col("n")) - F.log(F.col("t")), 6)
-        .cast("decimal(18,6)")
-        .alias("lp"),
-    )
+    lp = unigram_logprob_frame(tok)
     return lp.agg(
         F.map_from_entries(F.collect_list(F.struct("token", "lp"))).alias("lm")
     )

@@ -74,7 +74,8 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = {name: q for name, q in all_queries().items() if q.bench}
+    qs_all = all_queries()
+    qs = {name: q for name, q in qs_all.items() if q.bench}
     # warm the JVM, FS metadata, and the Arrow/Python worker pool
     # outside the timed region (first use otherwise bills several
     # seconds of one-time spin-up to an arbitrary query)
@@ -89,7 +90,12 @@ def main() -> None:
     # otherwise bills ~2-3s to whichever complex query runs first).
     smoke_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     warm_dir = smoke_dir if os.path.isdir(smoke_dir) else sf_dir
-    sec_qs = {n: all_queries()[n] for n in SECONDARY if n in all_queries()}
+    # fail loudly on a typo'd/renamed SECONDARY entry — a silent drop
+    # would shrink the cross-round timing series without anyone noticing
+    unknown = [n for n in SECONDARY if n not in qs_all]
+    if unknown:
+        raise SystemExit(f"bench.py: unknown SECONDARY queries: {unknown}")
+    sec_qs = {n: qs_all[n] for n in SECONDARY}
     for q in list(qs.values()) + list(sec_qs.values()):
         try:
             q.builder(spark, warm_dir).collect()

@@ -129,7 +129,11 @@ def main() -> None:
         out.repartition(n_files).write.mode("overwrite").parquet(
             f"{args.out}/{tab}.parquet"
         )
-        print(f"{tab}: x{args.factor} -> {out.count()} rows, {n_files} files")
+        # count from the written files — counting `out` would re-run
+        # the whole replicated union (incl. per-replica transforms) a
+        # second time just for this progress line
+        n_rows = spark.read.parquet(f"{args.out}/{tab}.parquet").count()
+        print(f"{tab}: x{args.factor} -> {n_rows} rows, {n_files} files")
 
     spark.stop()
 
