@@ -804,3 +804,66 @@ def pipe_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipe_source_caps",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id
+             ) AS qrank
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN qrank <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN qrank > 15 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN qrank <= 15 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_kept,
+           COUNT(*) > 15 AS cap_hit
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    tags=("PIPE", "W4", "A14"),
+)
+def pipe_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (the RefinedWeb/Gopher per-domain cap:
+    no single domain may dominate the training mixture): rank each
+    source's docs by a deterministic quality proxy (n_chars desc,
+    doc_id tiebreak) and keep at most 15, reporting kept/dropped
+    volume per source. Complements pipe_stratified_sample (rate-based)
+    with the RANK-based quota the crawl-curation stacks apply to
+    oversampled domains; all-integer arithmetic, so the differential
+    check is exact.
+
+    Scale shape: one window partitioned by source (the shuffle key a
+    domain cap needs anyway; skewed mega-domains are exactly the rows
+    the cap truncates, and a two-stage top-K per key — partial top-K
+    per partition, then merge — drops the skew before the shuffle if a
+    domain outgrows a partition) followed by a map-side-combinable
+    rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = d.select("source", "doc_id", "n_chars").withColumn(
+        "qrank", F.row_number().over(w)
+    )
+    kept = F.col("qrank") <= 15
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+            F.sum((~kept).cast("int")).cast("long").alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("chars_kept"),
+            (F.count("*") > 15).alias("cap_hit"),
+        )
+        .orderBy("source")
+    )

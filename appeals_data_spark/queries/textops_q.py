@@ -914,10 +914,62 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_bm25_topk",
-    oracle=r"""
-    WITH tok AS (
+def _bm25_doc_scores(d: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, bm25 double) for the fixed query ``terms`` (k1=1.2,
+    b=0.75). ONE implementation shared by ``text_bm25_topk`` and the
+    hybrid-retrieval fusion so the lexical scoring contract cannot
+    drift. The idf transcendental rounds per distinct term, and each
+    per-term contribution rounds to DECIMAL BEFORE the per-doc sum, so
+    the accumulation is exact decimal arithmetic (partition-order-
+    independent) and any (score desc, doc_id) ranking is engine-stable.
+
+    Scale shape: the term filter prunes the exploded stream BEFORE the
+    (doc, term) aggregation (only query terms survive the shuffle);
+    doc lengths are a separate narrow rollup; df and the corpus stats
+    are #terms- and 1-row broadcasts. Query cost tracks posting-list
+    size, not corpus size — the inverted-index access pattern
+    expressed as joins."""
+    from pyspark.sql.functions import broadcast
+
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dlen")).localCheckpoint()
+    stats = dl.agg(
+        F.count("*").cast("double").alias("ndocs"),
+        (F.sum("dlen").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.round(
+        F.log(1 + (F.col("ndocs") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
+    )
+    contrib = F.round(
+        idf
+        * (
+            (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl")))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        tf.join(broadcast(df), "token")
+        .join(broadcast(dl), "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).cast("double").alias("bm25"))
+    )
+
+
+
+# Shared oracle fragment: the BM25 scoring chain (tok -> dl -> stats ->
+# tf -> df -> scored), mirroring _bm25_doc_scores term for term. Used by
+# text_bm25_topk and text_hybrid_rrf_topk.
+_BM25_SCORED_CTES = r"""tok AS (
       SELECT doc_id,
              unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
                                 x -> x <> '')) AS token
@@ -948,7 +1000,13 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN dl l USING (doc_id)
       CROSS JOIN stats s
       GROUP BY f.doc_id
-    ), ranked AS (
+    )"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES}, ranked AS (
       SELECT doc_id, bm25,
              ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
       FROM scored
@@ -961,59 +1019,128 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval (k1=1.2, b=0.75) for a fixed 3-term query —
     the lexical-search baseline every retrieval pipeline starts from,
     with real document-length normalization (unlike text_tfidf_topk's
-    per-source keyword view). The idf transcendental rounds per
-    distinct term, and each per-term contribution rounds to DECIMAL
-    BEFORE the per-doc sum, so the accumulation is exact decimal
-    arithmetic (partition-order-independent) and the (score desc,
-    doc_id) ranking is engine-stable.
-
-    Scale shape: the term filter prunes the exploded stream BEFORE the
-    (doc, term) aggregation (only query terms survive the shuffle);
-    doc lengths are a separate narrow rollup; df and the corpus stats
-    are #terms- and 1-row broadcasts. Query cost tracks posting-list
-    size, not corpus size — the inverted-index access pattern
-    expressed as joins."""
-    from pyspark.sql.functions import broadcast
+    per-source keyword view). Scoring contract and scale shape live in
+    ``_bm25_doc_scores`` (shared with ``text_hybrid_rrf_topk``)."""
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
-    )
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dlen")).localCheckpoint()
-    stats = dl.agg(
-        F.count("*").cast("double").alias("ndocs"),
-        (F.sum("dlen").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    tf = (
-        tok.filter(F.col("token").isin("spark", "window", "hash"))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-    )
-    df = tf.groupBy("token").agg(F.count("*").alias("df"))
-    idf = F.round(
-        F.log(1 + (F.col("ndocs") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
-    )
-    contrib = F.round(
-        idf
-        * (
-            (F.col("tf") * 2.2)
-            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl")))
-        ),
-        6,
-    ).cast("decimal(18,6)")
-    scored = (
-        tf.join(broadcast(df), "token")
-        .join(broadcast(dl), "doc_id")
-        .crossJoin(broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(contrib).cast("double").alias("bm25"))
-    )
+    scored = _bm25_doc_scores(d, ("spark", "window", "hash"))
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
         .select("rnk", "doc_id", "bm25")
+        .orderBy("rnk")
+    )
+
+
+@register(
+    "text_hybrid_rrf_topk",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES}, lexk AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+      FROM scored
+      QUALIFY rnk <= 20
+    ), q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), densek AS (
+      SELECT e.vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id
+             ) AS rnk
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      QUALIFY rnk <= 20
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             l.rnk AS lex_rnk, d.rnk AS dense_rnk,
+             COALESCE(CAST(ROUND(1000000.0 / (60 + l.rnk), 6)
+                           AS DECIMAL(18,6)), 0)
+           + COALESCE(CAST(ROUND(1000000.0 / (60 + d.rnk), 6)
+                           AS DECIMAL(18,6)), 0) AS rrf
+      FROM lexk l FULL OUTER JOIN densek d ON l.doc_id = d.doc_id
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk,
+           doc_id,
+           lex_rnk IS NOT NULL AS in_lex,
+           dense_rnk IS NOT NULL AS in_dense,
+           CAST(rrf AS DOUBLE) AS rrf_score
+    FROM fused
+    QUALIFY rnk <= 10
+    ORDER BY rnk
+    """,
+    tags=("TEXT", "VEC", "ANN", "J12"),
+)
+def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): fuse the BM25 lexical top-20 (``_bm25_doc_scores``, fixed
+    3-term query) with the dense cosine top-20 for the doc-0 embedding
+    (``brute_force_topk`` — doc_id and vec_id are the same corpus ids)
+    by RRF score sum(1/(60+rank)), the standard first-stage ranker of
+    a RAG retrieval stack. Scaled by 1e6 and rounded to DECIMAL(18,6)
+    per list BEFORE the sum, so fusion is exact decimal arithmetic and
+    the final (score desc, doc_id) order is engine-stable; only RANKS
+    cross the float boundary, never raw scores — the reason RRF is
+    robust to score-scale mismatch between retrievers (and to float
+    accumulation order here).
+
+    Scale shape: each side is its own driver-green pattern (posting-
+    list joins for BM25; broadcast query + corpus scan for dense); the
+    fusion is a 20∪20-row full outer join on doc_id — negligible. The
+    in_lex/in_dense flags expose the single-list tails (dense-only
+    hits are the hard-negative candidates for retriever training)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import brute_force_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    wlex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lexk = (
+        _bm25_doc_scores(d, ("spark", "window", "hash"))
+        .withColumn("lex_rnk", F.row_number().over(wlex))
+        .filter(F.col("lex_rnk") <= 20)
+        .select("doc_id", "lex_rnk")
+    )
+    densek = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).select(F.col("corpus_id").alias("doc_id"), F.col("rank").alias("dense_rnk"))
+
+    def rrf_part(rank_col: str):
+        return F.coalesce(
+            F.round(F.lit(1000000.0) / (60 + F.col(rank_col)), 6).cast(
+                "decimal(18,6)"
+            ),
+            F.lit(0).cast("decimal(18,6)"),
+        )
+
+    # no broadcast hint: Spark can't broadcast a full-outer side (it
+    # must emit unmatched rows from both); both inputs are <=20 rows
+    # by construction so the shuffled join is trivially cheap
+    fused = (
+        lexk.join(densek, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rnk",
+            "dense_rnk",
+            (rrf_part("lex_rnk") + rrf_part("dense_rnk")).alias("rrf"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "rnk",
+            "doc_id",
+            F.col("lex_rnk").isNotNull().alias("in_lex"),
+            F.col("dense_rnk").isNotNull().alias("in_dense"),
+            F.col("rrf").cast("double").alias("rrf_score"),
+        )
         .orderBy("rnk")
     )
 

@@ -85,11 +85,13 @@ def register(
 # never-swept remain.
 #
 # Round-5 rotation plan: front-load any queries round 5 adds, then the
-# ~24 queries whose only driver row is from round 1 (the oldest
-# verdicts: p11/p14, f3/f5/f9/f11, the j5-j20 join tail, w4-w9, the
-# r1-r4 reshape family — recompute against CORRECTNESS_r0{1..4} as in
-# the round-4 session), then ~6 green sentinels, then the oldest of
-# the queries not swept since round 2. Simulate with
+# ~26 queries whose only driver row is from round 1 (the oldest
+# verdicts: p11/p14, f3/f5/f9/f11, the j2/j3/j5-j20 join tail, w4-w9,
+# the r1-r4 reshape family — recompute against CORRECTNESS_r0{1..4} as
+# in the round-4 session; j2/j3 were displaced from the round-4 window
+# by the late text_hybrid_rrf_topk / pipe_source_caps additions), then
+# ~6 green sentinels, then the oldest of the queries not swept since
+# round 2. Simulate with
 # `python tools/check.py --window 50 --vanilla` before shipping.
 _SWEEP_FIRST = [
     # Round-4 rotation: after r1∪r2∪r3 exactly 17 registered queries have
@@ -124,6 +126,8 @@ _SWEEP_FIRST = [
     "a22_approx_quantile_bound",
     "a23_approx_distinct_bound",
     "stream_lm_gate",
+    "text_hybrid_rrf_topk",
+    "pipe_source_caps",
     # green sentinels for cross-round regression cover (r1/r2/r3 greens
     # spanning the flagship families: TPC-H agg, fused event union,
     # as-of join, classifier eval, survival, composed ANN)
@@ -151,8 +155,6 @@ _SWEEP_FIRST = [
     "p7_like_rlike",
     "p9_case_when_derive",
     "p13_deterministic_topn",
-    "j2_left_join_order_counts",
-    "j3_composite_key_join",
 ]
 
 

@@ -30,6 +30,9 @@ QUERIES = [
     "text_unigram_logprob",
     "vec_pq_adc_topk",
     "a22_approx_quantile_bound",
+    # rank fusion: per-row cosine folds + decimal RRF sum — only ranks
+    # cross the float boundary, so fused order is partition-independent
+    "text_hybrid_rrf_topk",
 ]
 
 

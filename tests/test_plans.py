@@ -37,6 +37,7 @@ BNLJ_OK = {
     "p14_complete_cases",  # 1-row threshold scalar
     "pipe_mixture_weights",  # 1-row token-budget scalar side
     "text_bm25_topk",  # 1-row corpus-stats scalar side
+    "text_hybrid_rrf_topk",  # 1-row BM25 stats scalar + 1-probe dense side
     "text_tfidf_topk",  # 1-row distinct-source-count scalar side
     "text_unigram_logprob",  # 1-row corpus-total scalar side
     "pipe_perplexity_buckets",  # 1-row corpus-total scalar side (LM train)
@@ -209,6 +210,7 @@ ITERATIVE_SEGMENTS = {
     "stream_lm_gate": (1, 1),
     "pipe_perplexity_buckets": (1, 1),
     "text_bm25_topk": (1, 1),
+    "text_hybrid_rrf_topk": (1, 1),  # shared BM25 doc-length checkpoint
     "text_bpe_merges": (5, 5),
     "text_bpe_vocab": (6, 5),
     "text_tfidf_topk": (1, 1),
