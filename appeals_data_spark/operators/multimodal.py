@@ -5,13 +5,15 @@ A 100 TB training-data pipeline carries images/audio/video as opaque
 feature extraction run as Arrow-batched pandas iterators (mapInPandas)
 so the JVM never copies payload bytes row-at-a-time into Python.
 
-The real codecs (PIL / soundfile / av) are NOT in this container, so
-``decode_media`` is a clearly-marked stub; everything around it — the
+``decode_media`` dispatches on mime: PPM and 24-bit BMP images and
+RIFF/WAVE PCM16 audio decode natively via the pure-Python codecs in
+this module (three deliberately different container grammars); formats
+whose libraries (PIL / soundfile / av) are NOT in this container keep
+a clearly-marked external-codec hook. Everything around the hook — the
 schema contract, the partition-preserving mapInPandas shape, the batch
 iteration, the deterministic fallback features — is real and tested.
-Payloads here are synthesized deterministically from the documents
-table (utf-8 bytes of the text), which makes every derived number
-oracle-checkable in DuckDB.
+Payloads are synthesized deterministically from the documents table,
+which makes every decoded number oracle-checkable in DuckDB.
 """
 
 from __future__ import annotations
@@ -95,15 +97,139 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, raster
 
 
+BMP_MIME = "image/bmp"
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Uncompressed 24-bit BMP encoder — pure Python. ``pixels`` is raw
+    interleaved RGB, top-down, len == width*height*3. The container
+    grammar differs from PPM in three ways a parser must get right:
+    rows are stored BOTTOM-UP, channels are BGR, and every row pads to
+    a 4-byte boundary."""
+    import struct
+
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, "
+            f"expected {width * height * 3} for {width}x{height} RGB"
+        )
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    raster = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        r = pixels[y * row : (y + 1) * row]
+        bgr = bytearray(r)
+        bgr[0::3], bgr[2::3] = r[2::3], r[0::3]  # RGB -> BGR
+        raster += bgr + b"\x00" * pad
+    img_size = (row + pad) * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return header + info + bytes(raster)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Uncompressed 24-bit BMP decoder -> (width, height, raw RGB
+    top-down) — undoes the bottom-up row order, BGR channels, and
+    4-byte row padding. Only BI_RGB bpp=24 with a positive (bottom-up)
+    height is supported."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hsize, width, height, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hsize < 40 or bpp != 24 or comp != 0 or height <= 0 or width <= 0:
+        raise ValueError(
+            f"only uncompressed bottom-up 24-bit BMP supported "
+            f"(bpp={bpp}, compression={comp}, {width}x{height})"
+        )
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    if len(payload) < offset + (row + pad) * height:
+        raise ValueError("truncated BMP raster")
+    pixels = bytearray(row * height)
+    for y in range(height):
+        src = offset + (height - 1 - y) * (row + pad)  # bottom-up
+        bgr = payload[src : src + row]
+        rgb = bytearray(bgr)
+        rgb[0::3], rgb[2::3] = bgr[2::3], bgr[0::3]  # BGR -> RGB
+        pixels[y * row : (y + 1) * row] = rgb
+    return width, height, bytes(pixels)
+
+
+WAV_MIME = "audio/wav"
+
+
+def encode_wav(sample_rate: int, pcm16: bytes, channels: int = 1) -> bytes:
+    """RIFF/WAVE PCM16 encoder — pure Python. ``pcm16`` is raw
+    little-endian signed 16-bit samples (interleaved if stereo)."""
+    import struct
+
+    if len(pcm16) % (2 * channels):
+        raise ValueError("pcm16 length not a multiple of the frame size")
+    block = 2 * channels
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate,
+        sample_rate * block, block, 16,
+    )
+    data = struct.pack("<4sI", b"data", len(pcm16)) + pcm16
+    body = b"WAVE" + fmt + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
+    """RIFF/WAVE PCM16 decoder -> (sample_rate, channels, raw PCM16
+    bytes). Walks the chunk list (fmt/data may be separated by
+    LIST/fact/etc chunks, each padded to even length — the RIFF
+    grammar a real parser must honor); only uncompressed 16-bit PCM
+    is supported."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even length
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, sample_rate, _brate, _block, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only uncompressed 16-bit PCM supported "
+            f"(format={audio_format}, bits={bits})"
+        )
+    if len(data) % (2 * channels):
+        raise ValueError("truncated WAV data chunk")
+    return sample_rate, channels, data
+
+
 def decode_media(payload: bytes, mime: str):
-    """Decode hook, dispatched on mime. PPM images decode natively
-    (pure-Python P6 codec above — no external libraries); every other
-    format is where a production deployment plugs in PIL.Image.open /
-    soundfile.read / av.open, none of which are installed in this
-    environment.
+    """Decode hook, dispatched on mime. PPM and 24-bit BMP images and
+    RIFF/WAVE PCM16 audio decode natively (pure-Python codecs above —
+    no external libraries, and deliberately different container
+    grammars: text header + raw raster / binary headers + bottom-up
+    padded BGR rows / chunk-walked RIFF); every other format is where
+    a production deployment plugs in PIL.Image.open / soundfile.read /
+    av.open, none of which are installed in this environment. Return
+    shape is codec-specific: images -> (width, height, rgb), audio ->
+    (sample_rate, channels, pcm16).
     """
     if mime == PPM_MIME:
         return decode_ppm(bytes(payload))
+    if mime == BMP_MIME:
+        return decode_bmp(bytes(payload))
+    if mime == WAV_MIME:
+        return decode_wav(bytes(payload))
     raise NotImplementedError(
         f"no codec for {mime!r} in this environment; "
         "install PIL/soundfile/av and dispatch on mime"
@@ -163,28 +289,43 @@ def extract_features(media: DataFrame) -> DataFrame:
 PPM_STATS_SCHEMA = "doc_id long, width int, height int, pixel_sum long"
 
 
-def as_ppm_media(docs: DataFrame) -> DataFrame:
+def as_image_media(docs: DataFrame, mixed: bool = False) -> DataFrame:
     """Synthesize a REAL image payload per document: a constant-color
-    RGB PPM whose dims/color are pure functions of doc_id (w = id%16+4,
-    h = id%12+4, rgb = id%256/(7id)%256/(13id)%256) — so everything a
-    decoder recovers from the bytes has an exact SQL twin, while the
-    payload is still a genuine container a real parser must decode."""
+    RGB image whose dims/color are pure functions of doc_id (w =
+    id%16+4, h = id%12+4, rgb = id%256/(7id)%256/(13id)%256) — so
+    everything a decoder recovers from the bytes has an exact SQL
+    twin, while the payload is still a genuine container a real parser
+    must decode. With ``mixed=True``, even doc_ids encode as PPM and
+    odd as 24-bit BMP (same pixel content, different container
+    grammar), so downstream decode MUST dispatch on the per-row mime —
+    the multi-format shape of a real crawl."""
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs = []
+            blobs, mimes = [], []
             for did in pdf["doc_id"]:
                 d = int(did)
                 w, h = d % 16 + 4, d % 12 + 4
                 px = bytes((d % 256, (d * 7) % 256, (d * 13) % 256)) * (w * h)
-                blobs.append(encode_ppm(w, h, px))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+                if mixed and d % 2 == 1:
+                    blobs.append(encode_bmp(w, h, px))
+                    mimes.append(BMP_MIME)
+                else:
+                    blobs.append(encode_ppm(w, h, px))
+                    mimes.append(PPM_MIME)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "blob": blobs, "mime": mimes}
+            )
 
-    return (
-        _sized(docs.select("doc_id"))
-        .mapInPandas(_enc, schema="doc_id long, blob binary")
-        .withColumn("mime", F.lit(PPM_MIME))
+    return _sized(docs.select("doc_id")).mapInPandas(
+        _enc, schema="doc_id long, blob binary, mime string"
     )
+
+
+def as_ppm_media(docs: DataFrame) -> DataFrame:
+    """All-PPM variant of ``as_image_media`` (kept for single-format
+    tests)."""
+    return as_image_media(docs, mixed=False)
 
 
 def decode_image_stats(media: DataFrame) -> DataFrame:
@@ -282,3 +423,66 @@ def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
         "doc_id", "source", "blob", F.col("meta.n_frames").alias("n_frames")
     )
     return _sized(slim).mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+WAV_STATS_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, abs_sum long, max_abs int"
+)
+
+
+def as_wav_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL audio payload per document: a mono PCM16 WAV
+    at 8 kHz whose samples are pure functions of doc_id
+    (n = id%256+16 samples, sample_i = (31*id + 17*i) % 65536 - 32768)
+    — everything a decoder recovers from the bytes has an exact SQL
+    twin, while the payload is still a genuine RIFF container a real
+    parser must chunk-walk."""
+    import struct
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = d % 256 + 16
+                pcm = struct.pack(
+                    f"<{n}h",
+                    *[(31 * d + 17 * i) % 65536 - 32768 for i in range(n)],
+                )
+                blobs.append(encode_wav(8000, pcm))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return (
+        _sized(docs.select("doc_id"))
+        .mapInPandas(_enc, schema="doc_id long, blob binary")
+        .withColumn("mime", F.lit(WAV_MIME))
+    )
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """End-to-end audio decode path: parse each payload via the
+    decode_media mime dispatch and emit stats computed FROM THE
+    DECODED SAMPLES (count, integer sum of |amplitude|, peak) — all
+    integers, so the differential check is exact. Arrow-batched, 1:1,
+    partition-preserving."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            srs, ns, sums, peaks = [], [], [], []
+            for blob, mime in zip(pdf["blob"], pdf["mime"]):
+                sr, ch, pcm = decode_media(blob, mime)
+                s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                srs.append(sr)
+                ns.append(len(s) // ch)
+                sums.append(int(np.abs(s).sum()))
+                peaks.append(int(np.abs(s).max()) if len(s) else 0)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sample_rate": srs,
+                 "n_samples": ns, "abs_sum": sums, "max_abs": peaks}
+            )
+
+    return media.select("doc_id", "blob", "mime").mapInPandas(
+        _dec, schema=WAV_STATS_SCHEMA
+    )

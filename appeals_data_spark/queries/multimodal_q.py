@@ -13,8 +13,10 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.multimodal import (
+    as_image_media,
     as_media,
-    as_ppm_media,
+    as_wav_media,
+    decode_audio_stats,
     decode_image_stats,
     extract_features,
     resize_media,
@@ -46,15 +48,21 @@ from ..registry import register
     tags=("MM", "UDF", "CODEC"),
 )
 def mm_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 1:1 decode path end-to-end with a REAL codec: synthesize a
-    binary PPM per document (genuine P6 container), decode it through
-    the decode_media mime dispatch (pure-Python parser — no codec
-    libraries), and roll up stats computed from the decoded header and
-    raster. The oracle predicts dims and the full-raster pixel sum from
-    the doc_id arithmetic — integer-exact, so any mis-parsed byte
-    hash-fails."""
+    """The 1:1 decode path end-to-end with REAL codecs: synthesize a
+    genuine image container per document — binary PPM for even
+    doc_ids, uncompressed 24-bit BMP for odd (same pixel content,
+    different grammar: text header + raw raster vs binary headers +
+    bottom-up padded BGR rows) — decode through the decode_media
+    per-row mime dispatch (pure-Python parsers, no codec libraries),
+    and roll up stats computed from the decoded header and raster.
+    The oracle predicts dims and the full-raster pixel sum from the
+    doc_id arithmetic — integer-exact and format-independent, so a
+    mis-parsed header, missed pad, or truncated raster hash-fails;
+    channel order and row order (which a constant-color payload's sum
+    cannot see) are pinned byte-level on non-constant images in
+    tests/test_multimodal.py."""
     docs = load_table(spark, sf_dir, "documents")
-    stats = decode_image_stats(as_ppm_media(docs))
+    stats = decode_image_stats(as_image_media(docs, mixed=True))
     return (
         stats.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
@@ -173,6 +181,57 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count("*").alias("n_frames_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "mm_decode_audio",
+    oracle="""
+    WITH clip AS (
+      SELECT source,
+             doc_id % 256 + 16 AS n,
+             list_sum(list_transform(range(doc_id % 256 + 16),
+               i -> ABS((31 * doc_id + 17 * i) % 65536 - 32768))) AS abs_sum,
+             list_max(list_transform(range(doc_id % 256 + 16),
+               i -> ABS((31 * doc_id + 17 * i) % 65536 - 32768))) AS peak
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_clips,
+           CAST(SUM(n) AS BIGINT) AS total_samples,
+           CAST(SUM(abs_sum) AS BIGINT) AS total_abs_amplitude,
+           CAST(MAX(peak) AS INT) AS max_peak
+    FROM clip
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("MM", "UDF", "CODEC"),
+)
+def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio leg of the decode path with a REAL codec: synthesize a
+    genuine RIFF/WAVE PCM16 container per document (8 kHz mono,
+    doc_id-derived samples), decode through the decode_media mime
+    dispatch (pure-Python chunk-walking parser — no codec libraries),
+    and roll up stats computed FROM THE DECODED SAMPLES: counts,
+    integer |amplitude| mass, and peak. The oracle predicts all three
+    from the doc_id arithmetic — integer-exact, so a mis-walked chunk,
+    wrong-endian read, or truncated sample hash-fails.
+
+    Scale shape: identical to mm_decode_image — minimal projection
+    before the Arrow boundary, 1:1 partition-preserving mapInPandas,
+    then one map-side-combinable rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = decode_audio_stats(as_wav_media(docs))
+    return (
+        stats.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("n_samples").alias("total_samples"),
+            F.sum("abs_sum").alias("total_abs_amplitude"),
+            F.max("max_abs").alias("max_peak"),
         )
         .orderBy("source")
     )

@@ -1525,9 +1525,9 @@ def _svm_oracle(lam: float = 0.05, iters: int = 10) -> str:
     w = (1-1/i) w + sv/(lambda*i*n). Arithmetic association matches
     ml.svm.pegasos_linear_svm term for term (w0 + (w1*x1 + w2*x2)) so
     both engines evaluate bit-identical margins, and the violator sums
-    accumulate in DECIMAL(38,6) exactly as the Spark fit does
-    (exact_sum_decimals=6) so neither engine's sum depends on
-    accumulation order."""
+    accumulate as 1e6-scaled BIGINTs exactly as the Spark fit does
+    (exact_sum_decimals=6, the scaled-long fold) so neither engine's
+    sum depends on accumulation order."""
     parts = [
         """
     WITH d AS MATERIALIZED (
@@ -1546,15 +1546,15 @@ def _svm_oracle(lam: float = 0.05, iters: int = 10) -> str:
     for i in range(1, iters + 1):
         parts.append(f"""
     , s{i} AS MATERIALIZED (
-      SELECT COALESCE(CAST(SUM(CAST(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
-               THEN (CASE WHEN y > 0 THEN 4.0 ELSE 1.0 END) * y END
-               AS DECIMAL(38,6))) AS DOUBLE), 0) AS sv0,
-             COALESCE(CAST(SUM(CAST(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
-               THEN (CASE WHEN y > 0 THEN 4.0 ELSE 1.0 END) * y * x1 END
-               AS DECIMAL(38,6))) AS DOUBLE), 0) AS sv1,
-             COALESCE(CAST(SUM(CAST(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
-               THEN (CASE WHEN y > 0 THEN 4.0 ELSE 1.0 END) * y * x2 END
-               AS DECIMAL(38,6))) AS DOUBLE), 0) AS sv2
+      SELECT COALESCE(CAST(SUM(CAST(ROUND((CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
+               THEN (CASE WHEN y > 0 THEN 4.0 ELSE 1.0 END) * y END)
+               * 1000000, 0) AS BIGINT)) AS DOUBLE), 0) / 1000000 AS sv0,
+             COALESCE(CAST(SUM(CAST(ROUND((CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
+               THEN (CASE WHEN y > 0 THEN 4.0 ELSE 1.0 END) * y * x1 END)
+               * 1000000, 0) AS BIGINT)) AS DOUBLE), 0) / 1000000 AS sv1,
+             COALESCE(CAST(SUM(CAST(ROUND((CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
+               THEN (CASE WHEN y > 0 THEN 4.0 ELSE 1.0 END) * y * x2 END)
+               * 1000000, 0) AS BIGINT)) AS DOUBLE), 0) / 1000000 AS sv2
       FROM d CROSS JOIN it{i - 1}
     ), it{i} AS MATERIALIZED (
       SELECT (1 - 1.0/{i}) * w0 + sv0 / ({lam!r} * {i} * n) AS w0,
@@ -1606,11 +1606,13 @@ def x3_linear_svm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     violator sums) with the 1-row coefficient frame broadcast back —
     no collect, no per-row Python; the eval pass is one more broadcast
     + conditional aggregation. Integer confusion counts make the
-    differential check exact; the violator folds run in DECIMAL(38,6)
-    (features are exact <=2dp values) so every training round — and
-    hence the coefficients themselves — is bit-deterministic under any
-    partitioning and identical across engines; the 5 dp coefficient
-    rounding is presentational."""
+    differential check exact; the violator folds run as 1e6-scaled
+    int64 sums (features are exact <=2dp values, so the scaled
+    contributions are exact integers) — every training round, and
+    hence the coefficients themselves, is bit-deterministic under any
+    partitioning and identical across engines at codegen speed (the
+    DECIMAL(38,6) fold had the same exactness at ~2.7x the cost); the
+    5 dp coefficient rounding is presentational."""
     from ..ml.svm import pegasos_linear_svm
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1638,8 +1640,9 @@ def x3_linear_svm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos_weight=4.0,
         neg_weight=1.0,
         # quantity/50 and discount*10 are exact <=2dp values, so the
-        # violator folds accumulate in DECIMAL(38,6) — order-independent
-        # (partitioning-independence gate) and engine-identical.
+        # violator folds accumulate as 1e6-scaled longs — exact, hence
+        # order-independent (partitioning-independence gate) and
+        # engine-identical.
         exact_sum_decimals=6,
     )
     d = li.select(

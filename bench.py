@@ -35,9 +35,11 @@ SECONDARY = [
     "graph_pagerank_handoff",
     "pipe_classifier_filter",
     "pipe_perplexity_buckets",
+    "pipe_source_caps",
     "stream_centroid_occupancy",
     "text_bm25_topk",
     "text_bpe_merges",
+    "text_hybrid_rrf_topk",
     "vec_ivfpq_topk",
     "vec_pq_adc_topk",
     "vec_pq_rerank_topk",

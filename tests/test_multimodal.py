@@ -138,3 +138,129 @@ def test_ppm_round_trip_property():
         assert decode_ppm(encode_ppm(w, h, px)) == (w, h, px)
 
     prop()
+
+
+def test_bmp_golden_bytes():
+    # Hand-computed 2x2 24-bit BMP: rows bottom-up, BGR, width 2 ->
+    # row = 6 bytes, pad = 2. Pixels top-down RGB:
+    #   (1,2,3) (4,5,6)
+    #   (7,8,9) (10,11,12)
+    from appeals_data_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    pixels = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
+    bmp = encode_bmp(2, 2, pixels)
+    assert bmp[:2] == b"BM"
+    assert bmp[10:14] == (54).to_bytes(4, "little")  # raster offset
+    # raster: bottom row first (7,8,9),(10,11,12) as BGR + 2 pad bytes
+    assert bmp[54:62] == bytes([9, 8, 7, 12, 11, 10, 0, 0])
+    assert bmp[62:70] == bytes([3, 2, 1, 6, 5, 4, 0, 0])
+    assert len(bmp) == 54 + 16
+    assert decode_bmp(bmp) == (2, 2, pixels)
+
+
+def test_bmp_round_trip_non_constant_pins_row_and_channel_order():
+    # Non-constant image: every (row, channel) position unique, so an
+    # unflipped row order or unswapped channel CANNOT round-trip —
+    # the byte-level pin the constant-color query rollup can't give.
+    from appeals_data_spark.operators.multimodal import (
+        decode_bmp,
+        decode_media,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    w, h = 3, 4  # odd row width -> real padding (9 bytes -> pad 3)
+    pixels = bytes(range(w * h * 3))
+    assert decode_bmp(encode_bmp(w, h, pixels)) == (w, h, pixels)
+    # cross-codec agreement: both containers decode to identical rasters
+    assert decode_media(encode_ppm(w, h, pixels), "image/x-portable-pixmap") \
+        == decode_media(encode_bmp(w, h, pixels), "image/bmp")
+
+
+def test_bmp_decoder_rejects_unsupported():
+    from appeals_data_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"P6\n1 1\n255\n\x00\x00\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(encode_bmp(2, 2, bytes(12))[:-4])
+    # 8bpp header is refused, not misread
+    good = bytearray(encode_bmp(1, 1, bytes(3)))
+    good[28] = 8  # bpp field
+    with pytest.raises(ValueError, match="only uncompressed"):
+        decode_bmp(bytes(good))
+
+
+def test_mixed_media_dispatches_per_row(spark):
+    from appeals_data_spark.operators.multimodal import (
+        BMP_MIME,
+        PPM_MIME,
+        as_image_media,
+        decode_image_stats,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    media = as_image_media(docs, mixed=True)
+    mimes = {r["doc_id"]: r["mime"] for r in media.collect()}
+    assert all(
+        m == (BMP_MIME if did % 2 else PPM_MIME) for did, m in mimes.items()
+    )
+    out = {r["doc_id"]: r for r in decode_image_stats(media).collect()}
+    for did, r in out.items():
+        w, h = did % 16 + 4, did % 12 + 4
+        rgb = did % 256 + (did * 7) % 256 + (did * 13) % 256
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["pixel_sum"] == rgb * w * h
+
+
+def test_wav_golden_bytes_and_chunk_walk():
+    import struct
+
+    from appeals_data_spark.operators.multimodal import decode_wav, encode_wav
+
+    pcm = struct.pack("<4h", 100, -200, 32767, -32768)
+    wav = encode_wav(8000, pcm)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    assert struct.unpack_from("<I", wav, 4)[0] == len(wav) - 8
+    assert decode_wav(wav) == (8000, 1, pcm)
+    # chunk-walk: an odd-length LIST chunk between fmt and data (RIFF
+    # pads chunks to even length) must be skipped, not misparsed
+    fmt = wav[12:36]
+    data = wav[36:]
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"  # pad byte
+    body = b"WAVE" + fmt + extra + data
+    padded = struct.pack("<4sI", b"RIFF", len(body)) + body
+    assert decode_wav(padded) == (8000, 1, pcm)
+
+
+def test_wav_decoder_rejects_unsupported():
+    import struct
+
+    from appeals_data_spark.operators.multimodal import decode_wav, encode_wav
+
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"BM" + bytes(60))
+    wav = bytearray(encode_wav(8000, struct.pack("<2h", 1, 2)))
+    wav[20] = 3  # audio_format = IEEE float
+    with pytest.raises(ValueError, match="only uncompressed 16-bit"):
+        decode_wav(bytes(wav))
+    with pytest.raises(ValueError, match="missing fmt or data"):
+        decode_wav(struct.pack("<4sI", b"RIFF", 4) + b"WAVE")
+
+
+def test_decode_audio_stats_matches_arithmetic(spark):
+    from appeals_data_spark.operators.multimodal import (
+        as_wav_media,
+        decode_audio_stats,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    out = {r["doc_id"]: r for r in decode_audio_stats(as_wav_media(docs)).collect()}
+    for did, r in out.items():
+        n = did % 256 + 16
+        samples = [(31 * did + 17 * i) % 65536 - 32768 for i in range(n)]
+        assert r["sample_rate"] == 8000
+        assert r["n_samples"] == n
+        assert r["abs_sum"] == sum(abs(s) for s in samples)
+        assert r["max_abs"] == max(abs(s) for s in samples)
