@@ -1679,3 +1679,165 @@ def x3_linear_svm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_w1", 5).alias("w1"),
         F.round("_w2", 5).alias("w2"),
     )
+
+
+def _bt_oracle(iters: int = 3) -> str:
+    """Unrolled Bradley-Terry MM oracle (Hunter 2004): pair counts from
+    the unit-price comparisons, then p_i <- W_i / sum_j n_ij/(p_i+p_j)
+    with per-round normalization, every whole-frame fold as
+    12dp-rounded DECIMAL(38,12) sums so neither engine's accumulation
+    order matters. Arithmetic association matches the Spark builder
+    term for term (n/(p_i + p_j), W_i / CAST(S AS DOUBLE), praw / T)."""
+    parts = [
+        """
+    WITH unit AS MATERIALIZED (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN(l_extendedprice / l_quantity) AS u
+      FROM lineitem GROUP BY 1, 2
+    ), pairs AS MATERIALIZED (
+      SELECT a.sk AS sa, b.sk AS sb, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN a.u < b.u THEN 1 ELSE 0 END) AS BIGINT) AS w
+      FROM unit a JOIN unit b ON a.pk = b.pk AND a.sk < b.sk
+      WHERE a.u <> b.u
+      GROUP BY 1, 2
+    ), sym AS MATERIALIZED (
+      SELECT sa AS i, sb AS j, n, w FROM pairs
+      UNION ALL
+      SELECT sb AS i, sa AS j, n, n - w FROM pairs
+    ), wins AS MATERIALIZED (
+      SELECT i, CAST(SUM(w) AS BIGINT) AS wi, CAST(SUM(n) AS BIGINT) AS ni
+      FROM sym GROUP BY i
+    ), p0 AS MATERIALIZED (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM wins)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(f"""
+    , s{r} AS MATERIALIZED (
+      SELECT s.i,
+             SUM(CAST(ROUND(s.n / (pi.p + pj.p), 12) AS DECIMAL(38,12))) AS ssum
+      FROM sym s
+      JOIN p{r - 1} pi ON s.i = pi.i
+      JOIN p{r - 1} pj ON s.j = pj.i
+      GROUP BY s.i
+    ), praw{r} AS MATERIALIZED (
+      SELECT w.i, w.wi / CAST(ssum AS DOUBLE) AS praw
+      FROM wins w JOIN s{r} USING (i)
+    ), t{r} AS MATERIALIZED (
+      SELECT CAST(SUM(CAST(ROUND(praw, 12) AS DECIMAL(38,12))) AS DOUBLE) AS t
+      FROM praw{r}
+    ), p{r} AS MATERIALIZED (
+      SELECT i, praw / t AS p FROM praw{r} CROSS JOIN t{r}
+    )""")
+    parts.append(f"""
+    SELECT ROW_NUMBER() OVER (ORDER BY p DESC, i) AS rnk,
+           i AS suppkey, wi AS wins, ni AS comparisons,
+           ROUND(p, 6) AS strength
+    FROM p{iters} JOIN wins USING (i)
+    QUALIFY rnk <= 10 ORDER BY rnk""")
+    return "".join(parts)
+
+
+@register(
+    "pref_bradley_terry",
+    oracle=_bt_oracle(),
+    tags=("X3", "X6", "PREF", "ITER"),
+)
+def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference-strength fit via the MM algorithm
+    (Hunter 2004, Ann. Statist. 32(1)) — the pairwise-preference
+    aggregation an RLHF/preference-data pipeline runs to turn noisy
+    A-vs-B comparisons into per-item strengths. Comparisons here:
+    for every part supplied by 2+ suppliers, the supplier with the
+    lower minimum unit price wins that part's pairwise matchups
+    (MIN is order-independent; strict inequality only, ties dropped).
+    Three MM rounds p_i <- W_i / sum_j n_ij/(p_i+p_j), normalized per
+    round; top-10 strengths with win/comparison counts.
+
+    Determinism: both per-i fold sites (the opponent sum and the
+    normalization total) accumulate 12dp-rounded DECIMAL(38,12)
+    summands — exact, so the fit is bit-identical under any
+    partitioning and across engines; unrolled-round oracle mirrors
+    every association.
+
+    Scale shape ("Spark until the aggregate is small", ml contract):
+    pair generation is the heavy part — a per-part self-equi-join of
+    the (part, supplier) aggregate, shuffled on part key, never
+    all-pairs across parts; the MM iteration then runs on the
+    #item-pair sufficient-statistics table with the strength vector
+    broadcast per round (the IRLS/pegasos loop discipline,
+    localCheckpoint per round)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = (
+        li.groupBy(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("u"))
+    )
+    a, b = unit.alias("a"), unit.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") < F.col("b.sk")),
+        )
+        .filter(F.col("a.u") != F.col("b.u"))
+        .groupBy(F.col("a.sk").alias("sa"), F.col("b.sk").alias("sb"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("a.u") < F.col("b.u"), 1).otherwise(0))
+            .cast("long")
+            .alias("w"),
+        )
+        .localCheckpoint()  # feeds sym/wins and every MM round
+    )
+    sym = pairs.select("sa", "sb", "n", "w").selectExpr(
+        "sa AS i", "sb AS j", "n", "w"
+    ).unionByName(
+        pairs.selectExpr("sb AS i", "sa AS j", "n", "n - w AS w")
+    ).localCheckpoint()
+    wins = (
+        sym.groupBy("i")
+        .agg(F.sum("w").cast("long").alias("wi"), F.sum("n").cast("long").alias("ni"))
+        .localCheckpoint()
+    )
+    p = wins.select("i", F.lit(1.0).alias("p"))
+    for _ in range(3):
+        s = (
+            sym.join(F.broadcast(p.selectExpr("i AS j", "p AS pj")), "j")
+            .join(F.broadcast(p), "i")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(F.col("n") / (F.col("p") + F.col("pj")), 12).cast(
+                        "decimal(38,12)"
+                    )
+                ).alias("ssum")
+            )
+        )
+        praw = wins.join(s, "i").select(
+            "i", (F.col("wi") / F.col("ssum").cast("double")).alias("praw")
+        )
+        t = praw.agg(
+            F.sum(F.round(F.col("praw"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("t")
+        )
+        p = (
+            praw.crossJoin(F.broadcast(t))
+            .select("i", (F.col("praw") / F.col("t")).alias("p"))
+            .localCheckpoint()
+        )
+    from pyspark.sql.window import Window
+
+    wr = Window.orderBy(F.desc("p"), F.asc("i"))
+    return (
+        p.join(wins, "i")
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "rnk",
+            F.col("i").alias("suppkey"),
+            F.col("wi").alias("wins"),
+            F.col("ni").alias("comparisons"),
+            F.round("p", 6).alias("strength"),
+        )
+        .orderBy("rnk")
+    )

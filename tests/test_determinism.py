@@ -33,6 +33,8 @@ QUERIES = [
     # rank fusion: per-row cosine folds + decimal RRF sum — only ranks
     # cross the float boundary, so fused order is partition-independent
     "text_hybrid_rrf_topk",
+    # MM iteration: both per-round folds are 12dp-decimal sums
+    "pref_bradley_terry",
 ]
 
 
