@@ -1841,3 +1841,95 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@register(
+    "x6_holt_linear",
+    oracle="""
+    WITH RECURSIVE monthly AS (
+      SELECT o_orderpriority AS prio,
+             CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY CAST(DATE_TRUNC('month', o_orderdate) AS DATE)) AS rn
+      FROM orders GROUP BY 1, 2
+    ), rec AS (
+      SELECT prio, month, rn,
+             CAST(rev AS DOUBLE) AS l,
+             CAST(0 AS DOUBLE) AS b
+      FROM monthly WHERE rn = 1
+      UNION ALL
+      SELECT m.prio, m.month, m.rn,
+             0.5 * CAST(m.rev AS DOUBLE) + 0.5 * (r.l + r.b),
+             0.3 * ((0.5 * CAST(m.rev AS DOUBLE) + 0.5 * (r.l + r.b)) - r.l)
+               + 0.7 * r.b
+      FROM monthly m JOIN rec r ON m.prio = r.prio AND m.rn = r.rn + 1
+    )
+    SELECT prio, month, ROUND(l, 6) AS level, ROUND(b, 6) AS trend
+    FROM rec ORDER BY prio, month
+    """,
+    tags=("X6", "W13", "UDF"),
+)
+def x6_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend,
+    alpha=0.5, gamma=0.3) of monthly revenue per order priority — the
+    FULL-memory sequential recursion that w13_ewma_smoothing's bounded
+    8-lag window deliberately avoids. This is the documented escape
+    hatch made real: per-group sequential state runs as a grouped
+    applyInPandas fold (X6), exactly where SURVEY §2.11 routes
+    state that window algebra can't express; the oracle is the same
+    recursion as a recursive CTE stepping month by month.
+
+    Determinism: the fold is a plain Python double loop with the
+    IDENTICAL expression association as the oracle's recursive step
+    (l' = 0.5*x + 0.5*(l+b); b' = 0.3*(l'-l) + 0.7*b), inputs are
+    exact decimals cast once to double, so every state is
+    bit-identical across engines; the 6dp output rounding runs
+    JVM-side (Spark ROUND = DuckDB ROUND = half away from zero —
+    Python's round() is half-to-even and flips boundary values).
+
+    Scale shape: months-per-priority is tiny (~80 rows/group), so the
+    Arrow boundary ships KBs; the heavy work (the monthly rollup) is a
+    map-side-combinable aggregation BEFORE the Python stage, and
+    groups parallelize across executors — sequential only within a
+    group, the irreducible data dependence of the recursion."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month").reset_index(drop=True)
+        levels, trends = [], []
+        l = b = 0.0
+        for t, rev in enumerate(pdf["rev"]):
+            x = float(rev)
+            if t == 0:
+                l, b = x, 0.0
+            else:
+                l_new = 0.5 * x + 0.5 * (l + b)
+                b = 0.3 * (l_new - l) + 0.7 * b
+                l = l_new
+            levels.append(l)
+            trends.append(b)
+        return pd.DataFrame(
+            {"prio": pdf["prio"], "month": pdf["month"],
+             "level": levels, "trend": trends}
+        )
+
+    return (
+        monthly.groupBy("prio")
+        .applyInPandas(
+            holt, schema="prio string, month date, level double, trend double"
+        )
+        # round JVM-side: Spark's ROUND and DuckDB's ROUND share the
+        # half-away-from-zero rule; Python's round() is half-to-even
+        # and flips 5e-7-boundary values (observed at sf0.001)
+        .select("prio", "month",
+                F.round("level", 6).alias("level"),
+                F.round("trend", 6).alias("trend"))
+        .orderBy("prio", "month")
+    )

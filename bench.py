@@ -33,9 +33,11 @@ SECONDARY = [
     "dedup_semantic_clusters",
     "dedup_substring_coverage",
     "graph_pagerank_handoff",
+    "mm_decode_audio",
     "pipe_classifier_filter",
     "pipe_perplexity_buckets",
     "pipe_source_caps",
+    "pref_bradley_terry",
     "stream_centroid_occupancy",
     "text_bm25_topk",
     "text_bpe_merges",
@@ -44,6 +46,7 @@ SECONDARY = [
     "vec_pq_adc_topk",
     "vec_pq_rerank_topk",
     "x3_linear_svm_eval",
+    "x6_holt_linear",
     "x6_logistic_glmm",
 ]
 

@@ -35,6 +35,9 @@ QUERIES = [
     "text_hybrid_rrf_topk",
     # MM iteration: both per-round folds are 12dp-decimal sums
     "pref_bradley_terry",
+    # grouped sequential fold: whole groups cross the Arrow boundary,
+    # sorted in-pandas, so partitioning can't reorder the recursion
+    "x6_holt_linear",
 ]
 
 
