@@ -30,6 +30,18 @@ def test_parquet_roundtrip(spark, tmp_path):
     assert _sorted_rows(back) == _sorted_rows(src)
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    # ORC is the other built-in columnar lake format (S9's parquet
+    # twin); a 100 TB deployment on an ORC lake reads/writes through
+    # the identical DataFrame surface.
+    src = load_table(spark, SF_SMOKE, "orders")
+    out = str(tmp_path / "orders_orc")
+    src.write.orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == src.schema
+    assert _sorted_rows(back) == _sorted_rows(src)
+
+
 def test_csv_roundtrip_with_schema(spark, tmp_path):
     src = load_table(spark, SF_SMOKE, "nation")
     out = str(tmp_path / "nation_csv")
