@@ -138,6 +138,8 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
     offset = struct.unpack_from("<I", payload, 10)[0]
     hsize, width, height, _planes, bpp, comp = struct.unpack_from(
         "<IiiHHI", payload, 14
@@ -195,7 +197,13 @@ def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # a declared size past the payload end would otherwise
+            # slice short and decode silently-wrong sample counts
+            raise ValueError(f"truncated {cid!r} chunk")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -203,10 +211,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, channels, sample_rate, _brate, _block, bits = fmt
-    if audio_format != 1 or bits != 16:
+    if audio_format != 1 or bits != 16 or channels < 1:
         raise ValueError(
             f"only uncompressed 16-bit PCM supported "
-            f"(format={audio_format}, bits={bits})"
+            f"(format={audio_format}, bits={bits}, channels={channels})"
         )
     if len(data) % (2 * channels):
         raise ValueError("truncated WAV data chunk")

@@ -1788,7 +1788,7 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # feeds sym/wins and every MM round
     )
-    sym = pairs.select("sa", "sb", "n", "w").selectExpr(
+    sym = pairs.selectExpr(
         "sa AS i", "sb AS j", "n", "w"
     ).unionByName(
         pairs.selectExpr("sb AS i", "sa AS j", "n", "n - w AS w")

@@ -966,6 +966,11 @@ def _bm25_doc_scores(d: DataFrame, terms: tuple[str, ...]) -> DataFrame:
 
 
 
+# The fixed retrieval query, shared by BOTH BM25 consumers AND their
+# oracles — one definition so the Spark builders and the SQL fragment
+# cannot drift.
+_BM25_TERMS = ("spark", "window", "hash")
+
 # Shared oracle fragment: the BM25 scoring chain (tok -> dl -> stats ->
 # tf -> df -> scored), mirroring _bm25_doc_scores term for term. Used by
 # text_bm25_topk and text_hybrid_rrf_topk.
@@ -982,7 +987,7 @@ _BM25_SCORED_CTES = r"""tok AS (
       FROM dl
     ), tf AS (
       SELECT doc_id, token, COUNT(*) AS tf
-      FROM tok WHERE token IN ('spark', 'window', 'hash')
+      FROM tok WHERE token IN ({terms})
       GROUP BY doc_id, token
     ), df AS (
       SELECT token, COUNT(*) AS df FROM tf GROUP BY token
@@ -1000,7 +1005,7 @@ _BM25_SCORED_CTES = r"""tok AS (
       JOIN dl l USING (doc_id)
       CROSS JOIN stats s
       GROUP BY f.doc_id
-    )"""
+    )""".format(terms=", ".join(f"'{t}'" for t in _BM25_TERMS))
 
 
 @register(
@@ -1024,7 +1029,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    scored = _bm25_doc_scores(d, ("spark", "window", "hash"))
+    scored = _bm25_doc_scores(d, _BM25_TERMS)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -1101,7 +1106,7 @@ def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wlex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     lexk = (
-        _bm25_doc_scores(d, ("spark", "window", "hash"))
+        _bm25_doc_scores(d, _BM25_TERMS)
         .withColumn("lex_rnk", F.row_number().over(wlex))
         .filter(F.col("lex_rnk") <= 20)
         .select("doc_id", "lex_rnk")

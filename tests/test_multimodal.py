@@ -264,3 +264,34 @@ def test_decode_audio_stats_matches_arithmetic(spark):
         assert r["n_samples"] == n
         assert r["abs_sum"] == sum(abs(s) for s in samples)
         assert r["max_abs"] == max(abs(s) for s in samples)
+
+
+def test_codec_rejections_stay_valueerror_on_short_or_corrupt():
+    # The codec error contract is ValueError for ANY malformed payload
+    # — a struct.error or ZeroDivisionError escaping the Arrow worker
+    # would be an uncaught task failure instead of a typed rejection.
+    import struct
+
+    from appeals_data_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_wav,
+    )
+
+    with pytest.raises(ValueError, match="truncated BMP header"):
+        decode_bmp(b"BM")  # shorter than the fixed 54-byte headers
+    wav = encode_wav(8000, struct.pack("<2h", 1, 2))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(wav[:-2])  # data chunk declares 2 bytes more
+    short_fmt = (
+        struct.pack("<4sI", b"RIFF", 16)
+        + b"WAVE"
+        + struct.pack("<4sI", b"fmt ", 4)
+        + bytes(4)
+    )
+    with pytest.raises(ValueError, match="truncated fmt"):
+        decode_wav(short_fmt)
+    zero_ch = bytearray(encode_wav(8000, struct.pack("<2h", 1, 2)))
+    zero_ch[22] = 0  # channels field
+    with pytest.raises(ValueError, match="only uncompressed 16-bit"):
+        decode_wav(bytes(zero_ch))
