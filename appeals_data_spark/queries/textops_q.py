@@ -1352,3 +1352,138 @@ def pipe_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_bigram_interp_logprob",
+    oracle=r"""
+    WITH doc AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT unnest(ws) AS token FROM doc
+    ), vocab AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS t FROM vocab
+    ), occ AS (
+      SELECT doc_id, source,
+             unnest(list_slice(ws, 1, len(ws) - 1)) AS prev,
+             unnest(list_slice(ws, 2, len(ws))) AS w
+      FROM doc WHERE len(ws) >= 2
+    ), bigc AS (
+      SELECT prev, w, COUNT(*) AS nb FROM occ GROUP BY prev, w
+    ), lp2 AS (
+      SELECT b.prev, b.w,
+             CAST(ROUND(LN(0.75 * (CAST(b.nb AS DOUBLE) / vp.n)
+                           + 0.25 * (CAST(vw.n AS DOUBLE) / tot.t)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM bigc b
+      JOIN vocab vp ON b.prev = vp.token
+      JOIN vocab vw ON b.w = vw.token
+      CROSS JOIN tot
+    ), per_doc AS (
+      SELECT o.doc_id, o.source, COUNT(*) AS nbig, SUM(l.lp) AS sumdec
+      FROM occ o JOIN lp2 l ON o.prev = l.prev AND o.w = l.w
+      GROUP BY o.doc_id, o.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nbig) AS BIGINT) AS total_bigrams,
+           CAST(SUM(sumdec) AS DOUBLE) AS sum_logprob,
+           ROUND(MIN(CAST(sumdec AS DOUBLE) / nbig), 6) AS min_doc_logprob,
+           ROUND(MAX(CAST(sumdec AS DOUBLE) / nbig), 6) AS max_doc_logprob
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    tags=("TEXT", "QUALITY", "J1"),
+)
+def text_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model scoring — one order up from
+    text_unigram_logprob toward the KenLM-style n-gram perplexity
+    filters the production corpus funnels run: p(w|prev) =
+    0.75 * C(prev,w)/C(prev) + 0.25 * C(w)/T, mean log-prob per doc,
+    rolled up per source. Bigrams come straight from the token array
+    (arrays_zip of two shifted slices — no positional self-join, no
+    extra shuffle); docs with <2 tokens drop identically on both
+    engines.
+
+    Determinism contract: the probability and its ln are evaluated
+    once per DISTINCT bigram with the identical association in both
+    engines, rounded to 6 dp, cast to DECIMAL(18,6) BEFORE any
+    aggregation — every downstream sum is exact decimal arithmetic.
+
+    Scale shape: one bigram groupBy with map-side partials; the
+    log-prob table joins its unigram marginals and broadcasts back
+    onto the occurrence stream (bigram vocab is MB-to-GB-scale after
+    count flooring; if it outgrows broadcast the join degrades
+    gracefully to a hash-partitioned equi-join on the bigram key, the
+    unigram query's documented trade)."""
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.lower(F.col("text")))
+    n = F.size(t)
+    pair_cnt = F.greatest(n - 1, F.lit(0))
+    doc = d.select(
+        "doc_id",
+        "source",
+        F.arrays_zip(
+            F.slice(t, 1, pair_cnt), F.slice(t, 2, pair_cnt)
+        ).alias("bgs"),
+        t.alias("ws"),
+    )
+    occ = doc.select(
+        "doc_id",
+        "source",
+        F.explode("bgs").alias("bg"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("bg.0").alias("prev"),
+        F.col("bg.1").alias("w"),
+    )
+    tok = doc.select(F.explode("ws").alias("token"))
+    vocab = (
+        tok.groupBy("token").agg(F.count("*").alias("n")).localCheckpoint()
+    )
+    tot = vocab.agg(F.sum("n").cast("double").alias("t"))
+    bigc = occ.groupBy("prev", "w").agg(F.count("*").alias("nb"))
+    lp2 = (
+        bigc.join(
+            broadcast(vocab.selectExpr("token AS prev", "n AS np")), "prev"
+        )
+        .join(broadcast(vocab.selectExpr("token AS w", "n AS nw")), "w")
+        .crossJoin(broadcast(tot))
+        .select(
+            "prev",
+            "w",
+            F.round(
+                F.log(
+                    F.lit(0.75) * (F.col("nb").cast("double") / F.col("np"))
+                    + F.lit(0.25) * (F.col("nw").cast("double") / F.col("t"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    per_doc = (
+        occ.join(broadcast(lp2), ["prev", "w"])
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("nbig"), F.sum("lp").alias("sumdec"))
+    )
+    mean = F.col("sumdec").cast("double") / F.col("nbig")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nbig").cast("long").alias("total_bigrams"),
+            F.sum("sumdec").cast("double").alias("sum_logprob"),
+            F.round(F.min(mean), 6).alias("min_doc_logprob"),
+            F.round(F.max(mean), 6).alias("max_doc_logprob"),
+        )
+        .orderBy("source")
+    )

@@ -86,11 +86,12 @@ def register(
 #
 # Round-5 rotation plan: front-load any queries round 5 adds, then the
 # ~27 queries whose only driver row is from round 1 (the oldest
-# verdicts: p7/p9/p11/p13/p14, f3/f5/f9/f11, the j2/j3/j5-j20 join tail, w4-w9,
+# verdicts: p4/p7/p9/p11/p13/p14, f3/f5/f9/f11, the j2/j3/j5-j20 join tail, w4-w9,
 # the r1-r4 reshape family — recompute against CORRECTNESS_r0{1..4} as
-# in the round-4 session; j2/j3/p13/p9/p7 were displaced from the
-# round-4 window by the late text_hybrid_rrf_topk / pipe_source_caps /
-# mm_decode_audio / pref_bradley_terry / x6_holt_linear additions), then
+# in the round-4 session; j2/j3/p13/p9/p7/p4 were displaced from
+# the round-4 window by the late text_hybrid_rrf_topk /
+# pipe_source_caps / mm_decode_audio / pref_bradley_terry /
+# x6_holt_linear / text_bigram_interp_logprob additions), then
 # ~6 green sentinels, then the oldest of the queries not swept since
 # round 2. Simulate with
 # `python tools/check.py --window 50 --vanilla` before shipping.
@@ -132,6 +133,7 @@ _SWEEP_FIRST = [
     "mm_decode_audio",
     "pref_bradley_terry",
     "x6_holt_linear",
+    "text_bigram_interp_logprob",
     # green sentinels for cross-round regression cover (r1/r2/r3 greens
     # spanning the flagship families: TPC-H agg, fused event union,
     # as-of join, classifier eval, survival, composed ANN)
@@ -155,7 +157,6 @@ _SWEEP_FIRST = [
     "a14_ranked_selection",
     "a15_fiscal_year_summary",
     "p1_projection_alias_nulltest",
-    "p4_range_in_between",
 ]
 
 

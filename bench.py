@@ -39,6 +39,7 @@ SECONDARY = [
     "pipe_source_caps",
     "pref_bradley_terry",
     "stream_centroid_occupancy",
+    "text_bigram_interp_logprob",
     "text_bm25_topk",
     "text_bpe_merges",
     "text_hybrid_rrf_topk",

@@ -40,6 +40,7 @@ BNLJ_OK = {
     "text_hybrid_rrf_topk",  # 1-row BM25 stats scalar + 1-probe dense side
     "text_tfidf_topk",  # 1-row distinct-source-count scalar side
     "text_unigram_logprob",  # 1-row corpus-total scalar side
+    "text_bigram_interp_logprob",  # 1-row corpus-total scalar side
     "pipe_perplexity_buckets",  # 1-row corpus-total scalar side (LM train)
     "dedup_semantic_clusters",  # centroid + per-cluster representative sides
     "pipe_classifier_filter",  # 1-row pegasos coefficient side per round
@@ -211,6 +212,7 @@ ITERATIVE_SEGMENTS = {
     "stream_lm_gate": (1, 1),
     "pipe_perplexity_buckets": (1, 1),
     "text_bm25_topk": (1, 1),
+    "text_bigram_interp_logprob": (1, 1),  # vocab checkpoint
     "text_hybrid_rrf_topk": (1, 1),  # shared BM25 doc-length checkpoint
     "text_bpe_merges": (5, 5),
     "text_bpe_vocab": (6, 5),
