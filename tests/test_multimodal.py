@@ -295,3 +295,40 @@ def test_codec_rejections_stay_valueerror_on_short_or_corrupt():
     zero_ch[22] = 0  # channels field
     with pytest.raises(ValueError, match="only uncompressed 16-bit"):
         decode_wav(bytes(zero_ch))
+
+
+def test_bmp_round_trip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from appeals_data_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.data())
+    def prop(data):
+        w = data.draw(st.integers(1, 16))  # odd widths exercise padding
+        h = data.draw(st.integers(1, 16))
+        px = data.draw(st.binary(min_size=w * h * 3, max_size=w * h * 3))
+        assert decode_bmp(encode_bmp(w, h, px)) == (w, h, px)
+
+    prop()
+
+
+def test_wav_round_trip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from appeals_data_spark.operators.multimodal import decode_wav, encode_wav
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.data())
+    def prop(data):
+        ch = data.draw(st.integers(1, 2))
+        frames = data.draw(st.integers(0, 64))
+        pcm = data.draw(
+            st.binary(min_size=frames * 2 * ch, max_size=frames * 2 * ch)
+        )
+        sr = data.draw(st.sampled_from([8000, 16000, 44100]))
+        assert decode_wav(encode_wav(sr, pcm, channels=ch)) == (sr, ch, pcm)
+
+    prop()
