@@ -141,6 +141,10 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     if len(payload) < 54:
         raise ValueError("truncated BMP header")
     offset = struct.unpack_from("<I", payload, 10)[0]
+    if offset < 54:
+        # a corrupt offset pointing inside the headers would otherwise
+        # silently decode header bytes as pixels
+        raise ValueError(f"BMP pixel-data offset {offset} inside header")
     hsize, width, height, _planes, bpp, comp = struct.unpack_from(
         "<IiiHHI", payload, 14
     )

@@ -1414,12 +1414,17 @@ def text_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, rounded to 6 dp, cast to DECIMAL(18,6) BEFORE any
     aggregation — every downstream sum is exact decimal arithmetic.
 
-    Scale shape: one bigram groupBy with map-side partials; the
-    log-prob table joins its unigram marginals and broadcasts back
-    onto the occurrence stream (bigram vocab is MB-to-GB-scale after
-    count flooring; if it outgrows broadcast the join degrades
-    gracefully to a hash-partitioned equi-join on the bigram key, the
-    unigram query's documented trade)."""
+    Scale shape: the exploded bigram stream (the expensive regex
+    tokenize + zip + explode) is checkpointed ONCE and feeds both the
+    bigram counts and the per-doc scoring join — the
+    pipe_classifier_filter precedent (expensive projections persist;
+    cheap raw-column projections re-scan). The log-prob table joins
+    its unigram marginals and rides an explicit broadcast hint back
+    onto the occurrence stream; the hint is a deliberate knob sized
+    for a count-floored bigram vocab — if the table outgrows the
+    broadcast limit, DROP the hint and the join becomes a
+    hash-partitioned equi-join on the bigram key (it does not degrade
+    automatically; Spark honors explicit hints unconditionally)."""
     from pyspark.sql.functions import broadcast
 
     d = load_table(spark, sf_dir, "documents")
@@ -1434,15 +1439,19 @@ def text_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bgs"),
         t.alias("ws"),
     )
-    occ = doc.select(
-        "doc_id",
-        "source",
-        F.explode("bgs").alias("bg"),
-    ).select(
-        "doc_id",
-        "source",
-        F.col("bg.0").alias("prev"),
-        F.col("bg.1").alias("w"),
+    occ = (
+        doc.select(
+            "doc_id",
+            "source",
+            F.explode("bgs").alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("bg.0").alias("prev"),
+            F.col("bg.1").alias("w"),
+        )
+        .localCheckpoint()  # feeds bigram counts AND per-doc scoring
     )
     tok = doc.select(F.explode("ws").alias("token"))
     vocab = (

@@ -332,3 +332,13 @@ def test_wav_round_trip_property():
         assert decode_wav(encode_wav(sr, pcm, channels=ch)) == (sr, ch, pcm)
 
     prop()
+
+
+def test_bmp_decoder_rejects_offset_inside_header():
+    from appeals_data_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    bad = bytearray(encode_bmp(2, 2, bytes(12)))
+    bad[10] = 14  # pixel-data offset now points inside the info header
+    bad += bytes(64)  # keep the raster-length check satisfiable
+    with pytest.raises(ValueError, match="offset"):
+        decode_bmp(bytes(bad))

@@ -212,7 +212,7 @@ ITERATIVE_SEGMENTS = {
     "stream_lm_gate": (1, 1),
     "pipe_perplexity_buckets": (1, 1),
     "text_bm25_topk": (1, 1),
-    "text_bigram_interp_logprob": (1, 1),  # vocab checkpoint
+    "text_bigram_interp_logprob": (2, 1),  # occ (narrow) + vocab checkpoints
     "text_hybrid_rrf_topk": (1, 1),  # shared BM25 doc-length checkpoint
     "text_bpe_merges": (5, 5),
     "text_bpe_vocab": (6, 5),
