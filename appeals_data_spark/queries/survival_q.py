@@ -1815,16 +1815,21 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         praw = wins.join(s, "i").select(
             "i", (F.col("wi") / F.col("ssum").cast("double")).alias("praw")
         )
-        t = praw.agg(
+        # normalization total as a whole-frame window sum: same exact
+        # decimal summands as a separate aggregate (bit-identical t,
+        # so the oracle's agg + CROSS JOIN formulation matches), but
+        # one job per round instead of three (agg + crossJoin +
+        # checkpoint materialization of the extra stage)
+        from pyspark.sql.window import Window as _W
+
+        t = (
             F.sum(F.round(F.col("praw"), 12).cast("decimal(38,12)"))
+            .over(_W.partitionBy())
             .cast("double")
-            .alias("t")
         )
-        p = (
-            praw.crossJoin(F.broadcast(t))
-            .select("i", (F.col("praw") / F.col("t")).alias("p"))
-            .localCheckpoint()
-        )
+        p = praw.select(
+            "i", (F.col("praw") / t).alias("p")
+        ).localCheckpoint()
     from pyspark.sql.window import Window
 
     wr = Window.orderBy(F.desc("p"), F.asc("i"))

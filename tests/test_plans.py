@@ -208,7 +208,7 @@ ITERATIVE_SEGMENTS = {
     "dedup_canonical_corpus": (5, 18),
     "graph_pagerank_handoff": (10, 41),  # N is a broadcast agg: full plan chain even on the empty sf0.001 graph
     "pipe_classifier_filter": (20, 20),
-    "pref_bradley_terry": (6, 19),  # pairs/sym/wins + 3 MM rounds
+    "pref_bradley_terry": (6, 13),  # pairs/sym/wins + 3 fused MM rounds
     "stream_lm_gate": (1, 1),
     "pipe_perplexity_buckets": (1, 1),
     "text_bm25_topk": (1, 1),
