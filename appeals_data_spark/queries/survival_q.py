@@ -1763,8 +1763,14 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (part, supplier) aggregate, shuffled on part key, never
     all-pairs across parts; the MM iteration then runs on the
     #item-pair sufficient-statistics table with the strength vector
-    broadcast per round (the IRLS/pegasos loop discipline,
-    localCheckpoint per round)."""
+    broadcast per round. Unlike the fact-scale IRLS/pegasos loops the
+    rounds here are NOT checkpointed: every round's inputs (sym, wins)
+    are already checkpointed tiny tables, so chaining the 3 rounds in
+    one lazy plan trades a bounded re-evaluation of the sub-second
+    strength lineage inside each broadcast (2 broadcasts/round ->
+    <= 2^r tiny agg replays, r=3) for zero per-round checkpoint jobs —
+    measured 6.6s -> well under the 4.5s target at sf0.1 where the
+    per-round jobs were pure scheduling floor."""
     li = load_table(spark, sf_dir, "lineitem")
     unit = (
         li.groupBy(
@@ -1827,9 +1833,7 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(_W.partitionBy())
             .cast("double")
         )
-        p = praw.select(
-            "i", (F.col("praw") / t).alias("p")
-        ).localCheckpoint()
+        p = praw.select("i", (F.col("praw") / t).alias("p"))
     from pyspark.sql.window import Window
 
     wr = Window.orderBy(F.desc("p"), F.asc("i"))

@@ -78,6 +78,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # No stderr progress bars: they polluted the driver's bench
+        # capture (BENCH_r03/r04 tails were nothing but bar redraws,
+        # leaving "parsed": null) and add nothing headless. Must be set
+        # pre-SparkContext — it is read once at context init.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Arrow for any pandas-UDF path and fast toPandas.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

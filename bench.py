@@ -129,6 +129,11 @@ def main() -> None:
         load_avg = round(os.getloadavg()[0], 2)
     except OSError:
         load_avg = None
+    # Stop Spark BEFORE printing: the JSON record must be the final
+    # line of output (the driver tail-captures combined stdout/stderr;
+    # r3/r4 artifacts lost the record to trailing executor-shutdown
+    # noise and progress bars — bars are now off in session.py too).
+    spark.stop()
     print(
         json.dumps(
             {
@@ -151,7 +156,7 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
