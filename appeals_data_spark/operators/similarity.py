@@ -143,16 +143,29 @@ def label_centroids(
 ) -> DataFrame:
     """Coarse-quantizer centroids: per-label, per-dimension mean.
     Output (c_label, cvec array<double>) — small (|labels| rows),
-    always broadcast at the probe site. Components round to 6 dp for
-    the same reason as lloyd_refine/pq_codebooks: the float mean's
-    partial-aggregate merge order is partitioning-dependent, and a
-    near-tie cell assignment must not flip across engines or runs."""
+    always broadcast at the probe site. The mean is an EXACT fold —
+    sum of 12dp-rounded DECIMAL(38,12) summands, cast to double, one
+    IEEE division by the count, rounded to 6 dp (mirrored term for
+    term in vector_q._SQL_CENTROIDS): a plain AVG's partial-aggregate
+    merge order is partitioning-dependent, and a last-ulp drift
+    landing on a 5e-7 rounding boundary could flip the 6th dp — and
+    with it a near-tie cell assignment — across runs or engines."""
     unpacked = corpus.select(
         F.col(label_col).alias("c_label"), F.posexplode(vec_col).alias("pos", "x")
     )
     return (
         unpacked.groupBy("c_label", "pos")
-        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cx"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("x").cast("double"), 12).cast(
+                        "decimal(38,12)"
+                    )
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("cx")
+        )
         .groupBy("c_label")
         .agg(
             F.transform(

@@ -612,3 +612,184 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_PARA = 20  # paragraph granularity: fixed 20-token windows
+_PARA_SEEDS = 8  # minhash signature width for the near-dup stage
+
+_PARA_SIG_SQL = " || ',' || ".join(
+    "CAST(list_min(list_transform(pt, x -> "
+    + _sql_h48("x", f"m{j}")
+    + ")) AS VARCHAR)"
+    for j in range(_PARA_SEEDS)
+)
+
+_PARA_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), paras AS (
+      SELECT doc_id, source,
+             UNNEST(range(CAST(ceil(len(t) / {_PARA}.0) AS BIGINT))) AS pidx,
+             UNNEST(list_transform(
+               range(CAST(ceil(len(t) / {_PARA}.0) AS BIGINT)),
+               i -> t[i * {_PARA} + 1 : i * {_PARA} + {_PARA}])) AS pt
+      FROM toks WHERE len(t) > 0
+    ), exact AS (
+      SELECT doc_id, source, pidx, pt,
+             ROW_NUMBER() OVER (PARTITION BY array_to_string(pt, ' ')
+                                ORDER BY doc_id, pidx) AS rn
+      FROM paras
+    ), near AS (
+      SELECT doc_id, pidx,
+             ROW_NUMBER() OVER (PARTITION BY {_PARA_SIG_SQL}
+                                ORDER BY doc_id, pidx) AS nrn
+      FROM exact WHERE rn = 1
+    ), perdoc AS (
+      SELECT e.doc_id, e.source,
+             COUNT(*) AS n_paras,
+             SUM(CASE WHEN e.rn > 1 THEN 1 ELSE 0 END) AS n_exact_dup,
+             SUM(CASE WHEN e.rn = 1 AND COALESCE(n.nrn, 0) <> 1
+                      THEN 1 ELSE 0 END) AS n_near_dup,
+             SUM(len(e.pt)) AS total_tokens,
+             SUM(CASE WHEN COALESCE(n.nrn, 0) = 1
+                      THEN len(e.pt) ELSE 0 END) AS retained_tokens
+      FROM exact e LEFT JOIN near n
+        ON e.doc_id = n.doc_id AND e.pidx = n.pidx
+      GROUP BY e.doc_id, e.source
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(COALESCE(p.n_paras, 0)) AS BIGINT) AS n_paras,
+           CAST(SUM(COALESCE(p.n_exact_dup, 0)) AS BIGINT) AS n_exact_dup,
+           CAST(SUM(COALESCE(p.n_near_dup, 0)) AS BIGINT) AS n_near_dup,
+           CAST(SUM(COALESCE(p.total_tokens, 0)) AS BIGINT) AS total_tokens,
+           CAST(SUM(COALESCE(p.retained_tokens, 0)) AS BIGINT)
+             AS retained_tokens,
+           CAST(SUM(CASE WHEN 2 * COALESCE(p.retained_tokens, 0)
+                              >= COALESCE(p.total_tokens, 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_half_kept
+    FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+    GROUP BY d.source ORDER BY d.source
+"""
+
+
+@register(
+    "dedup_paragraph_retention",
+    oracle=_PARA_ORACLE,
+    tags=("DEDUP", "TEXT", "LSH"),
+)
+def dedup_paragraph_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity dedup with a per-doc retained-mass report
+    (the sub-document pass of modern curation pipelines — cf. the
+    paragraph/line dedup stages in Gopher/RefinedWeb): split each doc
+    into fixed 20-token paragraphs, drop exact duplicate paragraphs
+    corpus-wide (first occurrence by (doc_id, pidx) survives), then
+    drop near-duplicates among the survivors by token-set minhash
+    signature equality (8 seeds of the md5-derived portable 48-bit
+    family — DuckDB reproduces every min bit-for-bit), and report per
+    source the paragraph counts dropped at each stage, the exact token
+    mass retained, and how many docs kept at least half their tokens.
+
+    Entirely integer arithmetic — no float ever leaves an expression.
+
+    Physical shape at 100 TB: tokenize -> slice windows (expression-
+    level, no shuffle) -> posexplode -> window rank on md5(paragraph)
+    [one hash shuffle; the 128-bit digest is the shuffle key, never
+    the text] -> window rank on the 8-min signature computed by
+    array_min/transform over the paragraph tokens (expression-level,
+    zero explode) [second hash shuffle] -> per-doc rollup [third,
+    map-side combinable] -> broadcast-sized per-source report. Near
+    stage is signature-EQUALITY dedup: candidates never pair-join, so
+    there is no quadratic term anywhere; a banded pair-verify variant
+    is dedup_minhash_portable.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens
+    from ..operators.dedup import portable_hash48
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    nch = F.ceil(F.size(t) / F.lit(_PARA)).cast("int")
+    chunks = F.when(
+        F.size(t) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.slice(t, i * _PARA + 1, _PARA),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    paras = d.select(
+        "doc_id", "source", F.posexplode(chunks).alias("pidx", "pt")
+    )
+    # Exact stage: rank within identical paragraph text. Partitioning
+    # on the md5 digest keeps the shuffle key at 32 hex chars
+    # regardless of paragraph length; ordering (doc_id, pidx) is a
+    # total order, so rn is deterministic under any partitioning.
+    ptext = F.array_join(F.col("pt"), " ")
+    w_exact = Window.partitionBy(F.md5(ptext)).orderBy("doc_id", "pidx")
+    sig = F.concat_ws(
+        ",",
+        *[
+            F.array_min(
+                F.transform(F.col("pt"), lambda x: portable_hash48(x, f"m{j}"))
+            ).cast("string")
+            for j in range(_PARA_SEEDS)
+        ],
+    )
+    ranked = paras.withColumn("rn", F.row_number().over(w_exact))
+    # Near stage runs only over exact survivors, but without a
+    # filter+join round trip: exact-dup rows get a per-row unique
+    # "signature" so they sit alone in the second window (their nrn=1
+    # is never read — final keep requires rn=1 too).
+    sig_or_unique = F.when(F.col("rn") == 1, sig).otherwise(
+        F.concat_ws(":", F.lit("dup"), F.col("doc_id"), F.col("pidx"))
+    )
+    w_near = Window.partitionBy(sig_or_unique).orderBy("doc_id", "pidx")
+    flagged = ranked.withColumn("nrn", F.row_number().over(w_near))
+    perdoc = flagged.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_exact_dup"),
+        F.sum(
+            F.when((F.col("rn") == 1) & (F.col("nrn") != 1), 1).otherwise(0)
+        ).alias("n_near_dup"),
+        F.sum(F.size("pt")).alias("total_tokens"),
+        F.sum(
+            F.when(
+                (F.col("rn") == 1) & (F.col("nrn") == 1), F.size("pt")
+            ).otherwise(0)
+        ).alias("retained_tokens"),
+    )
+    base = d.select("doc_id", "source")
+    return (
+        base.join(perdoc.drop("source"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("n_paras", F.lit(0))).cast("long").alias("n_paras"),
+            F.sum(F.coalesce("n_exact_dup", F.lit(0)))
+            .cast("long")
+            .alias("n_exact_dup"),
+            F.sum(F.coalesce("n_near_dup", F.lit(0)))
+            .cast("long")
+            .alias("n_near_dup"),
+            F.sum(F.coalesce("total_tokens", F.lit(0)))
+            .cast("long")
+            .alias("total_tokens"),
+            F.sum(F.coalesce("retained_tokens", F.lit(0)))
+            .cast("long")
+            .alias("retained_tokens"),
+            F.sum(
+                F.when(
+                    2 * F.coalesce("retained_tokens", F.lit(0))
+                    >= F.coalesce("total_tokens", F.lit(0)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_docs_half_kept"),
+        )
+        .orderBy("source")
+    )

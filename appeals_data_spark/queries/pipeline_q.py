@@ -867,3 +867,121 @@ def pipe_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_BLOOM_BITS = 1 << 15  # 32768-bit filter (512 64-bit words)
+_BLOOM_K = 3  # hash functions per element
+
+
+@register(
+    "pipe_decontam_bloom",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+    ), corpus AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % {_BENCH_MOD} <> 0
+    ), hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_grams, COUNT(b.g) AS n_hit
+      FROM corpus c LEFT JOIN bench b USING (g)
+      GROUP BY 1
+    )
+    SELECT CAST(FLOOR(CAST(n_hit AS DOUBLE) / n_grams * 10) AS INT)
+             AS contamination_decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_hit) AS BIGINT) AS grams_hit
+    FROM hits GROUP BY 1 ORDER BY contamination_decile
+    """,
+    tags=("DEDUP", "TEXT"),
+)
+def pipe_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination: the same exact
+    eval-set trigram overlap as pipe_contamination_overlap (identical
+    oracle — the Bloom filter has false positives but NO false
+    negatives, and every candidate is confirmed by the exact join, so
+    the answer is bit-identical to the exact path), with the corpus
+    side of the expensive gram join pre-filtered through a Bloom
+    filter built WITH DATAFRAME AGGREGATION, not a driver-side
+    collect:
+
+      build:  bench gram -> k=3 positions via xxhash64(g, seed) mod m
+              -> explode -> groupBy word index -> BIT_OR of the set
+              bit -> 512-word bitset -> one-row map<word_idx, word>
+      probe:  broadcast the one-row map; a gram survives iff all k
+              bits test set (pure JVM expressions: element_at +
+              shiftleft/shiftright, no UDF anywhere)
+
+    Scale story: at 100 TB the benchmark gram set is ~1e6-1e8 entries;
+    m scales to a few hundred MB of words, still a broadcastable
+    single row, while the corpus side never shuffles by gram — the
+    per-doc total is counted BEFORE the prefilter (map-side
+    combinable), and only Bloom-positive grams (true hits + the ~1%
+    false-positive tail) reach the confirming join. When the bench
+    side outgrows broadcast range, the same bitset build works and the
+    confirm join becomes a shuffle join over a corpus stream already
+    thinned by orders of magnitude — which is the entire point of the
+    prefilter.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.array_distinct(
+            shingles(F.lower(F.trim(F.col("text"))), 3)
+        ).alias("gs"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    pos = [
+        F.pmod(F.xxhash64("g", F.lit(j)), F.lit(_BLOOM_BITS)).alias(f"p{j}")
+        for j in range(_BLOOM_K)
+    ]
+    words = (
+        bench.select(F.explode(F.array(*pos)).alias("pos"))
+        .groupBy(F.shiftright("pos", 6).alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            ).alias("word")
+        )
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bf")
+    )
+    corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+    n_grams = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    probe = corpus.select("doc_id", "g", *pos).crossJoin(F.broadcast(bloom))
+    maybe = None
+    for j in range(_BLOOM_K):
+        bit = F.expr(
+            f"coalesce(element_at(bf, shiftright(p{j}, 6)), CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(p{j} % 64 AS INT))"
+        ) != 0
+        maybe = bit if maybe is None else (maybe & bit)
+    confirmed = (
+        probe.filter(maybe)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    hits = n_grams.join(confirmed, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+    )
+    return (
+        hits.groupBy(
+            F.floor(F.col("n_hit").cast("double") / F.col("n_grams") * 10)
+            .cast("int")
+            .alias("contamination_decile")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_hit").cast("long").alias("grams_hit"),
+        )
+        .orderBy("contamination_decile")
+    )

@@ -309,7 +309,9 @@ def stream_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), cent AS (
       SELECT c_label, list(cx ORDER BY pos) AS cvec
-      FROM (SELECT label AS c_label, pos, ROUND(AVG(x), 6) AS cx
+      FROM (SELECT label AS c_label, pos,
+                   ROUND(CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))
+                              AS DOUBLE) / COUNT(*), 6) AS cx
             FROM unp GROUP BY label, pos) t
       GROUP BY c_label
     ), assigned AS (

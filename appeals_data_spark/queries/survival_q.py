@@ -1684,10 +1684,15 @@ def x3_linear_svm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bt_oracle(iters: int = 3) -> str:
     """Unrolled Bradley-Terry MM oracle (Hunter 2004): pair counts from
     the unit-price comparisons, then p_i <- W_i / sum_j n_ij/(p_i+p_j)
-    with per-round normalization, every whole-frame fold as
-    12dp-rounded DECIMAL(38,12) sums so neither engine's accumulation
-    order matters. Arithmetic association matches the Spark builder
-    term for term (n/(p_i + p_j), W_i / CAST(S AS DOUBLE), praw / T)."""
+    with per-round normalization. Every whole-frame fold accumulates
+    6dp-scaled LONGs (round_even(x*1e6) — DuckDB's exact twin of
+    Spark/Java Math.rint, verified half-to-even on both engines) so
+    neither engine's accumulation order matters and the Spark side can
+    fold inside a HOF `aggregate` whose LONG accumulator type is
+    stable (a DECIMAL(38,12) accumulator can't ride Spark's HOF:
+    decimal addition at the precision cap drops to scale 11).
+    Arithmetic association matches the Spark builder term for term
+    (n/(p_i + p_j) * 1e6, CAST(S AS DOUBLE)/1e6, W_i / S, praw / T)."""
     parts = [
         """
     WITH unit AS MATERIALIZED (
@@ -1713,16 +1718,18 @@ def _bt_oracle(iters: int = 3) -> str:
         parts.append(f"""
     , s{r} AS MATERIALIZED (
       SELECT s.i,
-             SUM(CAST(ROUND(s.n / (pi.p + pj.p), 12) AS DECIMAL(38,12))) AS ssum
+             CAST(SUM(CAST(round_even(s.n / (pi.p + pj.p) * 1000000.0, 0)
+                           AS BIGINT)) AS DOUBLE) / 1000000.0 AS ssum
       FROM sym s
       JOIN p{r - 1} pi ON s.i = pi.i
       JOIN p{r - 1} pj ON s.j = pj.i
       GROUP BY s.i
     ), praw{r} AS MATERIALIZED (
-      SELECT w.i, w.wi / CAST(ssum AS DOUBLE) AS praw
+      SELECT w.i, w.wi / ssum AS praw
       FROM wins w JOIN s{r} USING (i)
     ), t{r} AS MATERIALIZED (
-      SELECT CAST(SUM(CAST(ROUND(praw, 12) AS DECIMAL(38,12))) AS DOUBLE) AS t
+      SELECT CAST(SUM(CAST(round_even(praw * 1000000.0, 0) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 AS t
       FROM praw{r}
     ), p{r} AS MATERIALIZED (
       SELECT i, praw / t AS p FROM praw{r} CROSS JOIN t{r}
@@ -1752,25 +1759,33 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     Three MM rounds p_i <- W_i / sum_j n_ij/(p_i+p_j), normalized per
     round; top-10 strengths with win/comparison counts.
 
-    Determinism: both per-i fold sites (the opponent sum and the
-    normalization total) accumulate 12dp-rounded DECIMAL(38,12)
-    summands — exact, so the fit is bit-identical under any
-    partitioning and across engines; unrolled-round oracle mirrors
-    every association.
+    Determinism: both fold sites (the per-supplier opponent sum and
+    the normalization total) accumulate 6dp-scaled int64s —
+    rint(x * 1e6), whose exact DuckDB twin is round_even(x*1e6, 0)
+    (half-to-even, same as numpy.rint) — so the fit is bit-identical
+    under any partitioning and across engines: int64 scatter-adds are
+    order-commutative-exact, every other step is a deterministic
+    elementwise IEEE-double op, and the unrolled-round oracle mirrors
+    every association (n/(pi+pj)*1e6 -> rint -> int64 sum -> /1e6,
+    wi / ssum, praw / t).
 
     Scale shape ("Spark until the aggregate is small", ml contract):
-    pair generation is the heavy part — a per-part self-equi-join of
-    the (part, supplier) aggregate, shuffled on part key, never
-    all-pairs across parts; the MM iteration then runs on the
-    #item-pair sufficient-statistics table with the strength vector
-    broadcast per round. Unlike the fact-scale IRLS/pegasos loops the
-    rounds here are NOT checkpointed: every round's inputs (sym, wins)
-    are already checkpointed tiny tables, so chaining the 3 rounds in
-    one lazy plan trades a bounded re-evaluation of the sub-second
-    strength lineage inside each broadcast (2 broadcasts/round ->
-    <= 2^r tiny agg replays, r=3) for zero per-round checkpoint jobs —
-    measured 6.6s -> well under the 4.5s target at sf0.1 where the
-    per-round jobs were pure scheduling floor."""
+    pair generation is the heavy part and is fully distributed — one
+    shuffle groups (part, supplier, min-unit-price) rows into a
+    per-part supplier array sorted by suppkey, and ordered pairs come
+    from posexplode + slice (emitting only the sk_a < sk_b half:
+    ~N^2/2 comparisons per part, never all-pairs across parts; the
+    former self-equi-join emitted the full N^2 and re-sorted both
+    sides — measured 2.4x slower). The aggregated pair-stats table
+    (#comparable-supplier-pairs rows — 500k at sf0.1, item-pairs-sized
+    at any SF, NOT fact-sized) is checkpointed once and is the "small
+    aggregate": all 3 MM rounds run in ONE applyInPandas over it
+    (Arrow batch, numpy int64 scatter-folds) — one job, zero per-round
+    shuffles/broadcasts/checkpoints. Pure-JVM round alternatives were
+    measured slower at sf0.1: per-round broadcast-join rounds 7.0s
+    warm (r5), whole-frame-window + HOF-fold rounds 7.8s warm — the
+    suppliers-sized math is scheduling-floor-bound in Spark jobs, and
+    3.4s warm as a single Arrow fit (see BASELINE.md)."""
     li = load_table(spark, sf_dir, "lineitem")
     unit = (
         li.groupBy(
@@ -1778,11 +1793,21 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("u"))
     )
-    a, b = unit.alias("a"), unit.alias("b")
+    # Ordered-pair generation: per-part supplier arrays sorted by
+    # suppkey, then posexplode x slice(i+2..) emits exactly the
+    # sk_a < sk_b half. sort_array orders struct(sk, u) by sk (unique
+    # within part), so the a/b orientation matches the oracle's
+    # a.sk < b.sk join predicate.
+    grouped = unit.groupBy("pk").agg(
+        F.sort_array(F.collect_list(F.struct("sk", "u"))).alias("xs")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") < F.col("b.sk")),
+        grouped.select(F.posexplode("xs").alias("i", "a"), "xs")
+        .select(
+            "a",
+            F.explode(
+                F.slice(F.col("xs"), F.col("i") + F.lit(2), F.size("xs"))
+            ).alias("b"),
         )
         .filter(F.col("a.u") != F.col("b.u"))
         .groupBy(F.col("a.sk").alias("sa"), F.col("b.sk").alias("sb"))
@@ -1792,54 +1817,52 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("w"),
         )
-        .localCheckpoint()  # feeds sym/wins and every MM round
+        .localCheckpoint()  # the fact-scale explosion runs exactly once
     )
-    sym = pairs.selectExpr(
-        "sa AS i", "sb AS j", "n", "w"
-    ).unionByName(
-        pairs.selectExpr("sb AS i", "sa AS j", "n", "n - w AS w")
-    ).localCheckpoint()
-    wins = (
-        sym.groupBy("i")
-        .agg(F.sum("w").cast("long").alias("wi"), F.sum("n").cast("long").alias("ni"))
-        .localCheckpoint()
-    )
-    p = wins.select("i", F.lit(1.0).alias("p"))
-    for _ in range(3):
-        s = (
-            sym.join(F.broadcast(p.selectExpr("i AS j", "p AS pj")), "j")
-            .join(F.broadcast(p), "i")
-            .groupBy("i")
-            .agg(
-                F.sum(
-                    F.round(F.col("n") / (F.col("p") + F.col("pj")), 12).cast(
-                        "decimal(38,12)"
-                    )
-                ).alias("ssum")
-            )
-        )
-        praw = wins.join(s, "i").select(
-            "i", (F.col("wi") / F.col("ssum").cast("double")).alias("praw")
-        )
-        # normalization total as a whole-frame window sum: same exact
-        # decimal summands as a separate aggregate (bit-identical t,
-        # so the oracle's agg + CROSS JOIN formulation matches), but
-        # one job per round instead of three (agg + crossJoin +
-        # checkpoint materialization of the extra stage)
-        from pyspark.sql.window import Window as _W
-
-        t = (
-            F.sum(F.round(F.col("praw"), 12).cast("decimal(38,12)"))
-            .over(_W.partitionBy())
-            .cast("double")
-        )
-        p = praw.select("i", (F.col("praw") / t).alias("p"))
     from pyspark.sql.window import Window
 
+    def _mm_fit(pdf):
+        # Whole pair-stats table as ONE Arrow group: symmetrize,
+        # dense-index the supplier universe, run 3 MM rounds as numpy
+        # vector ops. np.add.at int64 scatter-adds are exact under any
+        # row arrival order; np.rint is half-to-even like Spark's rint
+        # and DuckDB's round_even.
+        import numpy as np
+        import pandas as pd
+
+        sa = pdf["sa"].to_numpy(np.int64)
+        sb = pdf["sb"].to_numpy(np.int64)
+        n = pdf["n"].to_numpy(np.int64)
+        w = pdf["w"].to_numpy(np.int64)
+        sup = np.unique(np.concatenate([sa, sb]))  # sorted suppkeys
+        ia = np.searchsorted(sup, sa)
+        ib = np.searchsorted(sup, sb)
+        size = sup.size
+        wins = np.zeros(size, np.int64)
+        np.add.at(wins, ia, w)
+        np.add.at(wins, ib, n - w)
+        ni = np.zeros(size, np.int64)
+        np.add.at(ni, ia, n)
+        np.add.at(ni, ib, n)
+        row = np.concatenate([ia, ib])
+        col = np.concatenate([ib, ia])
+        nn = np.concatenate([n, n]).astype(np.float64)
+        p = np.ones(size, np.float64)
+        for _ in range(3):
+            contrib = np.rint(nn / (p[row] + p[col]) * 1e6).astype(np.int64)
+            ssum = np.zeros(size, np.int64)
+            np.add.at(ssum, row, contrib)
+            praw = wins / (ssum.astype(np.float64) / 1e6)
+            t = np.rint(praw * 1e6).astype(np.int64).sum() / 1e6
+            p = praw / t
+        return pd.DataFrame({"i": sup, "wi": wins, "ni": ni, "p": p})
+
+    fit = pairs.groupBy(F.lit(1).alias("g")).applyInPandas(
+        _mm_fit, "i long, wi long, ni long, p double"
+    )
     wr = Window.orderBy(F.desc("p"), F.asc("i"))
     return (
-        p.join(wins, "i")
-        .withColumn("rnk", F.row_number().over(wr))
+        fit.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= 10)
         .select(
             "rnk",

@@ -1265,12 +1265,12 @@ def _clf_oracle(lam: float = 0.02, iters: int = 20) -> str:
     for i in range(1, iters + 1):
         parts.append(f"""
     , s{i} AS (
-      SELECT COALESCE(SUM(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
-               THEN y END), 0) AS sv0,
-             COALESCE(SUM(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
-               THEN y * x1 END), 0) AS sv1,
-             COALESCE(SUM(CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
-               THEN y * x2 END), 0) AS sv2
+      SELECT COALESCE(CAST(SUM(CAST(round_even((CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
+               THEN y END) * 1000000, 0) AS BIGINT)) AS DOUBLE), 0) / 1000000 AS sv0,
+             COALESCE(CAST(SUM(CAST(round_even((CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
+               THEN y * x1 END) * 1000000, 0) AS BIGINT)) AS DOUBLE), 0) / 1000000 AS sv1,
+             COALESCE(CAST(SUM(CAST(round_even((CASE WHEN y * (w0 + (w1*x1 + w2*x2)) < 1
+               THEN y * x2 END) * 1000000, 0) AS BIGINT)) AS DOUBLE), 0) / 1000000 AS sv2
       FROM d CROSS JOIN it{i - 1}
     ), it{i} AS (
       SELECT (1 - 1.0/{i}) * w0 + sv0 / ({lam!r} * {i} * n) AS w0,
@@ -1335,8 +1335,19 @@ def pipe_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ntok.cast("double") / 1000 - 0.05).alias("x1"),
         (swr * 10 - 0.5).alias("x2"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # exact_sum_decimals: the violator folds accumulate 1e6-scaled
+    # LONGs, so the 20-round fit is bit-identical under any
+    # partitioning (tests/test_determinism.py covers this query).
+    # Unlike x3's grid-aligned features, swr-derived contributions can
+    # in principle land on a .5 scaled boundary, so the oracle rounds
+    # with round_even — DuckDB's exact twin of Spark's rint.
     coefs = pegasos_linear_svm(
-        feat, y=F.col("y"), xs=[F.col("x1"), F.col("x2")], lam=0.02, iters=20
+        feat,
+        y=F.col("y"),
+        xs=[F.col("x1"), F.col("x2")],
+        lam=0.02,
+        iters=20,
+        exact_sum_decimals=6,
     )
     score = F.col("w0") + (F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2"))
     return (

@@ -72,7 +72,11 @@ def vec_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "rank", "corpus_id")
 
 
-# Shared oracle fragment: per-label centroids as DOUBLE lists.
+# Shared oracle fragment: per-label centroids as DOUBLE lists. The
+# mean is the exact fold mirrored from operators.similarity
+# .label_centroids: SUM of 12dp-rounded DECIMAL(38,12) summands ->
+# double -> one division by the count -> 6dp round, so neither
+# engine's accumulation order can move a component.
 _SQL_CENTROIDS = """
     unp AS (
       SELECT label, generate_subscripts(embedding, 1) AS pos,
@@ -80,7 +84,9 @@ _SQL_CENTROIDS = """
       FROM embeddings
     ), cent AS (
       SELECT c_label, list(cx ORDER BY pos) AS cvec
-      FROM (SELECT label AS c_label, pos, ROUND(AVG(x), 6) AS cx
+      FROM (SELECT label AS c_label, pos,
+                   ROUND(CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))
+                              AS DOUBLE) / COUNT(*), 6) AS cx
             FROM unp GROUP BY label, pos) t
       GROUP BY c_label
     )
@@ -298,7 +304,9 @@ def vec_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), cent AS (
       SELECT c_label, list(cx ORDER BY pos) AS cvec
-      FROM (SELECT label AS c_label, pos, ROUND(AVG(x), 6) AS cx
+      FROM (SELECT label AS c_label, pos,
+                   ROUND(CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))
+                              AS DOUBLE) / COUNT(*), 6) AS cx
             FROM cunp GROUP BY label, pos) t
       GROUP BY c_label
     ), cells AS (

@@ -80,83 +80,79 @@ def register(
 # the first ~50 registry entries per round (a count/time budget — every
 # later entry gets no row despite running fine on a vanilla session), so
 # ``all_queries`` yields the entries whose driver verdict is most
-# valuable first. After the round-4 window below is swept, the
-# cross-round union r1|r2|r3|r4 covers ALL registered queries — zero
-# never-swept remain.
+# valuable first. Cross-round driver union r1|r2|r3|r4|r5 covers ALL
+# registered queries.
 #
-# Round-5 rotation plan: front-load any queries round 5 adds, then the
-# ~27 queries whose only driver row is from round 1 (the oldest
-# verdicts: p4/p7/p9/p11/p13/p14, f3/f5/f9/f11, the j2/j3/j5-j20 join tail, w4-w9,
-# the r1-r4 reshape family — recompute against CORRECTNESS_r0{1..4} as
-# in the round-4 session; j2/j3/p13/p9/p7/p4 were displaced from
-# the round-4 window by the late text_hybrid_rrf_topk /
-# pipe_source_caps / mm_decode_audio / pref_bradley_terry /
-# x6_holt_linear / text_bigram_interp_logprob additions), then
-# ~6 green sentinels, then the oldest of the queries not swept since
-# round 2. Simulate with
-# `python tools/check.py --window 50 --vanilla` before shipping.
+# Round-6 rotation (EXECUTED this round — the r5 window was
+# accidentally left byte-identical to r4's): front-load the two
+# round-6 additions (paragraph-granularity dedup, bloom-prefiltered
+# decontamination), then the 30 queries whose only driver verdict was
+# from round 1 (four rounds of refactors shipped since), then 6 green
+# flagship sentinels for cross-round regression cover — including the
+# two queries whose PLANS changed this round (pref_bradley_terry's
+# rewritten pair generation + windowed MM, pipe_classifier_filter's
+# determinism-gate coverage) — then 12 queries whose latest verdict is
+# round 2 (the next-oldest tier). Round-7 plan: front-load round-7
+# additions, then the remaining r2-latest tier
+# (u2/u3/o1/o4/w1/j12/j16/x1/... complement), then the r3 tier,
+# keeping every query's latest driver verdict <= 2 rounds old.
+# Simulate with `python tools/check.py --window 50 --vanilla` before
+# shipping.
 _SWEEP_FIRST = [
-    # Round-4 rotation: after r1∪r2∪r3 exactly 17 registered queries have
-    # never received a driver row (all locally green — they landed after
-    # the round-3 window was fixed). They lead the window: the 14
-    # oracle-backed ones first, the 3 permanent rows-only sketches after
-    # (their oracled portable twins are already driver-green).
-    "text_bm25_topk",
-    "a18_incremental_rollup",
-    "r7_scd2_dimension",
-    "u7_event_endstates",
-    "graph_pagerank_handoff",
-    "w13_ewma_smoothing",
-    "opt_zorder_skipping",
-    "x4_trace_regex",
-    "x3_ab_welch_ttest",
-    "x3_mad_outliers",
-    "a20_retention_cohorts",
-    "w14_cusum_changepoint",
-    "a21_sliding_mau",
-    "w15_ntile_deciles",
-    "dedup_minhash_lsh",
-    "dedup_simhash_hamming",
-    "vec_lsh_topk",
-    # new in round 4 (oracle-backed) — need first driver rows
-    "x6_logistic_glmm",
-    "x3_linear_svm_eval",
-    "dedup_semantic_clusters",
-    "pipe_perplexity_buckets",
-    "stream_centroid_occupancy",
-    "pipe_classifier_filter",
-    "a22_approx_quantile_bound",
-    "a23_approx_distinct_bound",
-    "stream_lm_gate",
-    "text_hybrid_rrf_topk",
-    "pipe_source_caps",
-    "mm_decode_audio",
-    "pref_bradley_terry",
-    "x6_holt_linear",
-    "text_bigram_interp_logprob",
-    # green sentinels for cross-round regression cover (r1/r2/r3 greens
-    # spanning the flagship families: TPC-H agg, fused event union,
-    # as-of join, classifier eval, survival, composed ANN)
+    # new in round 6 — need first driver rows
+    "dedup_paragraph_retention",
+    "pipe_decontam_bloom",
+    # the 30 r1-stale queries (only driver verdict was round 1)
+    "p4_range_in_between",
+    "p7_like_rlike",
+    "p9_case_when_derive",
+    "p11_coalesce_least_greatest",
+    "p13_deterministic_topn",
+    "p14_complete_cases",
+    "f3_date_arithmetic",
+    "f5_string_functions",
+    "f9_math_functions",
+    "f11_json_extract",
+    "j2_left_join_order_counts",
+    "j3_composite_key_join",
+    "j4_wildcard_hierarchy_join",
+    "j5_concat_key_join",
+    "j6_nonequi_temporal_join",
+    "j8_argmax_latest_order",
+    "j9_self_join_pairs",
+    "j13_right_join_fillna",
+    "j15_anti_semi_join",
+    "j18_cross_join_grid",
+    "j20_rule_cascade_parent",
+    "w4_topk_per_group",
+    "w5_variable_distance_lead",
+    "w6_cumulative_condition_flags",
+    "w7_dense_rank_group_index",
+    "w9_lead_offset_series",
+    "r1_unpivot_measures",
+    "r2_pivot_event_matrix",
+    "r3_flags_long_confusion",
+    "r4_fixed_width_split",
+    # green sentinels: flagship families + the two plan-changed queries
     "a1_pricing_summary",
     "u1_union_event_log",
     "j10_fuzzy_asof_match",
-    "comp_ep_classifier_eval",
-    "surv_cuminc",
     "vec_ivfpq_topk",
-    # aged round-1 greens (no driver row since r1) — refresh the oldest
-    # verdicts, one representative per family plus the j1 watch item
-    "j1_revenue_by_nation",
-    "a12_monthly_rollup",
-    "a2_conditional_agg_flags",
-    "a3_distinct_counts",
-    "a7_quantile_summary",
-    "a8_crosstab",
-    "a9_pivot_agg",
-    "a10_listagg",
-    "a13_histogram",
-    "a14_ranked_selection",
-    "a15_fiscal_year_summary",
-    "p1_projection_alias_nulltest",
+    "pref_bradley_terry",
+    "pipe_classifier_filter",
+    # r2-latest tier refreshes (oldest remaining verdicts)
+    "u2_union_dedup",
+    "u3_array_intersect_sources",
+    "o1_multikey_sort_head",
+    "o4_complete_weeks_only",
+    "w1_lead_lag_gaps",
+    "j12_cross_source_join",
+    "j16_window_similarity_count",
+    "j17_pit_backlog",
+    "x1_derived_count_scalars",
+    "closure_components",
+    "comp_outcome_rates",
+    "a6_rate_vs_group_total",
 ]
 
 

@@ -133,29 +133,53 @@ def main() -> None:
     # line of output (the driver tail-captures combined stdout/stderr;
     # r3/r4 artifacts lost the record to trailing executor-shutdown
     # noise and progress bars — bars are now off in session.py too).
-    spark.stop()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "load_avg_1m": load_avg,
-                "value": total,
-                "runs_per_query": 2,
-                "agg": "min",
-                "unit": "sec",
-                "queries": timings,
-                "first_run_value": round(sum(firsts.values()), 3),
-                "first_run_queries": firsts,
-                "secondary": {
-                    "value": round(sum(sec_timings.values()), 3),
-                    "queries": sec_timings,
-                    "first_run_value": round(sum(sec_firsts.values()), 3),
-                    "first_run_queries": sec_firsts,
-                },
-                "sf": sf,
-            }
-        )
-    )
+    # Guarded: JVM-shutdown noise must never lose the record the run
+    # already paid for.
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    detail = {
+        "metric": "headline_suite_seconds",
+        "load_avg_1m": load_avg,
+        "value": total,
+        "runs_per_query": 2,
+        "agg": "min",
+        "unit": "sec",
+        "queries": timings,
+        "first_run_value": round(sum(firsts.values()), 3),
+        "first_run_queries": firsts,
+        "secondary": {
+            "value": round(sum(sec_timings.values()), 3),
+            "queries": sec_timings,
+            "first_run_value": round(sum(sec_firsts.values()), 3),
+            "first_run_queries": sec_firsts,
+        },
+        "sf": sf,
+    }
+    # Full per-query detail goes to a file + an EARLIER stdout line;
+    # the FINAL line is a compact record (<1.5KB) so it survives the
+    # driver's ~2.2KB stdout tail capture intact (BENCH_r03/r04/r05
+    # all recorded "parsed": null because the 2.4KB full record was
+    # front-truncated even as the last line).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_detail.json"), "w"
+    ) as f:
+        json.dump(detail, f, indent=1)
+    print("BENCH_DETAIL " + json.dumps(detail))
+    compact = dict(detail)
+    compact["queries"] = timings  # headline per-query minima only
+    del compact["first_run_queries"]
+    compact["secondary"] = {
+        "value": detail["secondary"]["value"],
+        "first_run_value": detail["secondary"]["first_run_value"],
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # never regress past the capture window again
+        del compact["queries"]
+        line = json.dumps(compact)
+    print(line)
     sys.stdout.flush()
 
 

@@ -144,6 +144,73 @@ def test_lsh_tables_add_recall(ground_truth):
     assert multi >= single  # candidate union can only grow
 
 
+@pytest.fixture(scope="module")
+def rrf_lists(spark):
+    """Component top-20 lists (recomputed here from the shared scoring
+    helpers) plus the fused output of text_hybrid_rrf_topk itself."""
+    from appeals_data_spark.queries.textops_q import (
+        _BM25_TERMS,
+        _bm25_doc_scores,
+    )
+    from appeals_data_spark.registry import all_queries
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    lex = [
+        r.doc_id
+        for r in _bm25_doc_scores(d, _BM25_TERMS)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    ]
+    dense = [
+        r.corpus_id
+        for r in brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+        .orderBy("rank")
+        .collect()
+    ]
+    fused = all_queries()["text_hybrid_rrf_topk"].builder(
+        spark, SF_SMOKE
+    ).collect()
+    return lex, dense, fused
+
+
+def test_rrf_matches_python_rederivation(rrf_lists):
+    # Fusion-quality gate (the RRF analog of the recall gates above):
+    # re-derive Cormack RRF in pure Python from the component rank
+    # lists and require the Spark fused top-10 to match id-for-id in
+    # order. Any fusion bug — wrong k constant, missed outer-join arm,
+    # decimal drift flipping a tie — lands here.
+    lex, dense, fused = rrf_lists
+    score: dict[int, float] = {}
+    for lst in (lex, dense):
+        for i, doc in enumerate(lst, start=1):
+            score[doc] = score.get(doc, 0.0) + round(1e6 / (60 + i), 6)
+    expect = sorted(score, key=lambda d: (-score[d], d))[:10]
+    assert [r.doc_id for r in fused] == expect
+
+
+def test_rrf_recall_dominates_components(rrf_lists):
+    # RRF@10 recall vs each retriever's brute-force/exact top-5 ground
+    # truth must be >= that of EITHER single retriever's top-10 (which
+    # scores 0 on the other modality's truth). On this fixture the two
+    # top-20s are disjoint, so the fused list is the exact interleave:
+    # recall is 1.0 on both truths — gate at full containment.
+    lex, dense, fused = rrf_lists
+    ids = {r.doc_id for r in fused}
+    assert set(lex[:5]) <= ids  # lexical truth: recall 1.0 >= lex-only
+    assert set(dense[:5]) <= ids  # dense truth: recall 1.0 >= dense-only
+    # theorem: a doc in both component top-10s outranks every
+    # single-list doc (2/(60+10+k) > 1/(60+1)), so agreement docs can
+    # never be fused out — vacuous on the disjoint fixture, live the
+    # moment the fixture gains lexical/dense overlap
+    assert (set(lex[:10]) & set(dense[:10])) <= ids
+    # both modalities must survive fusion (a dead retriever arm would
+    # fill the fused list from one side only)
+    assert sum(1 for r in fused if r.in_lex) >= 3
+    assert sum(1 for r in fused if r.in_dense) >= 3
+
+
 def test_ivfpq_composed_recall_floor(spark, ground_truth):
     # The composed production shape (vec_ivfpq_topk: coarse-quantizer
     # cell pruning x compressed-domain ADC scoring) multiplies two

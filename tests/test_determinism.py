@@ -33,8 +33,14 @@ QUERIES = [
     # rank fusion: per-row cosine folds + decimal RRF sum — only ranks
     # cross the float boundary, so fused order is partition-independent
     "text_hybrid_rrf_topk",
-    # MM iteration: both per-round folds are 12dp-decimal sums
+    # MM iteration: both fold sites are 1e6-scaled int64 scatter-adds
+    # inside the single-group applyInPandas fit — exact under any row
+    # arrival order
     "pref_bradley_terry",
+    # 20-round pegasos on non-grid features: violator folds are
+    # 1e6-scaled-long sums (exact_sum_decimals=6), so merge order
+    # can't flip the integer n_keep/n_agree outputs
+    "pipe_classifier_filter",
     # grouped sequential fold: whole groups cross the Arrow boundary,
     # sorted in-pandas, so partitioning can't reorder the recursion
     "x6_holt_linear",

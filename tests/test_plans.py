@@ -35,6 +35,7 @@ BNLJ_OK = {
     "j4_wildcard_hierarchy_join",  # disjunctive taxonomy dim (must broadcast)
     "o4_complete_weeks_only",  # 1-row max-week scalar
     "p14_complete_cases",  # 1-row threshold scalar
+    "pipe_decontam_bloom",  # 1-row 512-word bloom-bitset map side
     "pipe_mixture_weights",  # 1-row token-budget scalar side
     "text_bm25_topk",  # 1-row corpus-stats scalar side
     "text_hybrid_rrf_topk",  # 1-row BM25 stats scalar + 1-probe dense side
@@ -208,7 +209,12 @@ ITERATIVE_SEGMENTS = {
     "dedup_canonical_corpus": (5, 18),
     "graph_pagerank_handoff": (10, 41),  # N is a broadcast agg: full plan chain even on the empty sf0.001 graph
     "pipe_classifier_filter": (20, 20),
-    "pref_bradley_terry": (6, 13),  # pairs/sym/wins + 3 fused MM rounds
+    # ONE checkpointed segment: posexplode pair generation (unit agg +
+    # per-part grouping + pair agg). All 3 MM rounds run inside a
+    # single applyInPandas over the checkpointed pair stats — the
+    # final plan is just FlatMapGroupsInPandas + rank (2 exchanges).
+    # Was (6, 13) with per-round broadcast-join rounds in r4/r5.
+    "pref_bradley_terry": (1, 3),
     "stream_lm_gate": (1, 1),
     "pipe_perplexity_buckets": (1, 1),
     "text_bm25_topk": (1, 1),
