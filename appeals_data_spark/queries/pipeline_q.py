@@ -985,3 +985,105 @@ def pipe_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("contamination_decile")
     )
+
+
+# Scrub patterns, shared verbatim by builder and oracle (RE2/Java
+# common subset: no lookaround, no backreferences). The term denylist
+# carries the live signal on the synthetic corpus; the email/IPv4 arms
+# are the standard PII shapes and legitimately count zero here (the
+# generator emits no digits) while staying fully exercised plumbing.
+_SCRUB_BLOCK = r"\b(customer|vector|stream)\b"
+_SCRUB_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_SCRUB_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_SCRUB_ORACLE = """
+    WITH scrub AS (
+      SELECT source,
+             len(regexp_extract_all(lower(trim(text)), '%(b)s', 0)) AS occ_block,
+             len(regexp_extract_all(lower(trim(text)), '%(e)s', 0)) AS occ_email,
+             len(regexp_extract_all(lower(trim(text)), '%(i)s', 0)) AS occ_ipv4,
+             length(lower(trim(text)))
+               - length(regexp_replace(regexp_replace(regexp_replace(
+                     lower(trim(text)),
+                     '%(b)s', '', 'g'), '%(e)s', '', 'g'), '%(i)s', '', 'g'))
+               AS chars_masked
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN occ_block + occ_email + occ_ipv4 > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+           CAST(SUM(occ_block) AS BIGINT) AS block_hits,
+           CAST(SUM(occ_email) AS BIGINT) AS email_hits,
+           CAST(SUM(occ_ipv4) AS BIGINT) AS ipv4_hits,
+           CAST(SUM(chars_masked) AS BIGINT) AS chars_masked
+    FROM scrub GROUP BY source ORDER BY source
+""" % {"b": _SCRUB_BLOCK, "e": _SCRUB_EMAIL, "i": _SCRUB_IPV4}
+
+
+@register(
+    "pipe_pii_blocklist_scrub",
+    oracle=_SCRUB_ORACLE,
+    tags=("TEXT",),
+)
+def pipe_pii_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / denylist scrubbing report — the redaction stage every
+    curation pipeline runs before training (C4's blocklist pass,
+    RefinedWeb/Dolma PII masking): count and mask (1) a term denylist
+    with word boundaries, (2) email-shaped spans, (3) IPv4-shaped
+    spans, and report per source how many docs were flagged, the hit
+    count per pattern, and exactly how many characters masking
+    removes. All counts are integers, so the report is hash-exact
+    across engines; masking order (block, email, ipv4) is fixed and
+    mirrored in the oracle.
+
+    Scale shape: one projection-pruned scan, regex work entirely
+    JVM-side inside whole-stage codegen (regexp_extract_all /
+    regexp_replace — zero UDFs), one map-side-combinable aggregation
+    on source. At 100 TB this is the canonical embarrassingly-parallel
+    pass; the actual scrubbed text (the regexp_replace with a mask
+    token instead of '') would feed a sink from the same single scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    occ = {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        for name, pat in (
+            ("block", _SCRUB_BLOCK),
+            ("email", _SCRUB_EMAIL),
+            ("ipv4", _SCRUB_IPV4),
+        )
+    }
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _SCRUB_BLOCK, ""), _SCRUB_EMAIL, ""
+        ),
+        _SCRUB_IPV4,
+        "",
+    )
+    per_doc = d.select(
+        "source",
+        occ["block"].alias("occ_block"),
+        occ["email"].alias("occ_email"),
+        occ["ipv4"].alias("occ_ipv4"),
+        (F.length(t) - F.length(masked)).alias("chars_masked"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (
+                    F.col("occ_block") + F.col("occ_email") + F.col("occ_ipv4")
+                    > 0
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("docs_flagged"),
+            F.sum("occ_block").cast("long").alias("block_hits"),
+            F.sum("occ_email").cast("long").alias("email_hits"),
+            F.sum("occ_ipv4").cast("long").alias("ipv4_hits"),
+            F.sum("chars_masked").cast("long").alias("chars_masked"),
+        )
+        .orderBy("source")
+    )
