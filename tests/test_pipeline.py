@@ -80,3 +80,89 @@ def test_stratified_sample_deterministic(spark):
     for row in a:
         _, _, n_total, n_sampled, _ = row
         assert 0 <= n_sampled <= n_total
+
+
+def test_bloom_decontam_matches_exact_path(spark):
+    # The Bloom filter may pass false positives into the confirming
+    # join but must NEVER drop a true hit — so the whole report must
+    # equal an exact-path rederivation (gram semi-join, no prefilter)
+    # computed here from the same shingle helper.
+    import pyspark.sql.functions as F
+
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.functions.text import shingles
+    from appeals_data_spark.queries.pipeline_q import _BENCH_MOD
+
+    d = load_table(spark, SF, "documents")
+    grams = d.select(
+        "doc_id",
+        F.array_distinct(shingles(F.lower(F.trim(F.col("text"))), 3)).alias(
+            "gs"
+        ),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+    hits = (
+        corpus.groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"))
+        .join(
+            corpus.join(bench, "g", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hit")),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", "n_grams", F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+    )
+    exact = sorted(
+        map(
+            tuple,
+            hits.groupBy(
+                F.floor(F.col("n_hit").cast("double") / F.col("n_grams") * 10)
+                .cast("int")
+                .alias("contamination_decile")
+            )
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_hit").cast("long").alias("grams_hit"),
+            )
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, all_queries()["pipe_decontam_bloom"].builder(spark, SF).collect())
+    )
+    assert got == exact
+
+
+def test_paragraph_retention_invariants(spark):
+    rows = all_queries()["dedup_paragraph_retention"].builder(spark, SF).collect()
+    assert rows
+    total_dropped = 0
+    for r in rows:
+        assert r.n_exact_dup + r.n_near_dup <= r.n_paras, r
+        assert 0 <= r.retained_tokens <= r.total_tokens, r
+        assert 0 <= r.n_docs_half_kept <= r.n_docs, r
+        total_dropped += r.n_exact_dup + r.n_near_dup
+    # the synthetic corpus draws from a tiny vocabulary, so 20-token
+    # windows do collide — the dedup stages must actually fire
+    assert total_dropped > 0
+
+
+def test_pii_scrub_mask_accounting(spark):
+    rows = all_queries()["pipe_pii_blocklist_scrub"].builder(spark, SF).collect()
+    assert rows
+    assert sum(r.block_hits for r in rows) > 0  # denylist terms exist
+    for r in rows:
+        assert r.docs_flagged <= r.n_docs, r
+        # on this digit-free corpus only the term arm fires, and its
+        # terms are 6-8 chars — chars_masked must account exactly for
+        # the masked spans, nothing more
+        assert r.email_hits == 0 and r.ipv4_hits == 0, r
+        assert 6 * r.block_hits <= r.chars_masked <= 8 * r.block_hits, r
