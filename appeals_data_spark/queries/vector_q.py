@@ -758,3 +758,94 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "pipe_diverse_cluster_quota",
+    oracle=f"""
+    WITH {_SQL_CENTROIDS},
+    member AS (
+      SELECT vec_id, c_label, c_cos FROM (
+        SELECT e.vec_id, c.c_label,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      c.cvec) AS c_cos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cvec) DESC, c.c_label
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), ranked AS (
+      SELECT c_label, vec_id, c_cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_label ORDER BY c_cos ASC, vec_id
+             ) AS dr,
+             COUNT(*) OVER (PARTITION BY c_label) AS nm
+      FROM member
+    )
+    SELECT c_label AS cluster,
+           COUNT(*) AS n_members,
+           CAST(SUM(CASE WHEN dr <= GREATEST(1, CAST(FLOOR(nm / 5.0) AS BIGINT))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(MIN(CASE WHEN dr <= GREATEST(1, CAST(FLOOR(nm / 5.0) AS BIGINT))
+                     THEN c_cos END), 6) AS farthest_cos,
+           ROUND(MAX(CASE WHEN dr <= GREATEST(1, CAST(FLOOR(nm / 5.0) AS BIGINT))
+                     THEN c_cos END), 6) AS frontier_cos
+    FROM ranked GROUP BY c_label ORDER BY cluster
+    """,
+    tags=("VEC", "IVF", "W4"),
+)
+def pipe_diverse_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity selection — the embedding-aware
+    data-selection stage (k-center/farthest-point flavor, cf. the
+    cluster-budget selection in DeepCore / coreset curation): assign
+    every vector to its nearest label centroid, then keep the 20% of
+    each cluster FARTHEST from the centroid (cos asc, id tiebreak;
+    floor(n/5), min 1) — the members that expand coverage of the
+    cluster's periphery, the complement of dedup_semantic_clusters'
+    near-representative pruning. Reports per cluster the member count,
+    kept count, and the [farthest, frontier] cosine band of the
+    selection.
+
+    Physical shape at 100 TB: centroids broadcast; one corpus pass for
+    assignment (per-vec_id window), one cluster-partitioned window for
+    the diversity rank, one map-side-combinable rollup — no all-pairs
+    distance anywhere (true farthest-point traversal is sequential;
+    the centroid-distance rank is its standard one-pass surrogate).
+    """
+    from ..functions.vectors import cosine
+    from ..operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "c_label", cosine(F.col("embedding"), F.col("cvec")).alias("c_cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_label"))
+    member = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    wd = Window.partitionBy("c_label").orderBy(F.asc("c_cos"), F.asc("vec_id"))
+    wc = Window.partitionBy("c_label")
+    ranked = member.withColumn("dr", F.row_number().over(wd)).withColumn(
+        "nm", F.count(F.lit(1)).over(wc)
+    )
+    quota = F.greatest(F.lit(1).cast("long"), F.floor(F.col("nm") / 5.0))
+    kept = F.col("dr") <= quota
+    return (
+        ranked.groupBy(F.col("c_label").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+            F.round(F.min(F.when(kept, F.col("c_cos"))), 6).alias(
+                "farthest_cos"
+            ),
+            F.round(F.max(F.when(kept, F.col("c_cos"))), 6).alias(
+                "frontier_cos"
+            ),
+        )
+        .orderBy("cluster")
+    )

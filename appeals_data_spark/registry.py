@@ -84,10 +84,10 @@ def register(
 # registered queries.
 #
 # Round-6 rotation (EXECUTED this round — the r5 window was
-# accidentally left byte-identical to r4's): front-load the three
+# accidentally left byte-identical to r4's): front-load the four
 # round-6 additions (paragraph-granularity dedup, bloom-prefiltered
-# decontamination, PII/denylist scrub), then the 30 queries whose only
-# driver verdict was
+# decontamination, PII/denylist scrub, cluster-diversity quota
+# selection), then the 30 queries whose only driver verdict was
 # from round 1 (four rounds of refactors shipped since), then 6 green
 # flagship sentinels for cross-round regression cover — including the
 # two queries whose PLANS changed this round (pref_bradley_terry's
@@ -104,6 +104,7 @@ _SWEEP_FIRST = [
     "dedup_paragraph_retention",
     "pipe_decontam_bloom",
     "pipe_pii_blocklist_scrub",
+    "pipe_diverse_cluster_quota",
     # the 30 r1-stale queries (only driver verdict was round 1)
     "p4_range_in_between",
     "p7_like_rlike",
@@ -153,7 +154,6 @@ _SWEEP_FIRST = [
     "j17_pit_backlog",
     "x1_derived_count_scalars",
     "closure_components",
-    "comp_outcome_rates",
 ]
 
 
