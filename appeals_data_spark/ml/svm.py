@@ -95,9 +95,11 @@ def pegasos_linear_svm(
             scale = 10 ** exact_sum_decimals
             # rint, not round: Spark's ROUND boxes every double through
             # BigDecimal (measured +50% on this fold); Math.rint is a
-            # pure FP instruction. Half-to-even vs half-away never
-            # differs here — scaled contributions sit on the integer
-            # grid (within ~1e-9), never at .5.
+            # pure FP instruction. The HALF-TO-EVEN tie mode is
+            # load-bearing: x3's grid-aligned features never hit .5,
+            # but pipe_classifier_filter's swr-derived contributions
+            # can — its oracle matches only because DuckDB round_even
+            # is rint's exact twin. Never swap in a half-up ROUND.
             return (
                 F.coalesce(
                     F.sum(F.rint(contrib * scale).cast("long")), F.lit(0)

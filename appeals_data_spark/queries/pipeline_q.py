@@ -929,10 +929,15 @@ def pipe_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingles(F.lower(F.trim(F.col("text"))), 3)
         ).alias("gs"),
     )
+    # Materialized once: the tiny distinct gram set feeds BOTH the
+    # Bloom build and the confirming semi-join broadcast — without the
+    # barrier each consumer re-scans and re-shingles the full
+    # documents table (the similarity.py ivf_topk convention).
     bench = (
         grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.explode("gs").alias("g"))
         .distinct()
+        .localCheckpoint()
     )
     pos = [
         F.pmod(F.xxhash64("g", F.lit(j)), F.lit(_BLOOM_BITS)).alias(f"p{j}")

@@ -92,11 +92,13 @@ def register(
 # flagship sentinels for cross-round regression cover — including the
 # two queries whose PLANS changed this round (pref_bradley_terry's
 # rewritten pair generation + windowed MM, pipe_classifier_filter's
-# determinism-gate coverage) — then 12 queries whose latest verdict is
-# round 2 (the next-oldest tier). Round-7 plan: front-load round-7
-# additions, then the remaining r2-latest tier
-# (u2/u3/o1/o4/w1/j12/j16/x1/... complement), then the r3 tier,
-# keeping every query's latest driver verdict <= 2 rounds old.
+# determinism-gate coverage) — then 10 queries whose latest verdict is
+# round 2 (the next-oldest tier; comp_outcome_rates and
+# a6_rate_vs_group_total were displaced by the late round-6 additions
+# and lead the r2 tier in round 7). Round-7 plan: front-load round-7
+# additions, then comp_outcome_rates/a6_rate_vs_group_total and the
+# remaining r2-latest tier, then the r3 tier, keeping every query's
+# latest driver verdict <= 2 rounds old.
 # Simulate with `python tools/check.py --window 50 --vanilla` before
 # shipping.
 _SWEEP_FIRST = [

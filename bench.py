@@ -169,7 +169,6 @@ def main() -> None:
         json.dump(detail, f, indent=1)
     print("BENCH_DETAIL " + json.dumps(detail))
     compact = dict(detail)
-    compact["queries"] = timings  # headline per-query minima only
     del compact["first_run_queries"]
     compact["secondary"] = {
         "value": detail["secondary"]["value"],

@@ -215,6 +215,10 @@ ITERATIVE_SEGMENTS = {
     # final plan is just FlatMapGroupsInPandas + rank (2 exchanges).
     # Was (6, 13) with per-round broadcast-join rounds in r4/r5.
     "pref_bradley_terry": (1, 3),
+    # one checkpointed segment: the distinct bench gram set (one scan +
+    # one distinct exchange) reused by the Bloom build and the
+    # confirming semi-join broadcast
+    "pipe_decontam_bloom": (1, 1),
     "stream_lm_gate": (1, 1),
     "pipe_perplexity_buckets": (1, 1),
     "text_bm25_topk": (1, 1),
