@@ -44,6 +44,7 @@ BNLJ_OK = {
     "text_bigram_interp_logprob",  # 1-row corpus-total scalar side
     "pipe_perplexity_buckets",  # 1-row corpus-total scalar side (LM train)
     "dedup_semantic_clusters",  # centroid + per-cluster representative sides
+    "pipe_diverse_cluster_quota",  # |labels|-row centroid side
     "pipe_classifier_filter",  # 1-row pegasos coefficient side per round
     "stream_centroid_occupancy",  # 1-row centroid-array model side
     "stream_lm_gate",  # 1-row LM-map model side
