@@ -793,3 +793,93 @@ def dedup_paragraph_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_fuzzy_entity_names",
+    oracle="""
+    WITH ent AS (
+      SELECT p_name AS n, split_part(p_name, ' ', 1) AS b, COUNT(*) AS cnt
+      FROM part GROUP BY 1, 2
+    ), pr AS (
+      SELECT a.b, levenshtein(a.n, b.n) AS d, a.cnt * b.cnt AS w
+      FROM ent a JOIN ent b ON a.b = b.b AND a.n < b.n
+    ), es AS (
+      SELECT b, COUNT(*) AS n_entities, CAST(SUM(cnt) AS BIGINT) AS n_records
+      FROM ent GROUP BY b
+    ), ps AS (
+      SELECT b, COUNT(*) AS n_pairs,
+             CAST(SUM(CASE WHEN d <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match,
+             CAST(COALESCE(SUM(CASE WHEN d <= 3 THEN w END), 0) AS BIGINT)
+               AS rec_pairs_matched
+      FROM pr GROUP BY b
+    )
+    SELECT es.b AS block, es.n_entities, es.n_records,
+           COALESCE(ps.n_pairs, 0) AS n_pairs,
+           COALESCE(ps.n_match, 0) AS n_match,
+           COALESCE(ps.rec_pairs_matched, 0) AS rec_pairs_matched
+    FROM es LEFT JOIN ps USING (b) ORDER BY block
+    """,
+    tags=("DEDUP", "J1"),
+)
+def dedup_fuzzy_entity_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching — the entity-resolution /
+    record-linkage primitive (Fellegi-Sunter blocking + edit-distance
+    compare, the Splink/dedupe.io shape): collapse part records to
+    DISTINCT name entities with multiplicities, block on the name's
+    first token, compare only within-block entity pairs (a.n < b.n,
+    each unordered pair once) by Levenshtein distance, and report per
+    block the entity/record counts, candidate pairs, matches at
+    distance <= 3, and the record-level pair mass those matches imply
+    (sum of cnt_a * cnt_b) — all integers, hash-exact.
+
+    Scale shape (the canonical ER pattern at 100 TB): the
+    record->entity collapse is one hash aggregation that shrinks the
+    compare space from records to distinct strings; the candidate join
+    is an EQUI-join on the blocking key (never all-pairs — candidates
+    are quadratic only within a block, the knob every ER system
+    exposes); levenshtein runs JVM-side inside codegen. Multiplicity
+    weights recover record-level statistics without ever joining
+    records to records.
+    """
+    p = load_table(spark, sf_dir, "part")
+    ent = (
+        p.groupBy(F.col("p_name").alias("n"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("b", F.substring_index("n", " ", 1))
+    )
+    a, bb = ent.alias("a"), ent.alias("b")
+    pr = a.join(
+        F.broadcast(bb),
+        (F.col("a.b") == F.col("b.b")) & (F.col("a.n") < F.col("b.n")),
+    ).select(
+        F.col("a.b").alias("block"),
+        F.levenshtein(F.col("a.n"), F.col("b.n")).alias("d"),
+        (F.col("a.cnt") * F.col("b.cnt")).alias("w"),
+    )
+    es = ent.groupBy(F.col("b").alias("block")).agg(
+        F.count("*").alias("n_entities"),
+        F.sum("cnt").cast("long").alias("n_records"),
+    )
+    ps = pr.groupBy("block").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("d") <= 3).cast("int")).cast("long").alias("n_match"),
+        F.coalesce(F.sum(F.when(F.col("d") <= 3, F.col("w"))), F.lit(0))
+        .cast("long")
+        .alias("rec_pairs_matched"),
+    )
+    return (
+        es.join(ps, "block", "left")
+        .select(
+            "block",
+            "n_entities",
+            "n_records",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_match", F.lit(0)).alias("n_match"),
+            F.coalesce("rec_pairs_matched", F.lit(0)).alias(
+                "rec_pairs_matched"
+            ),
+        )
+        .orderBy("block")
+    )
