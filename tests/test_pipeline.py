@@ -166,3 +166,16 @@ def test_pii_scrub_mask_accounting(spark):
         # the masked spans, nothing more
         assert r.email_hits == 0 and r.ipv4_hits == 0, r
         assert 6 * r.block_hits <= r.chars_masked <= 8 * r.block_hits, r
+
+
+def test_fuzzy_entity_pairs_complete_within_block(spark):
+    # blocking emits every within-block entity pair exactly once:
+    # n_pairs must equal C(n_entities, 2) per block, and matches can
+    # only be a subset
+    rows = all_queries()["dedup_fuzzy_entity_names"].builder(spark, SF).collect()
+    assert rows
+    assert any(r.n_match > 0 for r in rows)  # threshold has live signal
+    for r in rows:
+        assert r.n_pairs == r.n_entities * (r.n_entities - 1) // 2, r
+        assert 0 <= r.n_match <= r.n_pairs, r
+        assert r.n_records >= r.n_entities, r
