@@ -131,3 +131,40 @@ def lang_id_heuristic(col: str | Column) -> Column:
         .when(de > 0, F.lit("de"))
         .otherwise(F.lit("unknown"))
     )
+
+
+# PII / denylist scrub patterns (RE2/Java common subset — no
+# lookaround, no backreferences), shared verbatim by the
+# pipe_pii_blocklist_scrub oracle and the streaming ingest projection.
+SCRUB_BLOCK = r"\b(customer|vector|stream)\b"
+SCRUB_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+SCRUB_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_counts(docs) -> "DataFrame":
+    """Stateless per-document scrub projection — identical over a
+    batch table or a file-source stream (no window, no state): hit
+    counts per pattern plus the exact character mass a mask-to-empty
+    removes, with the fixed masking order (block, email, ipv4)."""
+    t = F.lower(F.trim(F.col("text")))
+    occ = {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        for name, pat in (
+            ("block", SCRUB_BLOCK),
+            ("email", SCRUB_EMAIL),
+            ("ipv4", SCRUB_IPV4),
+        )
+    }
+    masked = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(t, SCRUB_BLOCK, ""), SCRUB_EMAIL, ""),
+        SCRUB_IPV4,
+        "",
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        occ["block"].alias("occ_block"),
+        occ["email"].alias("occ_email"),
+        occ["ipv4"].alias("occ_ipv4"),
+        (F.length(t) - F.length(masked)).alias("chars_masked"),
+    )

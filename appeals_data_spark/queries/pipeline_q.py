@@ -992,14 +992,15 @@ def pipe_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Scrub patterns, shared verbatim by builder and oracle (RE2/Java
-# common subset: no lookaround, no backreferences). The term denylist
-# carries the live signal on the synthetic corpus; the email/IPv4 arms
-# are the standard PII shapes and legitimately count zero here (the
-# generator emits no digits) while staying fully exercised plumbing.
-_SCRUB_BLOCK = r"\b(customer|vector|stream)\b"
-_SCRUB_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-_SCRUB_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# Scrub patterns live in functions.text (shared verbatim by this
+# oracle, the Spark projection, and the streaming ingest parity test).
+# The term denylist carries the live signal on the synthetic corpus;
+# the email/IPv4 arms are the standard PII shapes and legitimately
+# count zero here (the generator emits no digits) while staying fully
+# exercised plumbing.
+from ..functions.text import SCRUB_BLOCK as _SCRUB_BLOCK  # noqa: E402
+from ..functions.text import SCRUB_EMAIL as _SCRUB_EMAIL  # noqa: E402
+from ..functions.text import SCRUB_IPV4 as _SCRUB_IPV4  # noqa: E402
 
 _SCRUB_ORACLE = """
     WITH scrub AS (
@@ -1048,31 +1049,14 @@ def pipe_pii_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     on source. At 100 TB this is the canonical embarrassingly-parallel
     pass; the actual scrubbed text (the regexp_replace with a mask
     token instead of '') would feed a sink from the same single scan.
+    The per-doc projection is STATELESS and shared with the streaming
+    ingest path (functions.text.scrub_counts) — stream==batch parity
+    is pinned in tests/test_streaming.py.
     """
+    from ..functions.text import scrub_counts
+
     d = load_table(spark, sf_dir, "documents")
-    t = F.lower(F.trim(F.col("text")))
-    occ = {
-        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
-        for name, pat in (
-            ("block", _SCRUB_BLOCK),
-            ("email", _SCRUB_EMAIL),
-            ("ipv4", _SCRUB_IPV4),
-        )
-    }
-    masked = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, _SCRUB_BLOCK, ""), _SCRUB_EMAIL, ""
-        ),
-        _SCRUB_IPV4,
-        "",
-    )
-    per_doc = d.select(
-        "source",
-        occ["block"].alias("occ_block"),
-        occ["email"].alias("occ_email"),
-        occ["ipv4"].alias("occ_ipv4"),
-        (F.length(t) - F.length(masked)).alias("chars_masked"),
-    )
+    per_doc = scrub_counts(d)
     return (
         per_doc.groupBy("source")
         .agg(

@@ -496,3 +496,21 @@ def test_watermark_drops_late_rows_after_finalization(spark, tmp_path):
         .first()
     )
     assert batch["count"] == 3
+
+
+def test_pii_scrub_parity(spark, docs_dir):
+    """The stateless PII/denylist scrub projection must produce
+    identical per-doc hit counts and mask mass over the file-source
+    stream and the batch table — the redaction stage is ingest-safe."""
+    from appeals_data_spark.functions.text import scrub_counts
+    from appeals_data_spark.streaming.doc_stream import document_stream
+
+    streamed = run_to_memory(
+        spark,
+        scrub_counts(document_stream(spark, docs_dir)),
+        "pii_scrub_sink",
+        output_mode="append",
+    )
+    batch = scrub_counts(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+    cols = ["doc_id", "source", "occ_block", "occ_email", "occ_ipv4", "chars_masked"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
