@@ -30,12 +30,17 @@ from appeals_data_spark.session import get_spark
 # "value" stays untouched.
 SECONDARY = [
     "a21_sliding_mau",
+    "dedup_fuzzy_entity_names",
+    "dedup_paragraph_retention",
     "dedup_semantic_clusters",
     "dedup_substring_coverage",
     "graph_pagerank_handoff",
     "mm_decode_audio",
     "pipe_classifier_filter",
+    "pipe_decontam_bloom",
+    "pipe_diverse_cluster_quota",
     "pipe_perplexity_buckets",
+    "pipe_pii_blocklist_scrub",
     "pipe_source_caps",
     "pref_bradley_terry",
     "stream_centroid_occupancy",
