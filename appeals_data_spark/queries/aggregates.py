@@ -785,3 +785,60 @@ def a23_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("approx_distinct") - F.col("exact_distinct")) <= bound
         ).alias("approx_within_bound"),
     ).orderBy("grp")
+
+
+@register(
+    "a24_freq_items_bound",
+    oracle="""
+    WITH hh AS (
+      SELECT o_orderpriority AS priority, COUNT(*) AS n,
+             SUM(COUNT(*)) OVER () AS t
+      FROM orders GROUP BY 1
+    )
+    SELECT priority, n,
+           ROUND(n * 1.0 / t, 6) AS share,
+           TRUE AS in_sketch
+    FROM hh WHERE n > 0.15 * t ORDER BY priority
+    """,
+    tags=("A3", "APPROX"),
+)
+def a24_freq_items_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified frequent-items sketch — the third APPROX certificate
+    next to a22 (GK quantiles) and a23 (HLL distinct): Spark's
+    ``df.stat.freqItems`` (Karp-Shenker-Papadimitriou one-pass counter
+    sketch, mergeable map-side) GUARANTEES no false negatives above
+    the support threshold — every item with true frequency > s must
+    appear in the sketch (false positives allowed). The emitted
+    certificate is exactly that one-sided bound: for each EXACT heavy
+    hitter (share > 0.15), a boolean that the sketch contains it. The
+    oracle pins the exact counts/shares by value and the certificate
+    TRUE — the sketch's (partition-order-dependent) false-positive
+    tail is never compared, only its proven containment property, so
+    the row is hash-stable on any fixture. At 100 TB the exact
+    aggregation is one map-side-combinable pass; the sketch is the
+    cheap pre-pass that bounds candidate keys before the exact count
+    (mirror of the Bloom decontamination shape, for keys)."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    hh = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("t", F.sum("n").over(Window.partitionBy()))
+    )
+    fi = o.select(F.col("o_orderpriority").alias("p")).stat.freqItems(
+        ["p"], support=0.15
+    )
+    return (
+        hh.filter(F.col("n") > 0.15 * F.col("t"))
+        .crossJoin(F.broadcast(fi))
+        .select(
+            "priority",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("t"), 6).alias("share"),
+            F.array_contains(F.col("p_freqItems"), F.col("priority")).alias(
+                "in_sketch"
+            ),
+        )
+        .orderBy("priority")
+    )

@@ -84,22 +84,23 @@ def register(
 # registered queries.
 #
 # Round-6 rotation (EXECUTED this round — the r5 window was
-# accidentally left byte-identical to r4's): front-load the five
+# accidentally left byte-identical to r4's): front-load the six
 # round-6 additions (paragraph-granularity dedup, bloom-prefiltered
 # decontamination, PII/denylist scrub, cluster-diversity quota
-# selection, blocked fuzzy entity matching), then the 30 queries
-# whose only driver verdict was
+# selection, blocked fuzzy entity matching, frequent-items
+# certificate), then the 30 queries whose only driver verdict was
 # from round 1 (four rounds of refactors shipped since), then 6 green
 # flagship sentinels for cross-round regression cover — including the
 # two queries whose PLANS changed this round (pref_bradley_terry's
 # rewritten pair generation + windowed MM, pipe_classifier_filter's
-# determinism-gate coverage) — then 9 queries whose latest verdict is
+# determinism-gate coverage) — then 8 queries whose latest verdict is
 # round 2 (the next-oldest tier; comp_outcome_rates,
-# a6_rate_vs_group_total and closure_components were displaced by the
-# late round-6 additions and lead the r2 tier in round 7). Round-7
-# plan: front-load round-7 additions, then the three displaced queries
-# and the remaining r2-latest tier, then the r3 tier, keeping every
-# query's latest driver verdict <= 2 rounds old.
+# a6_rate_vs_group_total, closure_components and
+# x1_derived_count_scalars were displaced by the late round-6
+# additions and lead the r2 tier in round 7). Round-7 plan: front-load
+# round-7 additions, then the four displaced queries and the remaining
+# r2-latest tier, then the r3 tier, keeping every query's latest
+# driver verdict <= 2 rounds old.
 # Simulate with `python tools/check.py --window 50 --vanilla` before
 # shipping.
 _SWEEP_FIRST = [
@@ -109,6 +110,7 @@ _SWEEP_FIRST = [
     "pipe_pii_blocklist_scrub",
     "pipe_diverse_cluster_quota",
     "dedup_fuzzy_entity_names",
+    "a24_freq_items_bound",
     # the 30 r1-stale queries (only driver verdict was round 1)
     "p4_range_in_between",
     "p7_like_rlike",
@@ -156,7 +158,6 @@ _SWEEP_FIRST = [
     "j12_cross_source_join",
     "j16_window_similarity_count",
     "j17_pit_backlog",
-    "x1_derived_count_scalars",
 ]
 
 
