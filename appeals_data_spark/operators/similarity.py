@@ -175,24 +175,108 @@ def label_centroids(
     )
 
 
+def centroid_struct_array(centroids: DataFrame) -> DataFrame:
+    """Collapse a (c_label, cvec) centroid table into ONE row holding a
+    label-sorted array<struct<c_label,cvec>> — the broadcastable model
+    artifact the expression-level assigners fold over. Label types are
+    preserved (unlike streaming.vec_stream.centroid_array's int cast)
+    so downstream schemas are unchanged for long-labeled centroid sets
+    (e.g. vec_kmeans_lloyd's vec_id-seeded cells)."""
+    return centroids.agg(
+        F.array_sort(F.collect_list(F.struct("c_label", "cvec"))).alias(
+            "_cents"
+        )
+    )
+
+
+def nearest_centroid_best(cents: Column, vec: Column, label_type: str) -> Column:
+    """Per-row argmax over a centroid struct array: fold keeping the
+    (c_label, c_cos) with the highest cosine; strict > keeps the FIRST
+    (lowest label, array is label-sorted) on exact ties — identical to
+    the (cos DESC, c_label ASC) window rank the r1-r6 assigners used,
+    term for term, so every downstream oracle hash is unchanged. The
+    batch twin of streaming.vec_stream.nearest_centroid_struct, made
+    label-type generic (init is a typed NULL: any real cosine beats
+    -inf, so it never survives a non-empty centroid set)."""
+    init = F.struct(
+        F.lit(None).cast(label_type).alias("c_label"),
+        F.lit(float("-inf")).alias("c_cos"),
+    )
+
+    def step(acc: Column, c: Column) -> Column:
+        cc = cosine(vec, c["cvec"])
+        return F.when(
+            cc > acc["c_cos"],
+            F.struct(c["c_label"].alias("c_label"), cc.alias("c_cos")),
+        ).otherwise(acc)
+
+    return F.aggregate(cents, init, step)
+
+
+def _topk_centroid_structs(cents: Column, vec: Column, rank_max: int) -> Column:
+    """Per-row top-``rank_max`` centroids by (cos DESC, c_label ASC):
+    score every centroid in one transform pass (each cosine evaluated
+    exactly once — the lambda only touches its own element, so the
+    CollapseProject re-evaluation trap documented on pref_bradley_terry
+    does not apply), comparator-sort, slice. All expression-level: no
+    shuffle, no per-vector window."""
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            c["c_label"].alias("c_label"),
+            cosine(vec, c["cvec"]).alias("c_cos"),
+        ),
+    )
+
+    def cmp(a: Column, b: Column) -> Column:
+        return (
+            F.when(a["c_cos"] > b["c_cos"], F.lit(-1))
+            .when(a["c_cos"] < b["c_cos"], F.lit(1))
+            .when(a["c_label"] < b["c_label"], F.lit(-1))
+            .when(a["c_label"] > b["c_label"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    return F.slice(F.array_sort(scored, cmp), 1, rank_max)
+
+
 def assign_to_centroids(
     corpus: DataFrame, centroids: DataFrame, rank_max: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Nearest-centroid assignment (rank_max=1) or probe lists
-    (rank_max=nprobe): (id, c_label, c_rank). Centroids broadcast;
-    one pass over the corpus — the IVF build/probe primitive."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        "c_label",
-        cosine(F.col(vec_col), F.col("cvec")).alias("c_cos"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("c_label"))
-    return (
-        scored.withColumn("c_rank", F.row_number().over(w))
-        .filter(F.col("c_rank") <= rank_max)
-        .select(id_col, vec_col, "c_label", "c_rank")
+    (rank_max=nprobe): (id, c_label, c_rank) — the IVF build/probe
+    primitive.
+
+    Zero-shuffle shape (round 7): the centroid table collapses to a
+    one-row label-sorted array (one tiny exchange over |cells| rows),
+    broadcast-crossed onto the corpus, and the argmax/top-k is an
+    expression-level fold per vector — the r1-r6 crossJoin +
+    Window.partitionBy(id) version shuffled the FULL corpus
+    (|corpus| x |cells| rows through one exchange) just to rank
+    within each vector's own candidate list. At 100 TB that exchange
+    was the dominant cost of every IVF build; now the corpus pass is
+    narrow end-to-end. Tie semantics are identical (strict >/
+    comparator sort keep the lowest label), so assignments are
+    bit-for-bit the ones the window produced."""
+    label_type = dict(centroids.dtypes)["c_label"]
+    joined = corpus.crossJoin(F.broadcast(centroid_struct_array(centroids)))
+    if rank_max == 1:
+        best = nearest_centroid_best(F.col("_cents"), F.col(vec_col), label_type)
+        return joined.select(
+            F.col(id_col),
+            F.col(vec_col),
+            best["c_label"].alias("c_label"),
+            F.lit(1).alias("c_rank"),
+        )
+    top = _topk_centroid_structs(F.col("_cents"), F.col(vec_col), rank_max)
+    return joined.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(top).alias("_p", "_s")
+    ).select(
+        id_col,
+        vec_col,
+        F.col("_s")["c_label"].alias("c_label"),
+        (F.col("_p") + 1).alias("c_rank"),
     )
 
 

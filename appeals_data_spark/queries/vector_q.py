@@ -705,19 +705,34 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cluster quadratic of full SemDeDup is avoided by
     construction."""
     from ..functions.vectors import cosine
-    from ..operators.similarity import label_centroids
+    from ..operators.similarity import (
+        centroid_struct_array,
+        label_centroids,
+        nearest_centroid_best,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = label_centroids(emb)
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "c_label",
-        cosine(F.col("embedding"), F.col("cvec")).alias("c_cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_label"))
-    member = scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    # Zero-shuffle assignment (round 7): one-row label-sorted centroid
+    # array broadcast onto the corpus, argmax as an expression fold —
+    # replaces the crossJoin + Window.partitionBy(vec_id) that shuffled
+    # |corpus| x |cells| rows. Tie semantics identical (strict > keeps
+    # the lowest label), so member rows are bit-for-bit unchanged.
+    member = (
+        emb.crossJoin(F.broadcast(centroid_struct_array(cents)))
+        .select(
+            "vec_id",
+            "embedding",
+            nearest_centroid_best(
+                F.col("_cents"), F.col("embedding"), "int"
+            ).alias("_b"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("_b.c_label").alias("c_label"),
+            F.col("_b.c_cos").alias("c_cos"),
+        )
     )
     wrep = Window.partitionBy("c_label").orderBy(F.desc("c_cos"), F.asc("vec_id"))
     rep = (
@@ -814,19 +829,29 @@ def pipe_diverse_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance anywhere (true farthest-point traversal is sequential;
     the centroid-distance rank is its standard one-pass surrogate).
     """
-    from ..functions.vectors import cosine
-    from ..operators.similarity import label_centroids
+    from ..operators.similarity import (
+        centroid_struct_array,
+        label_centroids,
+        nearest_centroid_best,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = label_centroids(emb)
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "c_label", cosine(F.col("embedding"), F.col("cvec")).alias("c_cos")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_label"))
+    # Zero-shuffle assignment fold — see dedup_semantic_clusters; the
+    # only shuffles left are the two semantic windows below.
     member = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        emb.crossJoin(F.broadcast(centroid_struct_array(cents)))
+        .select(
+            "vec_id",
+            nearest_centroid_best(
+                F.col("_cents"), F.col("embedding"), "int"
+            ).alias("_b"),
+        )
+        .select(
+            "vec_id",
+            F.col("_b.c_label").alias("c_label"),
+            F.col("_b.c_cos").alias("c_cos"),
+        )
     )
     wd = Window.partitionBy("c_label").orderBy(F.asc("c_cos"), F.asc("vec_id"))
     wc = Window.partitionBy("c_label")
