@@ -144,26 +144,36 @@ def label_centroids(
     """Coarse-quantizer centroids: per-label, per-dimension mean.
     Output (c_label, cvec array<double>) — small (|labels| rows),
     always broadcast at the probe site. The mean is an EXACT fold —
-    sum of 12dp-rounded DECIMAL(38,12) summands, cast to double, one
-    IEEE division by the count, rounded to 6 dp (mirrored term for
-    term in vector_q._SQL_CENTROIDS): a plain AVG's partial-aggregate
-    merge order is partitioning-dependent, and a last-ulp drift
-    landing on a 5e-7 rounding boundary could flip the 6th dp — and
-    with it a near-tie cell assignment — across runs or engines."""
+    each summand is rint(x * 1e12) (an integral double, identical
+    bits in both engines because the product and the half-to-even
+    round are single IEEE ops; DuckDB's twin is round_even(x*1e12,0)
+    — the svm/survival scaled-long discipline), summed as
+    DECIMAL(38,0) so the accumulation is exact at any partition count
+    and any corpus size, then ONE mirrored double op sequence
+    (/1e12 /count *1e6, rint, /1e6) for the 6dp-rounded component
+    (mirrored term for term in vector_q._SQL_CENTROIDS): a plain
+    AVG's partial-aggregate merge order is partitioning-dependent,
+    and the previous Spark round(x,12) (exact BigDecimal HALF_UP)
+    could disagree with DuckDB ROUND(x,12) (FP-scaled) by 1 ulp on a
+    1e-12 grid boundary — the rint twin removes both hazards."""
     unpacked = corpus.select(
         F.col(label_col).alias("c_label"), F.posexplode(vec_col).alias("pos", "x")
     )
     return (
         unpacked.groupBy("c_label", "pos")
         .agg(
-            F.round(
-                F.sum(
-                    F.round(F.col("x").cast("double"), 12).cast(
-                        "decimal(38,12)"
-                    )
-                ).cast("double")
-                / F.count("*"),
-                6,
+            (
+                F.rint(
+                    F.sum(
+                        F.rint(
+                            F.col("x").cast("double") * F.lit(1e12)
+                        ).cast("decimal(38,0)")
+                    ).cast("double")
+                    / F.lit(1e12)
+                    / F.count("*")
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
             ).alias("cx")
         )
         .groupBy("c_label")

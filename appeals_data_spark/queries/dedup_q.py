@@ -849,9 +849,13 @@ def dedup_fuzzy_entity_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .withColumn("b", F.substring_index("n", " ", 1))
     )
+    # No broadcast hint: the distinct-entity table is NOT broadcastable
+    # at 100 TB, and the join has an equi key (the block) — AQE picks
+    # broadcast at small SFs and a shuffle hash join at scale, which is
+    # exactly the blocking-scalability story the docstring claims.
     a, bb = ent.alias("a"), ent.alias("b")
     pr = a.join(
-        F.broadcast(bb),
+        bb,
         (F.col("a.b") == F.col("b.b")) & (F.col("a.n") < F.col("b.n")),
     ).select(
         F.col("a.b").alias("block"),

@@ -963,7 +963,11 @@ def pipe_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     maybe = None
     for j in range(_BLOOM_K):
         bit = F.expr(
-            f"coalesce(element_at(bf, shiftright(p{j}, 6)), CAST(0 AS BIGINT))"
+            # try_element_at: NULL-for-missing on a sparse bitset map in
+            # EVERY ansi config (plain element_at throws
+            # MAP_KEY_DOES_NOT_EXIST under some 3.x ANSI settings and the
+            # session does not pin spark.sql.ansi.enabled)
+            f"coalesce(try_element_at(bf, shiftright(p{j}, 6)), CAST(0 AS BIGINT))"
             f" & shiftleft(CAST(1 AS BIGINT), CAST(p{j} % 64 AS INT))"
         ) != 0
         maybe = bit if maybe is None else (maybe & bit)

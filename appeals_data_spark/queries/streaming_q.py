@@ -310,8 +310,10 @@ def stream_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cent AS (
       SELECT c_label, list(cx ORDER BY pos) AS cvec
       FROM (SELECT label AS c_label, pos,
-                   ROUND(CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))
-                              AS DOUBLE) / COUNT(*), 6) AS cx
+                   round_even(CAST(SUM(CAST(round_even(x * 1000000000000.0, 0)
+                                            AS DECIMAL(38,0))) AS DOUBLE)
+                              / 1000000000000.0 / COUNT(*) * 1000000.0, 0)
+                     / 1000000.0 AS cx
             FROM unp GROUP BY label, pos) t
       GROUP BY c_label
     ), assigned AS (

@@ -74,9 +74,11 @@ def vec_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared oracle fragment: per-label centroids as DOUBLE lists. The
 # mean is the exact fold mirrored from operators.similarity
-# .label_centroids: SUM of 12dp-rounded DECIMAL(38,12) summands ->
-# double -> one division by the count -> 6dp round, so neither
-# engine's accumulation order can move a component.
+# .label_centroids: round_even(x*1e12) integral summands (DuckDB twin
+# of Spark rint — identical IEEE product + half-to-even bits) summed
+# exactly as DECIMAL(38,0), then one mirrored double op sequence
+# (/1e12 /count *1e6, round_even, /1e6), so neither engine's
+# accumulation order nor rounding mode can move a component.
 _SQL_CENTROIDS = """
     unp AS (
       SELECT label, generate_subscripts(embedding, 1) AS pos,
@@ -85,8 +87,10 @@ _SQL_CENTROIDS = """
     ), cent AS (
       SELECT c_label, list(cx ORDER BY pos) AS cvec
       FROM (SELECT label AS c_label, pos,
-                   ROUND(CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))
-                              AS DOUBLE) / COUNT(*), 6) AS cx
+                   round_even(CAST(SUM(CAST(round_even(x * 1000000000000.0, 0)
+                                            AS DECIMAL(38,0))) AS DOUBLE)
+                              / 1000000000000.0 / COUNT(*) * 1000000.0, 0)
+                     / 1000000.0 AS cx
             FROM unp GROUP BY label, pos) t
       GROUP BY c_label
     )
@@ -305,8 +309,10 @@ def vec_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cent AS (
       SELECT c_label, list(cx ORDER BY pos) AS cvec
       FROM (SELECT label AS c_label, pos,
-                   ROUND(CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))
-                              AS DOUBLE) / COUNT(*), 6) AS cx
+                   round_even(CAST(SUM(CAST(round_even(x * 1000000000000.0, 0)
+                                            AS DECIMAL(38,0))) AS DOUBLE)
+                              / 1000000000000.0 / COUNT(*) * 1000000.0, 0)
+                     / 1000000.0 AS cx
             FROM cunp GROUP BY label, pos) t
       GROUP BY c_label
     ), cells AS (

@@ -165,7 +165,14 @@ def all_queries() -> dict[str, Query]:
     # Import for side effects: populates REGISTRY.
     from . import queries  # noqa: F401
 
-    ordered = {n: REGISTRY[n] for n in _SWEEP_FIRST if n in REGISTRY}
+    unknown = [n for n in _SWEEP_FIRST if n not in REGISTRY]
+    # Loud, not silent: a typo or a renamed query must not shrink the
+    # driver's 50-query sweep window invisibly.
+    assert not unknown, f"_SWEEP_FIRST names not in REGISTRY: {unknown}"
+    assert len(set(_SWEEP_FIRST)) == len(_SWEEP_FIRST), (
+        "duplicate _SWEEP_FIRST entries shrink the sweep window"
+    )
+    ordered = {n: REGISTRY[n] for n in _SWEEP_FIRST}
     for n, q in REGISTRY.items():
         if n not in ordered:
             ordered[n] = q

@@ -129,7 +129,10 @@ def lm_scored_docs(docs: DataFrame, lm_row: DataFrame) -> DataFrame:
         toks,
         zero,
         lambda acc, x: (
-            acc + F.coalesce(F.element_at(F.col("lm"), x), floor)
+            # try_element_at: OOV tokens must read as NULL->floor in
+            # every ansi config; map element_at throws on a missing key
+            # under some ANSI settings
+            acc + F.coalesce(F.try_element_at(F.col("lm"), x), floor)
         ).cast("decimal(28,6)"),
     )
     return docs.crossJoin(F.broadcast(lm_row)).select(
