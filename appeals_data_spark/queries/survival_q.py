@@ -1603,9 +1603,10 @@ def x3_linear_svm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy with positive-recall favored by the class weights.
 
     Each training round is ONE fact-scale aggregation (three weighted
-    violator sums) with the 1-row coefficient frame broadcast back —
-    no collect, no per-row Python; the eval pass is one more broadcast
-    + conditional aggregation. Integer confusion counts make the
+    violator sums) whose k+1 fitted doubles hop to the driver and are
+    spliced into the next round as literals (MLlib-style iteration —
+    see ml.svm.pegasos_linear_svm); no per-row Python anywhere; the
+    eval pass is one broadcast + conditional aggregation. Integer confusion counts make the
     differential check exact; the violator folds run as 1e6-scaled
     int64 sums (features are exact <=2dp values, so the scaled
     contributions are exact integers) — every training round, and

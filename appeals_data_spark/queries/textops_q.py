@@ -1307,11 +1307,13 @@ def pipe_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard bootstrap when no hand-labels exist. Twenty
     full-batch pegasos rounds (ml.svm.pegasos_linear_svm, lam=0.02;
     ~0.93 weak-label agreement at sf0.01) on two features (scaled
-    token count, scaled stopword ratio); train and score compose into
-    ONE plan — the fitted 1-row coefficient frame broadcasts onto the
-    corpus with no driver collect (the pipe_model_score_broadcast
-    discipline). Per-source report: volume, model-kept count, weak
-    positives, model/weak agreement — all integer-exact.
+    token count, scaled stopword ratio); each round is one
+    map-side-combinable aggregation with the k+1 fitted doubles
+    spliced back as literals (MLlib-style driver iteration), and the
+    final 1-row coefficient frame broadcasts onto the corpus for
+    scoring (the pipe_model_score_broadcast discipline). Per-source
+    report: volume, model-kept count, weak positives, model/weak
+    agreement — all integer-exact.
 
     The feature frame IS persisted (unlike the raw-column fits — see
     ml.svm.pegasos_linear_svm's no-cache note): the projection here is

@@ -45,12 +45,12 @@ BNLJ_OK = {
     "pipe_perplexity_buckets",  # 1-row corpus-total scalar side (LM train)
     "dedup_semantic_clusters",  # centroid + per-cluster representative sides
     "pipe_diverse_cluster_quota",  # |labels|-row centroid side
-    "pipe_classifier_filter",  # 1-row pegasos coefficient side per round
+    "pipe_classifier_filter",  # 1-row fitted-coefficient scoring side
     "stream_centroid_occupancy",  # 1-row centroid-array model side
     "stream_lm_gate",  # 1-row LM-map model side
     "pipe_model_score_broadcast",  # 1-row fitted-coefficient side
     "x3_logistic_irls",  # 1-row IRLS coefficient side per round
-    "x3_linear_svm_eval",  # 1-row pegasos coefficient side per round
+    "x3_linear_svm_eval",  # 1-row fitted-coefficient eval side
     "u3_array_intersect_sources",  # collect_set'd tiny side
     "vec_brute_force_topk",  # 8 probe vectors
     "vec_ivf_topk",  # probes x centroids
@@ -210,7 +210,10 @@ ITERATIVE_SEGMENTS = {
     "closure_components": (3, 10),
     "dedup_canonical_corpus": (5, 18),
     "graph_pagerank_handoff": (10, 41),  # N is a broadcast agg: full plan chain even on the empty sf0.001 graph
-    "pipe_classifier_filter": (20, 20),
+    # pipe_classifier_filter / x3_linear_svm_eval no longer appear:
+    # pegasos moved to MLlib-style driver iteration (literal-spliced
+    # coefficients, no per-round localCheckpoint) — each round is one
+    # plain aggregation job, visible as no checkpointed segment.
     # ONE checkpointed segment: posexplode pair generation (unit agg +
     # per-part grouping + pair agg). All 3 MM rounds run inside a
     # single applyInPandas over the checkpointed pair stats — the
@@ -235,7 +238,6 @@ ITERATIVE_SEGMENTS = {
     "vec_kmeans_lloyd": (2, 6),
     "vec_pq_adc_topk": (1, 2),
     "vec_pq_rerank_topk": (1, 2),
-    "x3_linear_svm_eval": (10, 10),
     "x3_logistic_irls": (3, 3),
 }
 
