@@ -1744,6 +1744,53 @@ def _bt_oracle(iters: int = 3) -> str:
     return "".join(parts)
 
 
+def bt_pair_stats(li: DataFrame) -> DataFrame:
+    """Bradley-Terry pair statistics (sa < sb, #comparisons n, #wins w)
+    from lineitem — the distributed half of pref_bradley_terry, shared
+    with the size gate in tests/test_properties.py.
+
+    Ordered-pair generation: per-part supplier arrays sorted by
+    suppkey, then posexplode x slice(i+2..) emits exactly the
+    sk_a < sk_b half. sort_array orders struct(sk, u) by sk (unique
+    within part), so the a/b orientation matches the oracle's
+    a.sk < b.sk join predicate.
+
+    Single-Arrow-group bound: the result is item-pairs-sized — the
+    groupBy(sa, sb) caps it at C(S,2) rows for S distinct suppliers
+    REGARDLESS of fact-table size (32 bytes/row: ~1.6GB at S=10^4.5,
+    the applyInPandas comfort ceiling; a supplier universe beyond
+    ~3*10^4 needs the sharded fit documented in pref_bradley_terry
+    before the single-group applyInPandas is safe). The property gate
+    asserts the bound holds on real data."""
+    unit = (
+        li.groupBy(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("u"))
+    )
+    grouped = unit.groupBy("pk").agg(
+        F.sort_array(F.collect_list(F.struct("sk", "u"))).alias("xs")
+    )
+    return (
+        grouped.select(F.posexplode("xs").alias("i", "a"), "xs")
+        .select(
+            "a",
+            F.explode(
+                F.slice(F.col("xs"), F.col("i") + F.lit(2), F.size("xs"))
+            ).alias("b"),
+        )
+        .filter(F.col("a.u") != F.col("b.u"))
+        .groupBy(F.col("a.sk").alias("sa"), F.col("b.sk").alias("sb"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("a.u") < F.col("b.u"), 1).otherwise(0))
+            .cast("long")
+            .alias("w"),
+        )
+        .localCheckpoint()  # the fact-scale explosion runs exactly once
+    )
+
+
 @register(
     "pref_bradley_terry",
     oracle=_bt_oracle(),
@@ -1788,38 +1835,7 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers-sized math is scheduling-floor-bound in Spark jobs, and
     3.4s warm as a single Arrow fit (see BASELINE.md)."""
     li = load_table(spark, sf_dir, "lineitem")
-    unit = (
-        li.groupBy(
-            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-        )
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("u"))
-    )
-    # Ordered-pair generation: per-part supplier arrays sorted by
-    # suppkey, then posexplode x slice(i+2..) emits exactly the
-    # sk_a < sk_b half. sort_array orders struct(sk, u) by sk (unique
-    # within part), so the a/b orientation matches the oracle's
-    # a.sk < b.sk join predicate.
-    grouped = unit.groupBy("pk").agg(
-        F.sort_array(F.collect_list(F.struct("sk", "u"))).alias("xs")
-    )
-    pairs = (
-        grouped.select(F.posexplode("xs").alias("i", "a"), "xs")
-        .select(
-            "a",
-            F.explode(
-                F.slice(F.col("xs"), F.col("i") + F.lit(2), F.size("xs"))
-            ).alias("b"),
-        )
-        .filter(F.col("a.u") != F.col("b.u"))
-        .groupBy(F.col("a.sk").alias("sa"), F.col("b.sk").alias("sb"))
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("a.u") < F.col("b.u"), 1).otherwise(0))
-            .cast("long")
-            .alias("w"),
-        )
-        .localCheckpoint()  # the fact-scale explosion runs exactly once
-    )
+    pairs = bt_pair_stats(li)
     from pyspark.sql.window import Window
 
     def _mm_fit(pdf):

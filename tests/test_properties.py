@@ -532,3 +532,24 @@ def test_glmm_em_tau2_nonnegative_and_u_centered(spark, cells):
     rows = d.collect()
     assert all(r["tau2"] >= 0 for r in rows)
     assert all(math.isfinite(r["u"]) and math.isfinite(r["b0"]) for r in rows)
+
+
+def test_bt_pair_stats_is_item_pairs_sized(spark):
+    """Single-Arrow-group bound for pref_bradley_terry: the pair-stats
+    table that enters the ONE applyInPandas group must be item-pairs-
+    sized — rows <= C(S,2) for S distinct suppliers — independent of
+    the fact-table row count. If this ever fails, the fit needs the
+    sharded path documented in queries.survival_q.bt_pair_stats before
+    the single-group applyInPandas is safe."""
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.queries.survival_q import bt_pair_stats
+
+    from conftest import SF_CORRECT
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    s = li.select("l_suppkey").distinct().count()
+    n_pairs = bt_pair_stats(li).count()
+    assert n_pairs <= s * (s - 1) // 2, (n_pairs, s)
+    # and the bound is meaningfully tighter than fact scale: the group
+    # that reaches the Arrow fit must not grow with lineitem rows
+    assert n_pairs < li.count(), n_pairs
