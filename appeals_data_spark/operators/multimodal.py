@@ -498,3 +498,97 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "blob", "mime").mapInPandas(
         _dec, schema=WAV_STATS_SCHEMA
     )
+
+
+# --- perceptual hashing (image near-dedup) ---------------------------------
+
+# Gradient-scene parameters: pixel value v(x, gy; doc) =
+#   (scene*7*(x+1) + gy*11*(scene+3)) % 199   (the scene gradient)
+#   + off                                      (uniform brightness)
+#   + pert if gy == 0 and x % 3 == 0           (row-0 structured tweak)
+# with scene = doc_id % 256, off = (doc_id // 7) % 16,
+# pert = (doc_id // 256) % 8 — max value 198+15+7 = 220 < 256, so no
+# clipping/wrap anywhere. Same-scene docs are near-duplicate images:
+# `off` shifts every pixel uniformly (dHash-invariant — comparisons
+# cancel it), `pert` flips at most the 8 row-0 comparisons, so their
+# dHashes agree on bit 8..31 exactly and differ by Hamming <= 8.
+PHASH_W, PHASH_H = 18, 8  # 9x4 grid of 2x2 blocks -> 32-bit dHash
+
+
+def _gradient_pixels(doc_id: int) -> bytes:
+    scene = doc_id % 256
+    off = (doc_id // 7) % 16
+    pert = (doc_id // 256) % 8
+    rows = []
+    for y in range(PHASH_H):
+        gy = y // 2
+        for x in range(PHASH_W):
+            v = (scene * 7 * (x + 1) + gy * 11 * (scene + 3)) % 199 + off
+            if gy == 0 and x % 3 == 0:
+                v += pert
+            rows.append(bytes((v, v, v)))
+    return b"".join(rows)
+
+
+def as_gradient_image_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL gradient image per document (constant-color
+    payloads hash to all-zero dHashes, so the near-dedup corpus needs
+    structure): grayscale scene gradient + per-doc brightness offset +
+    a row-0 perturbation, all closed-form in doc_id so the decoded
+    raster — and hence the dHash — has an exact SQL twin. Mixed
+    containers like as_image_media (even doc_ids PPM, odd 24-bit BMP)
+    so the decode MUST dispatch per-row."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, mimes = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                px = _gradient_pixels(d)
+                if d % 2 == 1:
+                    blobs.append(encode_bmp(PHASH_W, PHASH_H, px))
+                    mimes.append(BMP_MIME)
+                else:
+                    blobs.append(encode_ppm(PHASH_W, PHASH_H, px))
+                    mimes.append(PPM_MIME)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "blob": blobs, "mime": mimes}
+            )
+
+    return _sized(docs.select("doc_id")).mapInPandas(
+        _enc, schema="doc_id long, blob binary, mime string"
+    )
+
+
+def dhash32(media: DataFrame) -> DataFrame:
+    """Difference hash over the DECODED raster (the standard dHash,
+    Krawetz 2013, at a 9x4 grid): block-sum the image into 4 rows x 9
+    columns of 2x2 integer sums (exact — no float resample), emit bit
+    (gy*8+i) when column block i outweighs block i+1. 32 bits -> one
+    BIGINT per image, computed in the same Arrow-batched 1:1
+    mapInPandas shape as decode_image_stats; every bit is a pure
+    function of the payload bytes, so a mis-parsed BMP pad or channel
+    swap flips bits and hash-fails the differential check."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            hs = []
+            for blob, mime in zip(pdf["blob"], pdf["mime"]):
+                w, h, raster = decode_media(blob, mime)
+                arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+                s = (
+                    arr[:, :, 0]
+                    .astype(np.int64)
+                    .reshape(h // 2, 2, w // 2, 2)
+                    .sum(axis=(1, 3))
+                )
+                bits = s[:, :-1] > s[:, 1:]
+                gy, gx = np.nonzero(bits)
+                hs.append(int((1 << (gy * 8 + gx)).sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "h": hs})
+
+    return media.select("doc_id", "blob", "mime").mapInPandas(
+        _hash, schema="doc_id long, h long"
+    )

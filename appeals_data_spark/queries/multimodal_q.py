@@ -235,3 +235,130 @@ def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_phash_near_dedup",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 256 AS scene,
+             (doc_id // 7) % 16 AS off, (doc_id // 256) % 8 AS pert
+      FROM documents
+    ), cells AS (
+      SELECT doc_id, g.gy, x.gx,
+             ((scene*7*(2*x.gx+1) + g.gy*11*(scene+3)) % 199 + off
+              + CASE WHEN g.gy = 0 AND (2*x.gx) % 3 = 0
+                     THEN pert ELSE 0 END)
+           + ((scene*7*(2*x.gx+2) + g.gy*11*(scene+3)) % 199 + off
+              + CASE WHEN g.gy = 0 AND (2*x.gx+1) % 3 = 0
+                     THEN pert ELSE 0 END) AS c
+      FROM p,
+           (SELECT unnest(range(4)) AS gy) g,
+           (SELECT unnest(range(9)) AS gx) x
+    ), bits AS (
+      SELECT doc_id, gy, gx, c,
+             LEAD(c) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS cn
+      FROM cells
+    ), hashes AS (
+      SELECT doc_id,
+             COALESCE(CAST(SUM(CASE WHEN c > cn
+                              THEN (1::BIGINT << (gy*8 + gx))
+                              ELSE 0 END) AS BIGINT), 0) AS h
+      FROM bits WHERE gx < 8 GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, h, k.k, (h >> (8*k.k)) & 255 AS bv
+      FROM hashes, (SELECT unnest(range(4)) AS k) k
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+                      a.h AS ha, b.h AS hb
+      FROM bands a JOIN bands b
+        ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT ida, idb, bit_count(xor(ha, hb)) AS ham
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+    )
+    SELECT da.source AS source_a, db.source AS source_b,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN ham = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hash_identical,
+           MAX(ham) AS max_hamming
+    FROM pairs
+    JOIN documents da ON ida = da.doc_id
+    JOIN documents db ON idb = db.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("MM", "DEDUP", "LSH", "UDF", "CODEC"),
+)
+def mm_phash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-deduplication — the multimodal twin
+    of the simhash/minhash text family: synthesize a REAL gradient
+    image per document (mixed PPM/BMP containers), dHash the DECODED
+    raster (operators.multimodal.dhash32 — 9x4 block grid, 32 bits),
+    band the hash into four 8-bit LSH bands, equi-join band buckets
+    for candidates, and confirm with full Hamming distance <= 8. The
+    corpus contains genuine near-duplicates by construction:
+    same-scene documents differ only by a uniform brightness shift
+    (dHash-invariant) plus a row-0 perturbation confined to band 0,
+    so replicas are guaranteed to collide on bands 1-3 (the property
+    gate in tests/test_multimodal.py pins both invariances). The
+    oracle re-derives every dHash bit closed-form from doc_id
+    arithmetic — any mis-parse in either container grammar (BMP pad,
+    bottom-up rows, channel order) flips bits and hash-fails.
+
+    Scale shape at 100 TB: hashing is one Arrow-batched 1:1 pass;
+    candidates come from an equi-join on (band, value) — cost tracks
+    bucket occupancy, never |corpus|^2 (replica-heavy buckets go
+    quadratic WITHIN the bucket, the standard LSH behavior; a
+    canonical-first exact dedup pass bounds bucket sizes in
+    production). One distinct + one rollup shuffle after that."""
+    from ..operators.multimodal import as_gradient_image_media, dhash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = dhash32(as_gradient_image_media(docs))
+    bands = hashes.select(
+        "doc_id",
+        "h",
+        F.posexplode(
+            F.array(*[
+                (F.shiftright("h", 8 * k).bitwiseAND(F.lit(255)))
+                for k in range(4)
+            ])
+        ).alias("k", "bv"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("ida"),
+            F.col("b.doc_id").alias("idb"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+        .dropDuplicates(["ida", "idb"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    pairs = cand.select("ida", "idb", ham.alias("ham")).filter(
+        F.col("ham") <= 8
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(src.select(F.col("doc_id").alias("ida"),
+                              F.col("source").alias("source_a")), "ida")
+        .join(src.select(F.col("doc_id").alias("idb"),
+                         F.col("source").alias("source_b")), "idb")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum((F.col("ham") == 0).cast("int"))
+            .cast("long")
+            .alias("n_hash_identical"),
+            F.max("ham").alias("max_hamming"),
+        )
+        .orderBy("source_a", "source_b")
+    )

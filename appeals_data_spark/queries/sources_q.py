@@ -301,3 +301,133 @@ def opt_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+def _claims_exchange_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the S6 exchange once per (session, sf): derive a
+    deterministic claims CSV from orders in the reference's wire format
+    (22 columns, M/D/YYYY non-padded date strings, BFCORLID = digits +
+    suffix letter, claims_for_bfcorlid.rb:50-80), then land it through
+    sources.claims_ingest.ingest_claims_csv — explicit-schema CSV read,
+    date/id normalization, month-partitioned parquet. The report query
+    reads the LANDED table, so the round-trip (format -> parse ->
+    normalize -> partition) is what the oracle checks."""
+    from ..catalog import scratch_path_once
+    from ..sources.claims_ingest import CLAIMS_COLUMNS, ingest_claims_csv
+
+    def write(path: str) -> None:
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 10 == 0
+        )
+        rd = F.to_date("o_orderdate")
+        vals = {
+            "BFCORLID": F.concat(F.col("o_custkey").cast("string"), F.lit("S")),
+            "benefit_claim_id": F.col("o_orderkey").cast("string"),
+            "claim_receive_date": F.date_format(rd, "M/d/yyyy"),
+            "claim_type_code": F.substring("o_orderpriority", 1, 1),
+            "claim_type_name": F.lit("Compensation"),
+            "claimant_first_name": F.lit("X"),
+            "claimant_last_name": F.lit("X"),
+            "claimant_middle_name": F.lit("X"),
+            "claimant_suffix": F.lit("X"),
+            "end_product_type_code": (F.col("o_orderkey") % 4).cast("string"),
+            "last_action_date": F.date_format(
+                F.date_add(rd, (F.col("o_orderkey") % 90).cast("int")),
+                "M/d/yyyy",
+            ),
+            "organization_name": F.lit("X"),
+            "organization_title_type_name": F.lit("X"),
+            "payee_type_code": F.lit("00"),
+            "person_or_organization_indicator": F.lit("P"),
+            "program_type_code": F.lit("CPL"),
+            "status_type_code": F.lit("PEND"),
+            # every third claim arrives with no journal row — the
+            # missing-date parse stat the report counts
+            "journal_date": F.when(
+                F.col("o_orderkey") % 3 == 0, F.lit(None).cast("string")
+            ).otherwise(F.date_format(rd, "M/d/yyyy")),
+            "journal_object_id": F.col("o_orderkey").cast("string"),
+            "journal_station": F.when(
+                F.col("o_orderkey") % 5 == 0, F.lit(397)
+            ).otherwise((F.lit(300) + F.col("o_orderkey") % 7).cast("int")),
+            "journal_status_type_code": F.lit("PEND"),
+            "journal_user_id": F.lit("X"),
+        }
+        # wire order matters: the explicit-schema read binds by position
+        rows = o.select(*[vals[c].alias(c) for c in CLAIMS_COLUMNS])
+        rows.write.csv(os.path.join(path, "csv"), header=True)
+        ingest_claims_csv(
+            spark, os.path.join(path, "csv"), os.path.join(path, "landed")
+        )
+
+    path = scratch_path_once(spark, sf_dir, "claims_exchange", write)
+    return spark.read.parquet(os.path.join(path, "landed"))
+
+
+@register(
+    "s6_claims_ingest_report",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS rd,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 90 AS INT)
+               AS last_action,
+             (o_orderkey % 3 = 0) AS jnull,
+             (o_orderkey % 5 = 0) AS amc
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT CAST(date_trunc('month', rd) AS DATE) AS receive_month,
+           COUNT(*) AS n_claims,
+           CAST(SUM(CASE WHEN amc THEN 1 ELSE 0 END) AS BIGINT) AS n_amc,
+           COUNT(DISTINCT o_custkey) AS n_file_numbers,
+           CAST(SUM(CASE WHEN LENGTH(CAST(o_custkey AS VARCHAR)) < 8
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_padded,
+           CAST(SUM(CASE WHEN jnull THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_journal,
+           MIN(last_action) AS first_action,
+           MAX(last_action) AS last_action
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+    tags=("S6", "S9", "A12"),
+)
+def s6_claims_ingest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 external-exchange ingest, differentially proven end to end:
+    a claims CSV in the reference wire format (M/D/YYYY strings,
+    BFCORLID digits+suffix, blank journal dates —
+    ruby/claims_for_bfcorlid.rb:50-102) is landed through
+    sources.claims_ingest (explicit schema, to_date normalization,
+    zero-padded file numbers, month-partitioned parquet), and the
+    per-receive-month report — claim volume, AMC-station share,
+    distinct/padded file numbers, missing journal dates, action-date
+    span — is checked against an oracle that derives the same stats
+    straight from orders, so any drift in the format->parse->normalize
+    round-trip (a date that fails to parse, a pad that changes width,
+    a null that stops surviving the CSV hop) breaks the hash match.
+
+    Scale shape: the exchange is write-once (scratch memo); the report
+    is one map-side-combinable rollup over the landed table, whose
+    month partitioning is the production pruning layout for the J10
+    fuzzy as-of consumers."""
+    landed = _claims_exchange_landed(spark, sf_dir)
+    return (
+        landed.groupBy(
+            F.trunc("claim_receive_date", "month").alias("receive_month")
+        )
+        .agg(
+            F.count("*").alias("n_claims"),
+            F.sum(F.col("is_amc").cast("int")).cast("long").alias("n_amc"),
+            F.countDistinct("file_number").alias("n_file_numbers"),
+            F.sum(
+                (
+                    F.length(F.regexp_extract("BFCORLID", r"^(\d+)", 1)) < 8
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_padded"),
+            F.sum(F.col("journal_date").isNull().cast("int"))
+            .cast("long")
+            .alias("n_missing_journal"),
+            F.min("last_action_date").alias("first_action"),
+            F.max("last_action_date").alias("last_action"),
+        )
+        .orderBy("receive_month")
+    )

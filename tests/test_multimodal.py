@@ -342,3 +342,59 @@ def test_bmp_decoder_rejects_offset_inside_header():
     bad += bytes(64)  # keep the raster-length check satisfiable
     with pytest.raises(ValueError, match="offset"):
         decode_bmp(bytes(bad))
+
+
+def _dhash_py(doc_id: int) -> int:
+    """Reference dHash straight from the synthesis arithmetic (no
+    container round-trip) — what dhash32 must recover from the bytes."""
+    import numpy as np
+
+    from appeals_data_spark.operators.multimodal import (
+        PHASH_H,
+        PHASH_W,
+        _gradient_pixels,
+    )
+
+    arr = np.frombuffer(_gradient_pixels(doc_id), dtype=np.uint8).reshape(
+        PHASH_H, PHASH_W, 3
+    )
+    s = (
+        arr[:, :, 0]
+        .astype(np.int64)
+        .reshape(PHASH_H // 2, 2, PHASH_W // 2, 2)
+        .sum(axis=(1, 3))
+    )
+    bits = s[:, :-1] > s[:, 1:]
+    gy, gx = np.nonzero(bits)
+    return int((1 << (gy * 8 + gx)).sum())
+
+
+def test_phash_invariances(spark):
+    """The two guarantees mm_phash_near_dedup's banding relies on:
+    (1) a uniform brightness shift (same scene+pert, different off)
+    leaves the dHash IDENTICAL; (2) the row-0 perturbation (same
+    scene, different pert) stays confined to band 0 — Hamming <= 8
+    and bands 1-3 bit-equal — so same-scene replicas always share a
+    band bucket. Checked through the FULL pipeline (encode PPM/BMP ->
+    decode -> hash) against the arithmetic reference."""
+    from appeals_data_spark.operators.multimodal import (
+        as_gradient_image_media,
+        dhash32,
+    )
+
+    base = [3, 10, 77, 200]
+    ids = []
+    for d in base:
+        ids += [d, d + 2048, d + 256]  # self, brightness twin, pert twin
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in dhash32(as_gradient_image_media(docs)).collect()
+    }
+    for d in ids:  # container round-trip recovers the arithmetic hash
+        assert got[d] == _dhash_py(d), d
+    for d in base:
+        assert got[d] == got[d + 2048], f"brightness twin moved hash: {d}"
+        x = got[d] ^ got[d + 256]
+        assert bin(x).count("1") <= 8, f"pert twin hamming > 8: {d}"
+        assert (got[d] >> 8) == (got[d + 256] >> 8), f"pert leaked: {d}"
