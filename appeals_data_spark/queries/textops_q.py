@@ -1509,3 +1509,159 @@ def text_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_trigram_backoff_logprob",
+    oracle=r"""
+    WITH doc AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, source,
+             unnest(list_slice(ws, 1, len(ws) - 2)) AS u,
+             unnest(list_slice(ws, 2, len(ws) - 1)) AS v,
+             unnest(list_slice(ws, 3, len(ws))) AS w
+      FROM doc WHERE len(ws) >= 3
+    ), tri AS (
+      SELECT u, v, w, COUNT(*) AS c3 FROM occ GROUP BY u, v, w
+    ), pre AS (
+      SELECT u, v, COUNT(*) AS cpre FROM occ GROUP BY u, v
+    ), suf AS (
+      SELECT v, w, COUNT(*) AS csuf FROM occ GROUP BY v, w
+    ), mid AS (
+      SELECT v, COUNT(*) AS cmid FROM occ GROUP BY v
+    ), lastc AS (
+      SELECT w, COUNT(*) AS clast FROM occ GROUP BY w
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS tt FROM occ
+    ), lp AS (
+      SELECT t.u, t.v, t.w,
+             CAST(ROUND(LN(CASE
+               WHEN t.c3 >= 2 THEN CAST(t.c3 AS DOUBLE) / p.cpre
+               WHEN s.csuf >= 2 THEN 0.4 * (CAST(s.csuf AS DOUBLE) / m.cmid)
+               ELSE 0.16 * (CAST(l.clast AS DOUBLE) / tot.tt) END), 6)
+               AS DECIMAL(18,6)) AS lp
+      FROM tri t
+      JOIN pre p USING (u, v)
+      JOIN suf s USING (v, w)
+      JOIN mid m USING (v)
+      JOIN lastc l USING (w)
+      CROSS JOIN tot
+    ), per_doc AS (
+      SELECT o.doc_id, o.source, COUNT(*) AS ntri, SUM(l.lp) AS sumdec
+      FROM occ o
+      JOIN lp l ON o.u = l.u AND o.v = l.v AND o.w = l.w
+      GROUP BY o.doc_id, o.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntri) AS BIGINT) AS total_trigrams,
+           CAST(SUM(sumdec) AS DOUBLE) AS sum_logprob,
+           ROUND(MIN(CAST(sumdec AS DOUBLE) / ntri), 6) AS min_doc_logprob,
+           ROUND(MAX(CAST(sumdec AS DOUBLE) / ntri), 6) AS max_doc_logprob
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    tags=("TEXT", "QUALITY", "J1", "ITER"),
+)
+def text_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff language-model scoring (Brants et al.
+    2007, EMNLP — 'Large Language Models in Machine Translation') —
+    one order up from text_bigram_interp_logprob, the KenLM-style
+    perplexity filter at its standard order. Counts are pruned at 2
+    (the usual LM min-count), which is what makes backoff REAL on a
+    training corpus (every observed trigram trivially has c3 >= 1):
+    singleton trigrams fall back to the (v,w) bigram level at
+    alpha=0.4, singleton bigrams to the unigram level at alpha^2.
+    All five count tables (trigram, prefix, suffix, middle, last)
+    derive from ONE checkpointed trigram stream, so the LM is
+    self-consistent by construction. Mean log-prob per doc, rolled up
+    per source, exactly like the lower orders.
+
+    Determinism contract (the bigram precedent): the backoff score
+    and its ln are evaluated once per DISTINCT trigram with identical
+    association in both engines, rounded to 6 dp, cast to
+    DECIMAL(18,6) BEFORE any aggregation.
+
+    Scale shape: trigrams come from zipped slices (no positional
+    self-join); the expensive tokenize+zip+explode is checkpointed
+    once and feeds all five count aggregations AND the per-doc
+    scoring join; the lp table rides a broadcast hint sized for a
+    count-pruned trigram vocab — drop the hint past the broadcast
+    limit and the scoring join becomes a hash join on the trigram key
+    (Spark honors hints unconditionally; it does not degrade on its
+    own)."""
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.lower(F.col("text")))
+    n = F.size(t)
+    tc = F.greatest(n - 2, F.lit(0))
+    doc = d.select(
+        "doc_id",
+        "source",
+        F.arrays_zip(
+            F.slice(t, 1, tc), F.slice(t, 2, tc), F.slice(t, 3, tc)
+        ).alias("tgs"),
+    )
+    occ = (
+        doc.select("doc_id", "source", F.explode("tgs").alias("tg"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("tg.0").alias("u"),
+            F.col("tg.1").alias("v"),
+            F.col("tg.2").alias("w"),
+        )
+        .localCheckpoint()  # feeds 5 count tables AND per-doc scoring
+    )
+    tri = occ.groupBy("u", "v", "w").agg(F.count("*").alias("c3"))
+    pre = occ.groupBy("u", "v").agg(F.count("*").alias("cpre"))
+    suf = occ.groupBy("v", "w").agg(F.count("*").alias("csuf"))
+    mid = occ.groupBy("v").agg(F.count("*").alias("cmid"))
+    lastc = occ.groupBy("w").agg(F.count("*").alias("clast"))
+    tot = occ.agg(F.count(F.lit(1)).cast("double").alias("tt"))
+    s = (
+        F.when(
+            F.col("c3") >= 2, F.col("c3").cast("double") / F.col("cpre")
+        )
+        .when(
+            F.col("csuf") >= 2,
+            F.lit(0.4) * (F.col("csuf").cast("double") / F.col("cmid")),
+        )
+        .otherwise(
+            F.lit(0.16) * (F.col("clast").cast("double") / F.col("tt"))
+        )
+    )
+    lp = (
+        tri.join(broadcast(pre), ["u", "v"])
+        .join(broadcast(suf), ["v", "w"])
+        .join(broadcast(mid), "v")
+        .join(broadcast(lastc), "w")
+        .crossJoin(broadcast(tot))
+        .select(
+            "u",
+            "v",
+            "w",
+            F.round(F.log(s), 6).cast("decimal(18,6)").alias("lp"),
+        )
+    )
+    per_doc = (
+        occ.join(broadcast(lp), ["u", "v", "w"])
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("ntri"), F.sum("lp").alias("sumdec"))
+    )
+    mean = F.col("sumdec").cast("double") / F.col("ntri")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntri").cast("long").alias("total_trigrams"),
+            F.sum("sumdec").cast("double").alias("sum_logprob"),
+            F.round(F.min(mean), 6).alias("min_doc_logprob"),
+            F.round(F.max(mean), 6).alias("max_doc_logprob"),
+        )
+        .orderBy("source")
+    )

@@ -179,3 +179,40 @@ def test_fuzzy_entity_pairs_complete_within_block(spark):
         assert r.n_pairs == r.n_entities * (r.n_entities - 1) // 2, r
         assert 0 <= r.n_match <= r.n_pairs, r
         assert r.n_records >= r.n_entities, r
+
+
+def test_delta_dedup_flags_match_exact_join(spark):
+    """Bloom prefilter + exact confirm must be BIT-IDENTICAL to the
+    plain exact join: no false negatives by Bloom construction, no
+    false positives past the confirm. Checked per doc over the whole
+    smoke delta."""
+    from pyspark.sql import functions as F
+
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.operators.delta_dedup import (
+        delta_dedup_flags,
+        doc_signature,
+    )
+
+    d = load_table(spark, SF, "documents").select(
+        "doc_id", doc_signature("text").alias("th")
+    )
+    corpus = (
+        d.filter(F.col("doc_id") % 5 != 0).select("th").distinct()
+        .localCheckpoint()
+    )
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    got = {
+        r["doc_id"]: r["is_dup_vs_corpus"]
+        for r in delta_dedup_flags(delta, corpus).collect()
+    }
+    exact = {
+        r["doc_id"]: r["hit"]
+        for r in delta.join(
+            corpus.withColumn("hit0", F.lit(1)), "th", "left"
+        )
+        .select("doc_id", F.col("hit0").isNotNull().alias("hit"))
+        .collect()
+    }
+    assert got == exact
+    assert any(got.values()), "no live duplicate signal in the fixture"

@@ -36,12 +36,14 @@ BNLJ_OK = {
     "o4_complete_weeks_only",  # 1-row max-week scalar
     "p14_complete_cases",  # 1-row threshold scalar
     "pipe_decontam_bloom",  # 1-row 512-word bloom-bitset map side
+    "dedup_incremental_delta",  # 1-row corpus-signature bloom map side
     "pipe_mixture_weights",  # 1-row token-budget scalar side
     "text_bm25_topk",  # 1-row corpus-stats scalar side
     "text_hybrid_rrf_topk",  # 1-row BM25 stats scalar + 1-probe dense side
     "text_tfidf_topk",  # 1-row distinct-source-count scalar side
     "text_unigram_logprob",  # 1-row corpus-total scalar side
     "text_bigram_interp_logprob",  # 1-row corpus-total scalar side
+    "text_trigram_backoff_logprob",  # 1-row corpus-total scalar side
     "pipe_perplexity_buckets",  # 1-row corpus-total scalar side (LM train)
     "dedup_semantic_clusters",  # centroid + per-cluster representative sides
     "pipe_diverse_cluster_quota",  # |labels|-row centroid side
@@ -224,10 +226,15 @@ ITERATIVE_SEGMENTS = {
     # one distinct exchange) reused by the Bloom build and the
     # confirming semi-join broadcast
     "pipe_decontam_bloom": (1, 1),
+    # one checkpointed segment: the distinct frozen-corpus signature
+    # set (scan + distinct exchange), reused by the bloom build and
+    # the confirming join broadcast
+    "dedup_incremental_delta": (1, 1),
     "stream_lm_gate": (1, 1),
     "pipe_perplexity_buckets": (1, 1),
     "text_bm25_topk": (1, 1),
     "text_bigram_interp_logprob": (2, 1),  # occ (narrow) + vocab checkpoints
+    "text_trigram_backoff_logprob": (1, 0),  # one narrow occ checkpoint feeds 5 count tables + scoring
     "text_hybrid_rrf_topk": (1, 1),  # shared BM25 doc-length checkpoint
     "text_bpe_merges": (5, 5),
     "text_bpe_vocab": (6, 5),

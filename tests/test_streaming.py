@@ -514,3 +514,49 @@ def test_pii_scrub_parity(spark, docs_dir):
     batch = scrub_counts(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
     cols = ["doc_id", "source", "occ_block", "occ_email", "occ_ipv4", "chars_masked"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_incremental_delta_dedup_parity(spark, docs_dir):
+    """The stateless corpus-dup flag projection must produce identical
+    per-doc verdicts over the file-source stream and the batch table —
+    the day-2 ingest dedup is ingest-safe (the PII-scrub discipline).
+    The static side (frozen-corpus signatures + Bloom bitset) is the
+    same artifact in both runs."""
+    from pyspark.sql import functions as F
+
+    from appeals_data_spark.operators.delta_dedup import (
+        delta_dedup_flags,
+        doc_signature,
+    )
+    from appeals_data_spark.streaming.doc_stream import document_stream
+
+    def sigs(df):
+        return df.select(
+            "doc_id",
+            "source",
+            doc_signature("text").alias("th"),
+        )
+
+    batch_docs = sigs(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+    corpus = (
+        batch_docs.filter(F.col("doc_id") % 5 != 0)
+        .select("th")
+        .distinct()
+        .localCheckpoint()
+    )
+    streamed = run_to_memory(
+        spark,
+        delta_dedup_flags(
+            sigs(document_stream(spark, docs_dir)).filter(
+                F.col("doc_id") % 5 == 0
+            ),
+            corpus,
+        ),
+        "delta_dedup_sink",
+        output_mode="append",
+    )
+    batch = delta_dedup_flags(
+        batch_docs.filter(F.col("doc_id") % 5 == 0), corpus
+    )
+    cols = ["doc_id", "source", "is_dup_vs_corpus"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
