@@ -83,81 +83,79 @@ def register(
 # valuable first. Cross-round driver union r1|r2|r3|r4|r5 covers ALL
 # registered queries.
 #
-# Round-6 rotation (EXECUTED this round — the r5 window was
-# accidentally left byte-identical to r4's): front-load the six
-# round-6 additions (paragraph-granularity dedup, bloom-prefiltered
-# decontamination, PII/denylist scrub, cluster-diversity quota
-# selection, blocked fuzzy entity matching, frequent-items
-# certificate), then the 30 queries whose only driver verdict was
-# from round 1 (four rounds of refactors shipped since), then 6 green
-# flagship sentinels for cross-round regression cover — including the
-# two queries whose PLANS changed this round (pref_bradley_terry's
-# rewritten pair generation + windowed MM, pipe_classifier_filter's
-# determinism-gate coverage) — then 8 queries whose latest verdict is
-# round 2 (the next-oldest tier; comp_outcome_rates,
-# a6_rate_vs_group_total, closure_components and
-# x1_derived_count_scalars were displaced by the late round-6
-# additions and lead the r2 tier in round 7). Round-7 plan: front-load
-# round-7 additions, then the four displaced queries and the remaining
-# r2-latest tier, then the r3 tier, keeping every query's latest
-# driver verdict <= 2 rounds old.
+# Round-7 rotation (EXECUTED this round): front-load the four round-7
+# additions (S6 claims-exchange ingest report, perceptual-hash image
+# near-dedup, trigram stupid-backoff LM, incremental corpus-delta
+# dedup), then every query whose code/plan/oracle changed in round 7
+# (the zero-shuffle centroid assignment + rint/round_even centroid
+# twin family, the pegasos driver-iteration pair, the BT pair-stats
+# extraction, the fuzzy-ER hint drop, the try_element_at probes), then
+# the r2-latest tier with the four r6-displaced queries first.
+# Six r2-tier queries did not fit and lead round 8 (listed below),
+# followed by the r3-latest tier — keeping every query's latest driver
+# verdict <= 2 rounds old.
 # Simulate with `python tools/check.py --window 50 --vanilla` before
 # shipping.
 _SWEEP_FIRST = [
-    # new in round 6 — need first driver rows
-    "dedup_paragraph_retention",
-    "pipe_decontam_bloom",
-    "pipe_pii_blocklist_scrub",
-    "pipe_diverse_cluster_quota",
-    "dedup_fuzzy_entity_names",
-    "a24_freq_items_bound",
-    # the 30 r1-stale queries (only driver verdict was round 1)
-    "p4_range_in_between",
-    "p7_like_rlike",
-    "p9_case_when_derive",
-    "p11_coalesce_least_greatest",
-    "p13_deterministic_topn",
-    "p14_complete_cases",
-    "f3_date_arithmetic",
-    "f5_string_functions",
-    "f9_math_functions",
-    "f11_json_extract",
-    "j2_left_join_order_counts",
-    "j3_composite_key_join",
-    "j4_wildcard_hierarchy_join",
-    "j5_concat_key_join",
-    "j6_nonequi_temporal_join",
-    "j8_argmax_latest_order",
-    "j9_self_join_pairs",
-    "j13_right_join_fillna",
-    "j15_anti_semi_join",
-    "j18_cross_join_grid",
-    "j20_rule_cascade_parent",
-    "w4_topk_per_group",
-    "w5_variable_distance_lead",
-    "w6_cumulative_condition_flags",
-    "w7_dense_rank_group_index",
-    "w9_lead_offset_series",
-    "r1_unpivot_measures",
-    "r2_pivot_event_matrix",
-    "r3_flags_long_confusion",
-    "r4_fixed_width_split",
-    # green sentinels: flagship families + the two plan-changed queries
-    "a1_pricing_summary",
-    "u1_union_event_log",
-    "j10_fuzzy_asof_match",
+    # new in round 7 — need first driver rows
+    "s6_claims_ingest_report",
+    "mm_phash_near_dedup",
+    "text_trigram_backoff_logprob",
+    "dedup_incremental_delta",
+    # changed in round 7 — zero-shuffle centroid assignment + the
+    # rint/round_even centroid-mean twin (6 queries + the streaming
+    # occupancy mirror), pegasos driver iteration (2), BT pair-stats
+    # extraction, fuzzy-ER broadcast-hint drop, try_element_at probes
+    "vec_label_centroid_assign",
+    "vec_ivf_topk",
     "vec_ivfpq_topk",
-    "pref_bradley_terry",
+    "dedup_semantic_clusters",
+    "pipe_diverse_cluster_quota",
+    "vec_kmeans_lloyd",
+    "stream_centroid_occupancy",
     "pipe_classifier_filter",
-    # r2-latest tier refreshes (oldest remaining verdicts)
-    "u2_union_dedup",
-    "u3_array_intersect_sources",
-    "o1_multikey_sort_head",
-    "o4_complete_weeks_only",
-    "w1_lead_lag_gaps",
-    "j12_cross_source_join",
-    "j16_window_similarity_count",
-    "j17_pit_backlog",
+    "x3_linear_svm_eval",
+    "pref_bradley_terry",
+    "dedup_fuzzy_entity_names",
+    "pipe_decontam_bloom",
+    "stream_lm_gate",
+    # r2-latest tier (the four r6-displaced queries first, then the
+    # remaining tier; six deferred to round 8: w3_session_segmentation,
+    # w11_rolling_mean, x3_linreg_closed_form, x4_trace_coverage,
+    # x6_grouped_glm, x6_partial_pooling)
+    "comp_outcome_rates",
+    "a6_rate_vs_group_total",
+    "closure_components",
+    "x1_derived_count_scalars",
+    "a15_interval_overlap_months",
+    "comp_backlog_reconstruction",
+    "comp_decision_locs",
+    "comp_docket_projection",
+    "comp_exp_gap_fit",
+    "comp_priorloc_parsers",
+    "comp_time_to_first_ship",
+    "dedup_canonical_corpus",
+    "dedup_embedding_cosine",
+    "dedup_exact_summary",
+    "dedup_minhash_portable",
+    "dedup_ngram_jaccard_adjacent",
+    "dedup_simhash_portable",
+    "mm_feature_rollup",
+    "pipe_contamination_overlap",
+    "pipe_curation_funnel",
+    "pipe_pack_sequences",
+    "s5_csv_dim_broadcast_join",
+    "skew_salted_agg",
+    "stream_doc_curation",
+    "stream_session_stats",
+    "stream_tumbling_counts",
+    "stream_user_totals",
+    "surv_km_curve",
+    "surv_weibull_fit",
+    "text_gopher_filters",
+    "text_token_stats",
+    "vec_brute_force_topk",
+    "vec_lsh_portable",
 ]
 
 
