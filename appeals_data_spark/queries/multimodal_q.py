@@ -241,7 +241,7 @@ def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_phash_near_dedup",
     oracle="""
     WITH p AS (
-      SELECT doc_id, doc_id % 256 AS scene,
+      SELECT doc_id, source, doc_id % 256 AS scene,
              (doc_id // 7) % 16 AS off, (doc_id // 256) % 8 AS pert
       FROM documents
     ), cells AS (
@@ -265,26 +265,41 @@ def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                               THEN (1::BIGINT << (gy*8 + gx))
                               ELSE 0 END) AS BIGINT), 0) AS h
       FROM bits WHERE gx < 8 GROUP BY doc_id
+    ), g AS (
+      SELECT h, d.source, COUNT(*) AS n
+      FROM hashes JOIN documents d USING (doc_id)
+      GROUP BY h, d.source
+    ), hs AS (
+      SELECT DISTINCT h FROM g
     ), bands AS (
-      SELECT doc_id, h, k.k, (h >> (8*k.k)) & 255 AS bv
-      FROM hashes, (SELECT unnest(range(4)) AS k) k
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
-                      a.h AS ha, b.h AS hb
-      FROM bands a JOIN bands b
-        ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
-    ), pairs AS (
-      SELECT ida, idb, bit_count(xor(ha, hb)) AS ham
-      FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+      SELECT h, k.k, (h >> (8*k.k)) & 255 AS bv
+      FROM hs, (SELECT unnest(range(4)) AS k) k
+    ), hp AS (
+      SELECT DISTINCT a.h AS ha, b.h AS hb
+      FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.h < b.h
+    ), hpair AS (
+      SELECT ha, hb, bit_count(xor(ha, hb)) AS ham
+      FROM hp WHERE bit_count(xor(ha, hb)) <= 8
+    ), contrib AS (
+      SELECT LEAST(ga.source, gb.source) AS source_a,
+             GREATEST(ga.source, gb.source) AS source_b,
+             ga.n * gb.n AS w, hp.ham
+      FROM hpair hp
+      JOIN g ga ON ga.h = hp.ha
+      JOIN g gb ON gb.h = hp.hb
+      UNION ALL
+      SELECT LEAST(ga.source, gb.source), GREATEST(ga.source, gb.source),
+             CASE WHEN ga.source = gb.source THEN ga.n * (ga.n - 1) // 2
+                  ELSE ga.n * gb.n END AS w,
+             0 AS ham
+      FROM g ga JOIN g gb ON ga.h = gb.h AND ga.source <= gb.source
     )
-    SELECT da.source AS source_a, db.source AS source_b,
-           COUNT(*) AS n_pairs,
-           CAST(SUM(CASE WHEN ham = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    SELECT source_a, source_b,
+           CAST(SUM(w) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN ham = 0 THEN w ELSE 0 END) AS BIGINT)
              AS n_hash_identical,
            MAX(ham) AS max_hamming
-    FROM pairs
-    JOIN documents da ON ida = da.doc_id
-    JOIN documents db ON idb = db.doc_id
+    FROM contrib WHERE w > 0
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
     tags=("MM", "DEDUP", "LSH", "UDF", "CODEC"),
@@ -305,57 +320,88 @@ def mm_phash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — any mis-parse in either container grammar (BMP pad,
     bottom-up rows, channel order) flips bits and hash-fails.
 
-    Scale shape at 100 TB: hashing is one Arrow-batched 1:1 pass;
-    candidates come from an equi-join on (band, value) — cost tracks
-    bucket occupancy, never |corpus|^2 (replica-heavy buckets go
-    quadratic WITHIN the bucket, the standard LSH behavior; a
-    canonical-first exact dedup pass bounds bucket sizes in
-    production). One distinct + one rollup shuffle after that."""
+    Scale shape at 100 TB — the multiplicity-weight formulation
+    (the dedup_fuzzy_entity_names trick): doc-level pair enumeration
+    is quadratic in replica-group size (measured 13x on 10x data in
+    the v1 of this query — BASELINE.md), so the banding and Hamming
+    confirm run over DISTINCT hashes only (bounded by image-content
+    diversity, not corpus size) and doc-pair counts are recovered
+    exactly from per-(hash, source) multiplicities: same-hash pairs
+    as n_a*n_b / C(n,2), cross-hash pairs as n_a*n_b per confirmed
+    hash pair, bucketed by unordered (least, greatest) source. The
+    corpus is touched once (hash pass + one (h, source) rollup);
+    everything after is distinct-hash-sized."""
     from ..operators.multimodal import as_gradient_image_media, dhash32
 
     docs = load_table(spark, sf_dir, "documents")
     hashes = dhash32(as_gradient_image_media(docs))
-    bands = hashes.select(
-        "doc_id",
+    g = (
+        hashes.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("h", "source")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # feeds banding, the confirm, and both weight joins
+    )
+    hs = g.select("h").distinct()
+    bands = hs.select(
         "h",
         F.posexplode(
             F.array(*[
-                (F.shiftright("h", 8 * k).bitwiseAND(F.lit(255)))
+                F.shiftright("h", 8 * k).bitwiseAND(F.lit(255))
                 for k in range(4)
             ])
         ).alias("k", "bv"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
+    a, b = bands.alias("a"), bands.alias("b")
+    hp = (
         a.join(
             b,
             (F.col("a.k") == F.col("b.k"))
             & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.h") < F.col("b.h")),
         )
-        .select(
-            F.col("a.doc_id").alias("ida"),
-            F.col("b.doc_id").alias("idb"),
-            F.col("a.h").alias("ha"),
-            F.col("b.h").alias("hb"),
-        )
-        .dropDuplicates(["ida", "idb"])
+        .select(F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
+        .dropDuplicates(["ha", "hb"])
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    pairs = cand.select("ida", "idb", ham.alias("ham")).filter(
-        F.col("ham") <= 8
+    hpair = hp.select("ha", "hb", ham.alias("ham")).filter(F.col("ham") <= 8)
+    ga = g.select(
+        F.col("h").alias("ha"), F.col("source").alias("sa"), F.col("n").alias("na")
     )
-    src = docs.select("doc_id", "source")
+    gb = g.select(
+        F.col("h").alias("hb"), F.col("source").alias("sb"), F.col("n").alias("nb")
+    )
+    cross = (
+        hpair.join(ga, "ha")
+        .join(gb, "hb")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            (F.col("na") * F.col("nb")).alias("w"),
+            "ham",
+        )
+    )
+    gs = g.alias("x").join(
+        g.alias("y"),
+        (F.col("x.h") == F.col("y.h")) & (F.col("x.source") <= F.col("y.source")),
+    )
+    same = gs.select(
+        F.least("x.source", "y.source").alias("source_a"),
+        F.greatest("x.source", "y.source").alias("source_b"),
+        F.when(
+            F.col("x.source") == F.col("y.source"),
+            F.col("x.n") * (F.col("x.n") - 1) / 2,
+        )
+        .otherwise(F.col("x.n") * F.col("y.n"))
+        .cast("long")
+        .alias("w"),
+        F.lit(0).alias("ham"),
+    )
+    contrib = cross.unionByName(same).filter(F.col("w") > 0)
     return (
-        pairs.join(src.select(F.col("doc_id").alias("ida"),
-                              F.col("source").alias("source_a")), "ida")
-        .join(src.select(F.col("doc_id").alias("idb"),
-                         F.col("source").alias("source_b")), "idb")
-        .groupBy("source_a", "source_b")
+        contrib.groupBy("source_a", "source_b")
         .agg(
-            F.count("*").alias("n_pairs"),
-            F.sum((F.col("ham") == 0).cast("int"))
+            F.sum("w").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("ham") == 0, F.col("w")).otherwise(0))
             .cast("long")
             .alias("n_hash_identical"),
             F.max("ham").alias("max_hamming"),
