@@ -30,21 +30,25 @@ from appeals_data_spark.session import get_spark
 # "value" stays untouched.
 SECONDARY = [
     "a21_sliding_mau",
+    "dedup_incremental_delta",
     "dedup_fuzzy_entity_names",
     "dedup_paragraph_retention",
     "dedup_semantic_clusters",
     "dedup_substring_coverage",
     "graph_pagerank_handoff",
     "mm_decode_audio",
+    "mm_phash_near_dedup",
     "pipe_classifier_filter",
     "pipe_decontam_bloom",
     "pipe_diverse_cluster_quota",
     "pipe_perplexity_buckets",
     "pipe_pii_blocklist_scrub",
     "pipe_source_caps",
+    "s6_claims_ingest_report",
     "pref_bradley_terry",
     "stream_centroid_occupancy",
     "text_bigram_interp_logprob",
+    "text_trigram_backoff_logprob",
     "text_bm25_topk",
     "text_bpe_merges",
     "text_hybrid_rrf_topk",

@@ -230,6 +230,10 @@ ITERATIVE_SEGMENTS = {
     # set (scan + distinct exchange), reused by the bloom build and
     # the confirming join broadcast
     "dedup_incremental_delta": (1, 1),
+    # one checkpointed segment: the (hash, source, n) multiplicity
+    # rollup (decode+dhash pass -> source join -> rollup; 2 exchanges)
+    # reused by the banding, the Hamming confirm, and both weight joins
+    "mm_phash_near_dedup": (1, 2),
     "stream_lm_gate": (1, 1),
     "pipe_perplexity_buckets": (1, 1),
     "text_bm25_topk": (1, 1),
