@@ -880,3 +880,102 @@ def pipe_diverse_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "vec_ann_recall_report",
+    oracle=f"""
+    WITH {_SQL_CENTROIDS},
+    bf AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS corpus_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(e.embedding AS DOUBLE[])) DESC,
+                          e.vec_id
+               ) AS rank
+        FROM embeddings q, embeddings e
+        WHERE q.vec_id < 8 AND e.vec_id != q.vec_id
+      ) WHERE rank <= 5
+    ), cells AS (
+      SELECT vec_id AS corpus_id, c_vec, c_label FROM (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS c_vec, c.c_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cvec) DESC, c.c_label
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, q_vec, c_label FROM (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS q_vec, c.c_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cvec) DESC, c.c_label
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id < 8
+      ) WHERE rn <= 3
+    ), ivf AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT p.query_id, s.corpus_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY list_cosine_similarity(p.q_vec, s.c_vec) DESC,
+                          s.corpus_id
+               ) AS rank
+        FROM probes p JOIN cells s USING (c_label)
+        WHERE s.corpus_id != p.query_id
+      ) WHERE rank <= 5
+    )
+    SELECT b.query_id,
+           CAST(COUNT(i.corpus_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(i.corpus_id) * 20 AS BIGINT) AS recall_pct
+    FROM bf b
+    LEFT JOIN ivf i
+      ON i.query_id = b.query_id AND i.corpus_id = b.corpus_id
+    GROUP BY b.query_id ORDER BY b.query_id
+    """,
+    tags=("VEC", "ANN", "IVF", "CERT"),
+)
+def vec_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall certificate as a driver-checkable query — the
+    a22/a23/a24 sketch-certificate discipline applied to similarity
+    search: run the exact brute-force top-5 AND the IVF(nprobe=3)
+    top-5 for the 8 probe vectors in one plan and report per-query
+    overlap (n_hit of 5, recall as an integer percent — no float
+    anywhere). Both arms are the exact pipelines of
+    vec_brute_force_topk / vec_ivf_topk, so the report measures the
+    REAL recall of the shipped scale path, continuously: an IVF
+    regression (wrong cell assignment, probe-list bug, tie-break
+    drift) shows up as a recall drop in a hash-checked integer table
+    rather than only in a pytest floor
+    (tests/test_ann_recall.py keeps the aggregate >= 0.60 gate).
+
+    Scale shape: the brute-force arm is the one deliberate full-scan
+    (8 broadcast probes x corpus, WindowGroupLimit-bounded top-k
+    shuffle); the IVF arm is cell-pruned as always; the overlap join
+    is 40 rows against 40."""
+    from ..operators.similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    bf = brute_force_topk(emb, queries, k=5).select("query_id", "corpus_id")
+    iv = (
+        ivf_topk(emb, queries, k=5, nprobe=3)
+        .select("query_id", "corpus_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(iv, ["query_id", "corpus_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            (F.count("hit") * 20).alias("recall_pct"),
+        )
+        .orderBy("query_id")
+    )

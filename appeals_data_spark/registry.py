@@ -91,7 +91,9 @@ def register(
 # twin family, the pegasos driver-iteration pair, the BT pair-stats
 # extraction, the fuzzy-ER hint drop, the try_element_at probes), then
 # the r2-latest tier with the four r6-displaced queries first.
-# Six r2-tier queries did not fit and lead round 8 (listed below),
+# Seven r2-tier queries did not fit and lead round 8 (six listed
+# below plus vec_lsh_portable, displaced by the late
+# vec_ann_recall_report addition),
 # followed by the r3-latest tier — keeping every query's latest driver
 # verdict <= 2 rounds old.
 # Simulate with `python tools/check.py --window 50 --vanilla` before
@@ -102,6 +104,7 @@ _SWEEP_FIRST = [
     "mm_phash_near_dedup",
     "text_trigram_backoff_logprob",
     "dedup_incremental_delta",
+    "vec_ann_recall_report",
     # changed in round 7 — zero-shuffle centroid assignment + the
     # rint/round_even centroid-mean twin (6 queries + the streaming
     # occupancy mirror), pegasos driver iteration (2), BT pair-stats
@@ -120,7 +123,7 @@ _SWEEP_FIRST = [
     "pipe_decontam_bloom",
     "stream_lm_gate",
     # r2-latest tier (the four r6-displaced queries first, then the
-    # remaining tier; six deferred to round 8: w3_session_segmentation,
+    # remaining tier; deferred to round 8: vec_lsh_portable, w3_session_segmentation,
     # w11_rolling_mean, x3_linreg_closed_form, x4_trace_coverage,
     # x6_grouped_glm, x6_partial_pooling)
     "comp_outcome_rates",
@@ -155,7 +158,6 @@ _SWEEP_FIRST = [
     "text_gopher_filters",
     "text_token_stats",
     "vec_brute_force_topk",
-    "vec_lsh_portable",
 ]
 
 

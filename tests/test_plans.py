@@ -55,6 +55,7 @@ BNLJ_OK = {
     "x3_linear_svm_eval",  # 1-row fitted-coefficient eval side
     "u3_array_intersect_sources",  # collect_set'd tiny side
     "vec_brute_force_topk",  # 8 probe vectors
+    "vec_ann_recall_report",  # 8 probe vectors (brute-force arm) + 1-row centroid array
     "vec_ivf_topk",  # probes x centroids
     "vec_ivfpq_topk",  # probes x centroids (coarse-quantizer stage)
     "vec_kmeans_lloyd",  # k=4 centroid side per Lloyd round
@@ -244,6 +245,7 @@ ITERATIVE_SEGMENTS = {
     "text_bpe_vocab": (6, 5),
     "text_tfidf_topk": (1, 1),
     "text_unigram_logprob": (1, 1),
+    "vec_ann_recall_report": (1, 2),  # shared centroid checkpoint (ivf arm)
     "vec_ivf_topk": (1, 2),
     "vec_ivfpq_topk": (2, 4),
     "vec_kmeans_lloyd": (2, 6),
