@@ -138,6 +138,12 @@ def write_partitioned(
     ``bucket_spec`` = (num_buckets, cols, table_name). Bucketed writes
     require a saveAsTable; partition-only writes go straight to path.
     """
+    if partition_cols:
+        # Cluster by the partition columns first: otherwise every input
+        # task writes one file into every partition directory (tasks x
+        # partitions tiny files). One task per partition value is the
+        # small-files discipline every lake layout needs.
+        df = df.repartition(*[df[c] for c in partition_cols])
     w = df.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)

@@ -90,6 +90,8 @@ def partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             load_table(spark, sf_dir, "orders")
             .withColumn("o_yr", F.year("o_orderdate"))
+            # one writer task per year — small-files discipline
+            .repartition("o_yr")
             .write.mode("overwrite")
             .partitionBy("o_yr")
             .parquet(path)
