@@ -26,3 +26,18 @@ def test_queries_and_oracles_aligned(spark):
     for name, fn in qs.items():
         df = fn(spark, "/root/testdata/sf0.001")
         assert all(c == c.lower() for c in df.columns), (name, df.columns)
+
+
+def test_sweep_window_invariants():
+    """The driver sweeps the first ~50 registry entries; those rows are
+    the round's correctness evidence. Keep the window exactly 50 and
+    fully oracle-backed (a rows-only member would spend a driver slot
+    on a weaker check) — rotation edits that break either should fail
+    here, not in the round verdict."""
+    from appeals_data_spark.registry import _SWEEP_FIRST, all_queries
+
+    qs = all_queries()
+    assert len(_SWEEP_FIRST) == 50, len(_SWEEP_FIRST)
+    assert list(qs)[:50] == _SWEEP_FIRST
+    rows_only = [n for n in _SWEEP_FIRST if qs[n].oracle is None]
+    assert not rows_only, f"rows-only queries in the driver window: {rows_only}"
