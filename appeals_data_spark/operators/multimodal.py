@@ -592,3 +592,84 @@ def dhash32(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "blob", "mime").mapInPandas(
         _hash, schema="doc_id long, h long"
     )
+
+
+# --- audio fingerprinting (near-dedup) --------------------------------------
+
+# Tone-scene parameters: 512 mono PCM16 samples = 32 frames of 16.
+# Per-frame amplitude amp_f = (scene*11 + f*f) % 199 + 1 with
+# scene = doc_id % 128; every sample is amp_f * gain with alternating
+# sign (gain = (doc_id // 128) % 3 + 1), EXCEPT frame 0, which is
+# all-positive and adds pert = (doc_id // 7) % 8 on every third sample.
+# Frame |amplitude| energies are then exactly:
+#   E_0 = 16*amp_0*gain + 6*pert,   E_f = 16*amp_f*gain  (f >= 1)
+# so the envelope difference hash (bit f set iff E_f > E_{f+1}) is
+# EXACTLY gain-invariant on bits 1..30 (comparisons scale by gain) and
+# pert/gain can flip at most bit 0 — same-scene docs are guaranteed
+# band collisions beyond the first 8-bit band, the audio twin of the
+# gradient-image dHash construction. Max |sample| = 199*3 + 7 < 32768:
+# no clipping anywhere.
+TONE_FRAMES, TONE_FRAME_LEN = 32, 16
+
+
+def _tone_pcm(doc_id: int) -> bytes:
+    import struct
+
+    scene = doc_id % 128
+    gain = (doc_id // 128) % 3 + 1
+    pert = (doc_id // 7) % 8
+    samples = []
+    for f in range(TONE_FRAMES):
+        amp = (scene * 11 + f * f) % 199 + 1
+        for i in range(TONE_FRAME_LEN):
+            if f == 0:
+                samples.append(amp * gain + (pert if i % 3 == 0 else 0))
+            else:
+                samples.append(amp * gain * (1 if i % 2 == 0 else -1))
+    return struct.pack(f"<{len(samples)}h", *samples)
+
+
+def as_tone_wav_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL tone WAV per document with near-duplicate
+    structure (the audio counterpart of as_gradient_image_media):
+    same-scene documents are the same tone at a different gain plus a
+    frame-0 tweak — the loudness-normalization-free replicas a crawl
+    corpus actually contains. Genuine RIFF containers; the decode must
+    chunk-walk."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [encode_wav(8000, _tone_pcm(int(d))) for d in pdf["doc_id"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return (
+        _sized(docs.select("doc_id"))
+        .mapInPandas(_enc, schema="doc_id long, blob binary")
+        .withColumn("mime", F.lit(WAV_MIME))
+    )
+
+
+def audio_envelope_hash(media: DataFrame) -> DataFrame:
+    """Energy-envelope difference hash over the DECODED samples: frame
+    the PCM into 32 frames of 16, per-frame integer |amplitude| energy,
+    bit f set iff E_f > E_{f+1} — 31 bits, exactly invariant to uniform
+    gain (comparisons scale), the audio analog of dhash32's brightness
+    invariance. Integer-exact end to end; Arrow-batched 1:1."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            hs = []
+            for blob, mime in zip(pdf["blob"], pdf["mime"]):
+                _sr, ch, pcm = decode_media(blob, mime)
+                s = np.abs(np.frombuffer(pcm, dtype="<i2").astype(np.int64))
+                e = s.reshape(TONE_FRAMES, TONE_FRAME_LEN * ch).sum(axis=1)
+                bits = e[:-1] > e[1:]
+                (f,) = np.nonzero(bits)
+                hs.append(int((1 << f).sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "h": hs})
+
+    return media.select("doc_id", "blob", "mime").mapInPandas(
+        _hash, schema="doc_id long, h long"
+    )

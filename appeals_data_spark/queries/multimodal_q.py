@@ -408,3 +408,163 @@ def mm_phash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "mm_audio_fingerprint_dedup",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 128 AS scene,
+             (doc_id // 128) % 3 + 1 AS gain, (doc_id // 7) % 8 AS pert
+      FROM documents
+    ), env AS (
+      SELECT doc_id, f.f,
+             16 * ((scene*11 + f.f*f.f) % 199 + 1) * gain
+             + CASE WHEN f.f = 0 THEN 6 * pert ELSE 0 END AS e
+      FROM p, (SELECT unnest(range(32)) AS f) f
+    ), bits AS (
+      SELECT doc_id, f, e,
+             LEAD(e) OVER (PARTITION BY doc_id ORDER BY f) AS en
+      FROM env
+    ), hashes AS (
+      SELECT doc_id,
+             COALESCE(CAST(SUM(CASE WHEN e > en THEN (1::BIGINT << f)
+                              ELSE 0 END) AS BIGINT), 0) AS h
+      FROM bits WHERE f < 31 GROUP BY doc_id
+    ), g AS (
+      SELECT h, d.source, COUNT(*) AS n
+      FROM hashes JOIN documents d USING (doc_id)
+      GROUP BY h, d.source
+    ), hs AS (
+      SELECT DISTINCT h FROM g
+    ), bands AS (
+      SELECT h, k.k, (h >> (8*k.k)) & 255 AS bv
+      FROM hs, (SELECT unnest(range(4)) AS k) k
+    ), hp AS (
+      SELECT DISTINCT a.h AS ha, b.h AS hb
+      FROM bands a JOIN bands b
+        ON a.k = b.k AND a.bv = b.bv AND a.h < b.h
+    ), hpair AS (
+      SELECT ha, hb, bit_count(xor(ha, hb)) AS ham
+      FROM hp WHERE bit_count(xor(ha, hb)) <= 2
+    ), contrib AS (
+      SELECT LEAST(ga.source, gb.source) AS source_a,
+             GREATEST(ga.source, gb.source) AS source_b,
+             ga.n * gb.n AS w, hp.ham
+      FROM hpair hp
+      JOIN g ga ON ga.h = hp.ha
+      JOIN g gb ON gb.h = hp.hb
+      UNION ALL
+      SELECT LEAST(ga.source, gb.source), GREATEST(ga.source, gb.source),
+             CASE WHEN ga.source = gb.source THEN ga.n * (ga.n - 1) // 2
+                  ELSE ga.n * gb.n END AS w,
+             0 AS ham
+      FROM g ga JOIN g gb ON ga.h = gb.h AND ga.source <= gb.source
+    )
+    SELECT source_a, source_b,
+           CAST(SUM(w) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN ham = 0 THEN w ELSE 0 END) AS BIGINT)
+             AS n_hash_identical,
+           MAX(ham) AS max_hamming
+    FROM contrib WHERE w > 0
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("MM", "DEDUP", "LSH", "UDF", "CODEC"),
+)
+def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-deduplication by energy-envelope fingerprint — the
+    audio member of the perceptual-dedup family (image twin:
+    mm_phash_near_dedup): synthesize a REAL tone WAV per document
+    (same-scene docs are the same tone at a different gain plus a
+    frame-0 tweak — loudness-unnormalized replicas), decode the RIFF
+    container, hash the frame-energy envelope (31 bits, exactly
+    gain-invariant on bits 1..30 — operators.multimodal
+    .audio_envelope_hash), band into 8-bit LSH bands over DISTINCT
+    hashes, confirm with Hamming <= 2, and recover doc-pair counts
+    from (hash, source) multiplicities into unordered source buckets.
+    The oracle re-derives every envelope energy closed-form from
+    doc_id arithmetic, so a mis-walked RIFF chunk or a sample-order
+    bug flips bits and hash-fails; the gain/pert invariances are
+    property-gated in tests/test_multimodal.py.
+
+    Scale shape: identical to mm_phash_near_dedup v2 — one Arrow
+    decode+hash pass over the corpus, one (hash, source) rollup, and
+    distinct-hash-sized work (bounded by content diversity, not
+    corpus size) after that."""
+    from ..operators.multimodal import as_tone_wav_media, audio_envelope_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = audio_envelope_hash(as_tone_wav_media(docs))
+    g = (
+        hashes.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("h", "source")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # feeds banding, the confirm, and both weight joins
+    )
+    hs = g.select("h").distinct()
+    bands = hs.select(
+        "h",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("h", 8 * k).bitwiseAND(F.lit(255))
+                for k in range(4)
+            ])
+        ).alias("k", "bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hp = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.h") < F.col("b.h")),
+        )
+        .select(F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
+        .dropDuplicates(["ha", "hb"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    hpair = hp.select("ha", "hb", ham.alias("ham")).filter(F.col("ham") <= 2)
+    ga = g.select(
+        F.col("h").alias("ha"), F.col("source").alias("sa"), F.col("n").alias("na")
+    )
+    gb = g.select(
+        F.col("h").alias("hb"), F.col("source").alias("sb"), F.col("n").alias("nb")
+    )
+    cross = (
+        hpair.join(ga, "ha")
+        .join(gb, "hb")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            (F.col("na") * F.col("nb")).alias("w"),
+            "ham",
+        )
+    )
+    gs = g.alias("x").join(
+        g.alias("y"),
+        (F.col("x.h") == F.col("y.h")) & (F.col("x.source") <= F.col("y.source")),
+    )
+    same = gs.select(
+        F.least("x.source", "y.source").alias("source_a"),
+        F.greatest("x.source", "y.source").alias("source_b"),
+        F.when(
+            F.col("x.source") == F.col("y.source"),
+            F.col("x.n") * (F.col("x.n") - 1) / 2,
+        )
+        .otherwise(F.col("x.n") * F.col("y.n"))
+        .cast("long")
+        .alias("w"),
+        F.lit(0).alias("ham"),
+    )
+    contrib = cross.unionByName(same).filter(F.col("w") > 0)
+    return (
+        contrib.groupBy("source_a", "source_b")
+        .agg(
+            F.sum("w").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("ham") == 0, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("n_hash_identical"),
+            F.max("ham").alias("max_hamming"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -398,3 +398,45 @@ def test_phash_invariances(spark):
         x = got[d] ^ got[d + 256]
         assert bin(x).count("1") <= 8, f"pert twin hamming > 8: {d}"
         assert (got[d] >> 8) == (got[d + 256] >> 8), f"pert leaked: {d}"
+
+
+def _envelope_py(doc_id: int) -> int:
+    """Reference envelope hash straight from the synthesis arithmetic
+    (no RIFF round-trip) — what audio_envelope_hash must recover."""
+    scene, gain, pert = doc_id % 128, (doc_id // 128) % 3 + 1, (doc_id // 7) % 8
+    e = [
+        16 * ((scene * 11 + f * f) % 199 + 1) * gain
+        + (6 * pert if f == 0 else 0)
+        for f in range(32)
+    ]
+    return sum(1 << f for f in range(31) if e[f] > e[f + 1])
+
+
+def test_audio_envelope_invariances(spark):
+    """The guarantees mm_audio_fingerprint_dedup's banding relies on:
+    a same-scene replica at a different gain (and a different frame-0
+    pert) moves AT MOST bit 0 — Hamming <= 1 with bits 1..30 equal —
+    so replicas always share the three upper bands. Checked through
+    the FULL pipeline (WAV encode -> RIFF decode -> hash) against the
+    arithmetic reference."""
+    from appeals_data_spark.operators.multimodal import (
+        as_tone_wav_media,
+        audio_envelope_hash,
+    )
+
+    base = [3, 10, 77, 200]
+    ids = []
+    for d in base:
+        ids += [d, d + 896]  # same scene+pert, gain+1 (lcm(128,56)=896)
+        ids += [d + 128]  # same scene, different gain AND pert
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in audio_envelope_hash(as_tone_wav_media(docs)).collect()
+    }
+    for d in ids:  # RIFF round-trip recovers the arithmetic hash
+        assert got[d] == _envelope_py(d), d
+    for d in base:
+        for twin in (d + 896, d + 128):
+            x = got[d] ^ got[twin]
+            assert x in (0, 1), f"replica moved past bit 0: {d} vs {twin}"

@@ -235,6 +235,9 @@ ITERATIVE_SEGMENTS = {
     # rollup (decode+dhash pass -> source join -> rollup; 2 exchanges)
     # reused by the banding, the Hamming confirm, and both weight joins
     "mm_phash_near_dedup": (1, 2),
+    # same shape, audio: decode+envelope-hash pass -> source join ->
+    # (hash, source, n) rollup checkpoint (2 exchanges)
+    "mm_audio_fingerprint_dedup": (1, 2),
     "stream_lm_gate": (1, 1),
     "pipe_perplexity_buckets": (1, 1),
     "text_bm25_topk": (1, 1),
