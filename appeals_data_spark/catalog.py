@@ -142,7 +142,11 @@ def write_partitioned(
         # Cluster by the partition columns first: otherwise every input
         # task writes one file into every partition directory (tasks x
         # partitions tiny files). One task per partition value is the
-        # small-files discipline every lake layout needs.
+        # small-files discipline every lake layout needs. When a single
+        # partition value holds hundreds of GB, add a salt column to the
+        # repartition (or set spark.sql.files.maxRecordsPerFile) to
+        # bound per-task write size — the export fixtures here are
+        # nowhere near that, so the simple form stays the default.
         df = df.repartition(*[df[c] for c in partition_cols])
     w = df.write.mode("overwrite")
     if partition_cols:

@@ -123,9 +123,14 @@ def pegasos_linear_svm(
         ).collect()[0]
         keep = 1.0 - 1.0 / i
         # Same ops, same association as the r1-r6 column expression:
-        # keep*w + sv / ((lam*i) * n).
+        # keep*w + sv / ((lam*i) * n). Python float division RAISES on
+        # zero where IEEE (and the old JVM expression) yields NaN —
+        # match the old empty-frame behavior (sv=0, n=0 -> 0/0 -> NaN
+        # coefficients, not a crash).
+        den = (lam * i) * row["n"]
         w = [
-            keep * w[j] + row[f"sv{j}"] / ((lam * i) * row["n"])
+            keep * w[j]
+            + (row[f"sv{j}"] / den if den else float("nan"))
             for j in range(k + 1)
         ]
     return df.sparkSession.range(1).select(

@@ -407,3 +407,99 @@ def simhash_fingerprints(
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def banded_hash_pair_report(
+    g: DataFrame, ham_max: int, n_bands: int = 4, band_bits: int = 8
+) -> DataFrame:
+    """Multiplicity-weighted near-dup pair report over a per-
+    (hash, source) count table ``g`` (columns h, source, n — distinct
+    on (h, source), normally localCheckpoint'd by the caller): band
+    each DISTINCT hash into ``n_bands`` bands of ``band_bits`` bits,
+    equi-join band buckets for candidate hash pairs, confirm with full
+    Hamming distance <= ``ham_max``, then recover exact doc-pair
+    counts from the multiplicities into unordered (least, greatest)
+    source buckets — same-hash pairs as n_a*n_b / C(n,2), cross-hash
+    pairs as n_a*n_b per confirmed hash pair. Shared by
+    mm_phash_near_dedup and mm_audio_fingerprint_dedup (one pipeline,
+    two hash functions); doc-level pair enumeration is quadratic in
+    replica-group size (measured 13.2x on 10x data — BASELINE.md), so
+    everything after the corpus rollup is distinct-hash-sized.
+
+    Output: (source_a, source_b, n_pairs, n_hash_identical,
+    max_hamming)."""
+    mask = (1 << band_bits) - 1
+    hs = g.select("h").distinct()
+    bands = hs.select(
+        "h",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("h", band_bits * k).bitwiseAND(F.lit(mask))
+                for k in range(n_bands)
+            ])
+        ).alias("k", "bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hp = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.h") < F.col("b.h")),
+        )
+        .select(F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
+        .dropDuplicates(["ha", "hb"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    hpair = hp.select("ha", "hb", ham.alias("ham")).filter(
+        F.col("ham") <= ham_max
+    )
+    ga = g.select(
+        F.col("h").alias("ha"), F.col("source").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    gb = g.select(
+        F.col("h").alias("hb"), F.col("source").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    cross = (
+        hpair.join(ga, "ha")
+        .join(gb, "hb")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            (F.col("na") * F.col("nb")).alias("w"),
+            "ham",
+        )
+    )
+    gs = g.alias("x").join(
+        g.alias("y"),
+        (F.col("x.h") == F.col("y.h"))
+        & (F.col("x.source") <= F.col("y.source")),
+    )
+    same = gs.select(
+        F.least("x.source", "y.source").alias("source_a"),
+        F.greatest("x.source", "y.source").alias("source_b"),
+        # integer halving (n*(n-1) is even): a double divide-then-cast
+        # loses exactness past 2^53 doc-pairs per (hash, source) group
+        F.when(
+            F.col("x.source") == F.col("y.source"),
+            F.shiftright(F.col("x.n") * (F.col("x.n") - 1), 1),
+        )
+        .otherwise(F.col("x.n") * F.col("y.n"))
+        .cast("long")
+        .alias("w"),
+        F.lit(0).alias("ham"),
+    )
+    contrib = cross.unionByName(same).filter(F.col("w") > 0)
+    return (
+        contrib.groupBy("source_a", "source_b")
+        .agg(
+            F.sum("w").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("ham") == 0, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("n_hash_identical"),
+            F.max("ham").alias("max_hamming"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -78,7 +78,14 @@ def delta_dedup_flags(
     input columns + ``is_dup_vs_corpus``. Bloom-negative rows are
     decided by the bitset alone (the mixed-condition left join only
     matches Bloom-positive rows); positives are confirmed exactly, so
-    a false positive can never flag a non-duplicate."""
+    a false positive can never flag a non-duplicate.
+
+    CONTRACT: ``corpus_sigs`` must be DISTINCT on ``sig_col`` (it is a
+    signature SET) — a duplicated signature would fan each matching
+    delta row out to one row per corpus copy through the confirm left
+    join. Both shipped call sites build it with ``.distinct()``;
+    enforcing it here would re-shuffle an already-distinct artifact on
+    every micro-batch."""
     bloom = signature_bloom(corpus_sigs, sig_col)
     probe = delta.crossJoin(F.broadcast(bloom))
     maybe = None

@@ -237,11 +237,70 @@ def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pair_report_sql(ham_max: int) -> str:
+    """Shared oracle tail for the perceptual near-dedup family: from a
+    ``hashes(doc_id, h)`` CTE, the (hash, source) multiplicity rollup,
+    8-bit banding over distinct hashes, Hamming confirm at
+    ``ham_max``, and exact doc-pair recovery into unordered source
+    buckets — mirrors operators.dedup.banded_hash_pair_report term for
+    term."""
+    return f""", g AS (
+      SELECT h, d.source, COUNT(*) AS n
+      FROM hashes JOIN documents d USING (doc_id)
+      GROUP BY h, d.source
+    ), hs AS (
+      SELECT DISTINCT h FROM g
+    ), bands AS (
+      SELECT h, k.k, (h >> (8*k.k)) & 255 AS bv
+      FROM hs, (SELECT unnest(range(4)) AS k) k
+    ), hp AS (
+      SELECT DISTINCT a.h AS ha, b.h AS hb
+      FROM bands a JOIN bands b
+        ON a.k = b.k AND a.bv = b.bv AND a.h < b.h
+    ), hpair AS (
+      SELECT ha, hb, bit_count(xor(ha, hb)) AS ham
+      FROM hp WHERE bit_count(xor(ha, hb)) <= {ham_max}
+    ), contrib AS (
+      SELECT LEAST(ga.source, gb.source) AS source_a,
+             GREATEST(ga.source, gb.source) AS source_b,
+             ga.n * gb.n AS w, hp.ham
+      FROM hpair hp
+      JOIN g ga ON ga.h = hp.ha
+      JOIN g gb ON gb.h = hp.hb
+      UNION ALL
+      SELECT LEAST(ga.source, gb.source), GREATEST(ga.source, gb.source),
+             CASE WHEN ga.source = gb.source THEN ga.n * (ga.n - 1) // 2
+                  ELSE ga.n * gb.n END AS w,
+             0 AS ham
+      FROM g ga JOIN g gb ON ga.h = gb.h AND ga.source <= gb.source
+    )
+    SELECT source_a, source_b,
+           CAST(SUM(w) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN ham = 0 THEN w ELSE 0 END) AS BIGINT)
+             AS n_hash_identical,
+           MAX(ham) AS max_hamming
+    FROM contrib WHERE w > 0
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def _hash_source_counts(spark: SparkSession, sf_dir: str, hashes) -> DataFrame:
+    """(h, source, n) rollup for the perceptual-dedup family —
+    checkpointed once: it feeds the banding, the Hamming confirm, and
+    both multiplicity-weight joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hashes.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("h", "source")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+
+
 @register(
     "mm_phash_near_dedup",
-    oracle="""
+    oracle=f"""
     WITH p AS (
-      SELECT doc_id, source, doc_id % 256 AS scene,
+      SELECT doc_id, doc_id % 256 AS scene,
              (doc_id // 7) % 16 AS off, (doc_id // 256) % 8 AS pert
       FROM documents
     ), cells AS (
@@ -265,42 +324,7 @@ def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                               THEN (1::BIGINT << (gy*8 + gx))
                               ELSE 0 END) AS BIGINT), 0) AS h
       FROM bits WHERE gx < 8 GROUP BY doc_id
-    ), g AS (
-      SELECT h, d.source, COUNT(*) AS n
-      FROM hashes JOIN documents d USING (doc_id)
-      GROUP BY h, d.source
-    ), hs AS (
-      SELECT DISTINCT h FROM g
-    ), bands AS (
-      SELECT h, k.k, (h >> (8*k.k)) & 255 AS bv
-      FROM hs, (SELECT unnest(range(4)) AS k) k
-    ), hp AS (
-      SELECT DISTINCT a.h AS ha, b.h AS hb
-      FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.h < b.h
-    ), hpair AS (
-      SELECT ha, hb, bit_count(xor(ha, hb)) AS ham
-      FROM hp WHERE bit_count(xor(ha, hb)) <= 8
-    ), contrib AS (
-      SELECT LEAST(ga.source, gb.source) AS source_a,
-             GREATEST(ga.source, gb.source) AS source_b,
-             ga.n * gb.n AS w, hp.ham
-      FROM hpair hp
-      JOIN g ga ON ga.h = hp.ha
-      JOIN g gb ON gb.h = hp.hb
-      UNION ALL
-      SELECT LEAST(ga.source, gb.source), GREATEST(ga.source, gb.source),
-             CASE WHEN ga.source = gb.source THEN ga.n * (ga.n - 1) // 2
-                  ELSE ga.n * gb.n END AS w,
-             0 AS ham
-      FROM g ga JOIN g gb ON ga.h = gb.h AND ga.source <= gb.source
-    )
-    SELECT source_a, source_b,
-           CAST(SUM(w) AS BIGINT) AS n_pairs,
-           CAST(SUM(CASE WHEN ham = 0 THEN w ELSE 0 END) AS BIGINT)
-             AS n_hash_identical,
-           MAX(ham) AS max_hamming
-    FROM contrib WHERE w > 0
-    GROUP BY 1, 2 ORDER BY 1, 2
+    ){_pair_report_sql(8)}
     """,
     tags=("MM", "DEDUP", "LSH", "UDF", "CODEC"),
 )
@@ -309,110 +333,39 @@ def mm_phash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the simhash/minhash text family: synthesize a REAL gradient
     image per document (mixed PPM/BMP containers), dHash the DECODED
     raster (operators.multimodal.dhash32 — 9x4 block grid, 32 bits),
-    band the hash into four 8-bit LSH bands, equi-join band buckets
-    for candidates, and confirm with full Hamming distance <= 8. The
+    band into four 8-bit LSH bands, confirm with Hamming <= 8. The
     corpus contains genuine near-duplicates by construction:
     same-scene documents differ only by a uniform brightness shift
     (dHash-invariant) plus a row-0 perturbation confined to band 0,
-    so replicas are guaranteed to collide on bands 1-3 (the property
-    gate in tests/test_multimodal.py pins both invariances). The
-    oracle re-derives every dHash bit closed-form from doc_id
-    arithmetic — any mis-parse in either container grammar (BMP pad,
-    bottom-up rows, channel order) flips bits and hash-fails.
+    so replicas are guaranteed to collide on bands 1-3 (property gate
+    in tests/test_multimodal.py pins both invariances). The oracle
+    re-derives every dHash bit closed-form from doc_id arithmetic —
+    any mis-parse in either container grammar (BMP pad, bottom-up
+    rows, channel order) flips bits and hash-fails.
 
     Scale shape at 100 TB — the multiplicity-weight formulation
-    (the dedup_fuzzy_entity_names trick): doc-level pair enumeration
-    is quadratic in replica-group size (measured 13x on 10x data in
-    the v1 of this query — BASELINE.md), so the banding and Hamming
-    confirm run over DISTINCT hashes only (bounded by image-content
-    diversity, not corpus size) and doc-pair counts are recovered
-    exactly from per-(hash, source) multiplicities: same-hash pairs
-    as n_a*n_b / C(n,2), cross-hash pairs as n_a*n_b per confirmed
-    hash pair, bucketed by unordered (least, greatest) source. The
-    corpus is touched once (hash pass + one (h, source) rollup);
-    everything after is distinct-hash-sized."""
+    (operators.dedup.banded_hash_pair_report, shared with the audio
+    twin): doc-level pair enumeration is quadratic in replica-group
+    size (measured 13.2x on 10x data in the v1 of this query —
+    BASELINE.md), so banding and the Hamming confirm run over
+    DISTINCT hashes only (bounded by image-content diversity, not
+    corpus size) and doc-pair counts are recovered exactly from
+    per-(hash, source) multiplicities. The corpus is touched once
+    (hash pass + one rollup); everything after is
+    distinct-hash-sized."""
+    from ..operators.dedup import banded_hash_pair_report
     from ..operators.multimodal import as_gradient_image_media, dhash32
 
     docs = load_table(spark, sf_dir, "documents")
-    hashes = dhash32(as_gradient_image_media(docs))
-    g = (
-        hashes.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("h", "source")
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint()  # feeds banding, the confirm, and both weight joins
+    g = _hash_source_counts(
+        spark, sf_dir, dhash32(as_gradient_image_media(docs))
     )
-    hs = g.select("h").distinct()
-    bands = hs.select(
-        "h",
-        F.posexplode(
-            F.array(*[
-                F.shiftright("h", 8 * k).bitwiseAND(F.lit(255))
-                for k in range(4)
-            ])
-        ).alias("k", "bv"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    hp = (
-        a.join(
-            b,
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.h") < F.col("b.h")),
-        )
-        .select(F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
-        .dropDuplicates(["ha", "hb"])
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    hpair = hp.select("ha", "hb", ham.alias("ham")).filter(F.col("ham") <= 8)
-    ga = g.select(
-        F.col("h").alias("ha"), F.col("source").alias("sa"), F.col("n").alias("na")
-    )
-    gb = g.select(
-        F.col("h").alias("hb"), F.col("source").alias("sb"), F.col("n").alias("nb")
-    )
-    cross = (
-        hpair.join(ga, "ha")
-        .join(gb, "hb")
-        .select(
-            F.least("sa", "sb").alias("source_a"),
-            F.greatest("sa", "sb").alias("source_b"),
-            (F.col("na") * F.col("nb")).alias("w"),
-            "ham",
-        )
-    )
-    gs = g.alias("x").join(
-        g.alias("y"),
-        (F.col("x.h") == F.col("y.h")) & (F.col("x.source") <= F.col("y.source")),
-    )
-    same = gs.select(
-        F.least("x.source", "y.source").alias("source_a"),
-        F.greatest("x.source", "y.source").alias("source_b"),
-        F.when(
-            F.col("x.source") == F.col("y.source"),
-            F.col("x.n") * (F.col("x.n") - 1) / 2,
-        )
-        .otherwise(F.col("x.n") * F.col("y.n"))
-        .cast("long")
-        .alias("w"),
-        F.lit(0).alias("ham"),
-    )
-    contrib = cross.unionByName(same).filter(F.col("w") > 0)
-    return (
-        contrib.groupBy("source_a", "source_b")
-        .agg(
-            F.sum("w").cast("long").alias("n_pairs"),
-            F.sum(F.when(F.col("ham") == 0, F.col("w")).otherwise(0))
-            .cast("long")
-            .alias("n_hash_identical"),
-            F.max("ham").alias("max_hamming"),
-        )
-        .orderBy("source_a", "source_b")
-    )
+    return banded_hash_pair_report(g, ham_max=8)
 
 
 @register(
     "mm_audio_fingerprint_dedup",
-    oracle="""
+    oracle=f"""
     WITH p AS (
       SELECT doc_id, doc_id % 128 AS scene,
              (doc_id // 128) % 3 + 1 AS gain, (doc_id // 7) % 8 AS pert
@@ -431,43 +384,7 @@ def mm_phash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(CAST(SUM(CASE WHEN e > en THEN (1::BIGINT << f)
                               ELSE 0 END) AS BIGINT), 0) AS h
       FROM bits WHERE f < 31 GROUP BY doc_id
-    ), g AS (
-      SELECT h, d.source, COUNT(*) AS n
-      FROM hashes JOIN documents d USING (doc_id)
-      GROUP BY h, d.source
-    ), hs AS (
-      SELECT DISTINCT h FROM g
-    ), bands AS (
-      SELECT h, k.k, (h >> (8*k.k)) & 255 AS bv
-      FROM hs, (SELECT unnest(range(4)) AS k) k
-    ), hp AS (
-      SELECT DISTINCT a.h AS ha, b.h AS hb
-      FROM bands a JOIN bands b
-        ON a.k = b.k AND a.bv = b.bv AND a.h < b.h
-    ), hpair AS (
-      SELECT ha, hb, bit_count(xor(ha, hb)) AS ham
-      FROM hp WHERE bit_count(xor(ha, hb)) <= 2
-    ), contrib AS (
-      SELECT LEAST(ga.source, gb.source) AS source_a,
-             GREATEST(ga.source, gb.source) AS source_b,
-             ga.n * gb.n AS w, hp.ham
-      FROM hpair hp
-      JOIN g ga ON ga.h = hp.ha
-      JOIN g gb ON gb.h = hp.hb
-      UNION ALL
-      SELECT LEAST(ga.source, gb.source), GREATEST(ga.source, gb.source),
-             CASE WHEN ga.source = gb.source THEN ga.n * (ga.n - 1) // 2
-                  ELSE ga.n * gb.n END AS w,
-             0 AS ham
-      FROM g ga JOIN g gb ON ga.h = gb.h AND ga.source <= gb.source
-    )
-    SELECT source_a, source_b,
-           CAST(SUM(w) AS BIGINT) AS n_pairs,
-           CAST(SUM(CASE WHEN ham = 0 THEN w ELSE 0 END) AS BIGINT)
-             AS n_hash_identical,
-           MAX(ham) AS max_hamming
-    FROM contrib WHERE w > 0
-    GROUP BY 1, 2 ORDER BY 1, 2
+    ){_pair_report_sql(2)}
     """,
     tags=("MM", "DEDUP", "LSH", "UDF", "CODEC"),
 )
@@ -479,92 +396,21 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame-0 tweak — loudness-unnormalized replicas), decode the RIFF
     container, hash the frame-energy envelope (31 bits, exactly
     gain-invariant on bits 1..30 — operators.multimodal
-    .audio_envelope_hash), band into 8-bit LSH bands over DISTINCT
-    hashes, confirm with Hamming <= 2, and recover doc-pair counts
-    from (hash, source) multiplicities into unordered source buckets.
-    The oracle re-derives every envelope energy closed-form from
-    doc_id arithmetic, so a mis-walked RIFF chunk or a sample-order
-    bug flips bits and hash-fails; the gain/pert invariances are
+    .audio_envelope_hash), band and confirm at Hamming <= 2. The
+    oracle re-derives every envelope energy closed-form from doc_id
+    arithmetic, so a mis-walked RIFF chunk or a sample-order bug
+    flips bits and hash-fails; the gain/pert invariances are
     property-gated in tests/test_multimodal.py.
 
-    Scale shape: identical to mm_phash_near_dedup v2 — one Arrow
-    decode+hash pass over the corpus, one (hash, source) rollup, and
-    distinct-hash-sized work (bounded by content diversity, not
-    corpus size) after that."""
+    Scale shape: identical to the image twin — one Arrow decode+hash
+    pass over the corpus, one (hash, source) rollup, then the shared
+    distinct-hash-sized banding/weighting pipeline
+    (operators.dedup.banded_hash_pair_report)."""
+    from ..operators.dedup import banded_hash_pair_report
     from ..operators.multimodal import as_tone_wav_media, audio_envelope_hash
 
     docs = load_table(spark, sf_dir, "documents")
-    hashes = audio_envelope_hash(as_tone_wav_media(docs))
-    g = (
-        hashes.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("h", "source")
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint()  # feeds banding, the confirm, and both weight joins
+    g = _hash_source_counts(
+        spark, sf_dir, audio_envelope_hash(as_tone_wav_media(docs))
     )
-    hs = g.select("h").distinct()
-    bands = hs.select(
-        "h",
-        F.posexplode(
-            F.array(*[
-                F.shiftright("h", 8 * k).bitwiseAND(F.lit(255))
-                for k in range(4)
-            ])
-        ).alias("k", "bv"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    hp = (
-        a.join(
-            b,
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.h") < F.col("b.h")),
-        )
-        .select(F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
-        .dropDuplicates(["ha", "hb"])
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    hpair = hp.select("ha", "hb", ham.alias("ham")).filter(F.col("ham") <= 2)
-    ga = g.select(
-        F.col("h").alias("ha"), F.col("source").alias("sa"), F.col("n").alias("na")
-    )
-    gb = g.select(
-        F.col("h").alias("hb"), F.col("source").alias("sb"), F.col("n").alias("nb")
-    )
-    cross = (
-        hpair.join(ga, "ha")
-        .join(gb, "hb")
-        .select(
-            F.least("sa", "sb").alias("source_a"),
-            F.greatest("sa", "sb").alias("source_b"),
-            (F.col("na") * F.col("nb")).alias("w"),
-            "ham",
-        )
-    )
-    gs = g.alias("x").join(
-        g.alias("y"),
-        (F.col("x.h") == F.col("y.h")) & (F.col("x.source") <= F.col("y.source")),
-    )
-    same = gs.select(
-        F.least("x.source", "y.source").alias("source_a"),
-        F.greatest("x.source", "y.source").alias("source_b"),
-        F.when(
-            F.col("x.source") == F.col("y.source"),
-            F.col("x.n") * (F.col("x.n") - 1) / 2,
-        )
-        .otherwise(F.col("x.n") * F.col("y.n"))
-        .cast("long")
-        .alias("w"),
-        F.lit(0).alias("ham"),
-    )
-    contrib = cross.unionByName(same).filter(F.col("w") > 0)
-    return (
-        contrib.groupBy("source_a", "source_b")
-        .agg(
-            F.sum("w").cast("long").alias("n_pairs"),
-            F.sum(F.when(F.col("ham") == 0, F.col("w")).otherwise(0))
-            .cast("long")
-            .alias("n_hash_identical"),
-            F.max("ham").alias("max_hamming"),
-        )
-        .orderBy("source_a", "source_b")
-    )
+    return banded_hash_pair_report(g, ham_max=2)

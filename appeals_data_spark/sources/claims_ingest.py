@@ -73,11 +73,16 @@ def normalize_claims(raw: DataFrame) -> DataFrame:
     out = raw
     for c in _DATE_COLS:
         out = out.withColumn(c, F.to_date(c, _DATE_FMT))
+    digits = F.regexp_extract("BFCORLID", r"^(\d+)", 1)
     return out.select(
         "*",
-        F.lpad(F.regexp_extract("BFCORLID", r"^(\d+)", 1), 8, "0").alias(
-            "file_number"
-        ),
+        # rjust semantics, NOT bare lpad: Spark lpad TRUNCATES strings
+        # longer than the pad width, which would collapse distinct
+        # 9+-digit file numbers; the reference's rjust(8, '0') leaves
+        # long ids untouched.
+        F.when(F.length(digits) >= 8, digits)
+        .otherwise(F.lpad(digits, 8, "0"))
+        .alias("file_number"),
         F.regexp_extract("BFCORLID", r"(\D+)$", 1).alias("corlid_suffix"),
         (F.col("journal_station") == AMC_STATION).alias("is_amc"),
     )
