@@ -673,3 +673,108 @@ def audio_envelope_hash(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "blob", "mime").mapInPandas(
         _hash, schema="doc_id long, h long"
     )
+
+
+# --- video fingerprinting (near-dedup) --------------------------------------
+
+# A "video" is a concatenated binary-PPM (P6) frame stream — each frame
+# is self-delimiting (header + fixed-size raster), so decoding is a
+# genuine container walk, the moving-image analog of the RIFF
+# chunk-walk. Synthesis: vscene = doc_id % 64 picks an infinite frame
+# stream; offv = (doc_id // 64) % 4 TRIMS the start (the classic
+# near-dup: the same clip cropped by a few frames); off = (doc_id // 7)
+# % 16 is a uniform brightness shift (dHash-invariant per frame). Each
+# video carries VIDEO_FRAMES consecutive frames; same-vscene docs at
+# offsets d apart share VIDEO_FRAMES - d aligned frames, hence
+# VIDEO_FRAMES - 1 - d common consecutive frame-hash 2-grams.
+VIDEO_FRAMES = 8
+VIDEO_SCENES, VIDEO_OFFSETS = 64, 4
+
+
+def _video_frame_pixels(vscene: int, fidx: int, off: int) -> bytes:
+    fscene = (vscene * 13 + fidx * 29) % 251
+    rows = []
+    for y in range(PHASH_H):
+        gy = y // 2
+        for x in range(PHASH_W):
+            v = (fscene * 7 * (x + 1) + gy * 11 * (fscene + 3)) % 199 + off
+            rows.append(bytes((v, v, v)))
+    return b"".join(rows)
+
+
+def decode_ppm_stream(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Walk a concatenated binary-PPM stream -> ordered frame list.
+    Each frame is parsed with the full P6 header grammar (the stream
+    has no index/length table — the parse IS the delimiter)."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        w, h, raster = decode_ppm(payload[pos:])
+        frames.append((w, h, raster))
+        # consumed = header bytes + raster bytes; re-derive the header
+        # length by re-encoding the dims (the encoder's exact grammar)
+        pos += len(b"P6\n%d %d\n255\n" % (w, h)) + len(raster)
+    return frames
+
+
+def as_video_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL frame-stream video payload per document (see
+    the module constants for the near-duplicate structure: same scene,
+    trimmed start, shifted brightness)."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                vscene = d % VIDEO_SCENES
+                offv = (d // VIDEO_SCENES) % VIDEO_OFFSETS
+                off = (d // 7) % 16
+                blobs.append(
+                    b"".join(
+                        encode_ppm(
+                            PHASH_W,
+                            PHASH_H,
+                            _video_frame_pixels(vscene, offv + k, off),
+                        )
+                        for k in range(VIDEO_FRAMES)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return _sized(docs.select("doc_id")).mapInPandas(
+        _enc, schema="doc_id long, blob binary"
+    )
+
+
+def video_hash_seq(media: DataFrame) -> DataFrame:
+    """Per-video ordered frame-dHash sequence from the DECODED stream:
+    walk the P6 frames, dHash each raster (the 9x4 block grid of
+    dhash32), emit (doc_id, seq array<bigint>). One Arrow-batched 1:1
+    pass; every element is a pure function of the payload bytes."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            seqs = []
+            for blob in pdf["blob"]:
+                seq = []
+                for w, h, raster in decode_ppm_stream(bytes(blob)):
+                    arr = np.frombuffer(raster, dtype=np.uint8).reshape(
+                        h, w, 3
+                    )
+                    s = (
+                        arr[:, :, 0]
+                        .astype(np.int64)
+                        .reshape(h // 2, 2, w // 2, 2)
+                        .sum(axis=(1, 3))
+                    )
+                    bits = s[:, :-1] > s[:, 1:]
+                    gy, gx = np.nonzero(bits)
+                    seq.append(int((1 << (gy * 8 + gx)).sum()))
+                seqs.append(seq)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "seq": seqs})
+
+    return media.select("doc_id", "blob").mapInPandas(
+        _hash, schema="doc_id long, seq array<long>"
+    )

@@ -414,3 +414,178 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, audio_envelope_hash(as_tone_wav_media(docs))
     )
     return banded_hash_pair_report(g, ham_max=2)
+
+
+@register(
+    "mm_video_shingle_dedup",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 64 AS vscene, (doc_id // 64) % 4 AS offv
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, k.k, (vscene*13 + (offv + k.k)*29) % 251 AS fscene
+      FROM p, (SELECT unnest(range(8)) AS k) k
+    ), cells AS (
+      SELECT doc_id, k, g.gy, x.gx,
+             ((fscene*7*(2*x.gx+1) + g.gy*11*(fscene+3)) % 199)
+           + ((fscene*7*(2*x.gx+2) + g.gy*11*(fscene+3)) % 199) AS c
+      FROM fr,
+           (SELECT unnest(range(4)) AS gy) g,
+           (SELECT unnest(range(9)) AS gx) x
+    ), bits AS (
+      SELECT doc_id, k, gy, gx, c,
+             LEAD(c) OVER (PARTITION BY doc_id, k, gy ORDER BY gx) AS cn
+      FROM cells
+    ), fh AS (
+      SELECT doc_id, k,
+             COALESCE(CAST(SUM(CASE WHEN c > cn
+                              THEN (1::BIGINT << (gy*8 + gx))
+                              ELSE 0 END) AS BIGINT), 0) AS h
+      FROM bits WHERE gx < 8 GROUP BY doc_id, k
+    ), seqs AS (
+      SELECT doc_id,
+             array_to_string(list(CAST(h AS VARCHAR) ORDER BY k), ',') AS sk,
+             list(h ORDER BY k) AS seq
+      FROM fh GROUP BY doc_id
+    ), g AS (
+      SELECT sk, d.source, COUNT(*) AS n, ANY_VALUE(s.seq) AS seq
+      FROM seqs s JOIN documents d USING (doc_id)
+      GROUP BY sk, d.source
+    ), ds AS (
+      SELECT sk, ANY_VALUE(seq) AS seq FROM g GROUP BY sk
+    ), grams AS (
+      SELECT DISTINCT sk, seq[k.k] AS ha, seq[k.k + 1] AS hb
+      FROM ds, (SELECT unnest(range(1, 8)) AS k) k
+    ), prs AS (
+      SELECT a.sk AS ska, b.sk AS skb, COUNT(*) AS n_common
+      FROM grams a JOIN grams b
+        ON a.ha = b.ha AND a.hb = b.hb AND a.sk < b.sk
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ), contrib AS (
+      SELECT LEAST(ga.source, gb.source) AS source_a,
+             GREATEST(ga.source, gb.source) AS source_b,
+             ga.n * gb.n AS w, pr.n_common, 0 AS ident
+      FROM prs pr
+      JOIN g ga ON ga.sk = pr.ska
+      JOIN g gb ON gb.sk = pr.skb
+      UNION ALL
+      SELECT LEAST(ga.source, gb.source), GREATEST(ga.source, gb.source),
+             CASE WHEN ga.source = gb.source THEN ga.n * (ga.n - 1) // 2
+                  ELSE ga.n * gb.n END AS w,
+             7 AS n_common, 1 AS ident
+      FROM g ga JOIN g gb ON ga.sk = gb.sk AND ga.source <= gb.source
+    )
+    SELECT source_a, source_b,
+           CAST(SUM(w) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN ident = 1 THEN w ELSE 0 END) AS BIGINT)
+             AS n_identical,
+           MAX(n_common) AS max_common_grams
+    FROM contrib WHERE w > 0
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("MM", "DEDUP", "LSH", "UDF", "CODEC"),
+)
+def mm_video_shingle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-deduplication by frame-hash shingling — the moving-
+    image member of the perceptual-dedup family (image:
+    mm_phash_near_dedup, audio: mm_audio_fingerprint_dedup), robust to
+    TEMPORAL CROPS: a video is a concatenated binary-PPM frame stream
+    (self-delimiting P6 frames — the decode is a genuine container
+    walk, operators.multimodal.decode_ppm_stream), each decoded frame
+    is dHashed, and two videos match when they share >= 3 consecutive
+    frame-hash 2-grams — exactly how a trimmed re-upload of the same
+    clip is caught (the corpus contains them by construction:
+    same-scene docs start 0-3 frames apart and share 4-7 of the 7
+    grams; a uniform brightness shift cancels in every frame hash).
+    The oracle re-derives every frame hash closed-form from doc_id
+    arithmetic, so a mis-delimited frame, channel swap, or
+    order-scrambling bug breaks the hash match.
+
+    Scale shape: one Arrow decode+hash pass over the corpus, one
+    (sequence, source) multiplicity rollup, then everything is
+    DISTINCT-SEQUENCE-sized (bounded by content diversity — the gram
+    self-join and pair recovery never touch doc-level pairs, the
+    banded_hash_pair_report discipline applied to sequences)."""
+    from ..operators.multimodal import as_video_media, video_hash_seq
+
+    docs = load_table(spark, sf_dir, "documents")
+    seqs = video_hash_seq(as_video_media(docs))
+    sk = F.array_join(
+        F.transform("seq", lambda h: h.cast("string")), ","
+    ).alias("sk")
+    g = (
+        seqs.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy(sk, "source")
+        .agg(F.count("*").alias("n"), F.any_value("seq").alias("seq"))
+        .localCheckpoint()  # feeds grams, the pair join, and both weight sides
+    )
+    ds = g.select("sk", "seq").dropDuplicates(["sk"])
+    zipped = F.arrays_zip(F.slice("seq", 1, 7), F.slice("seq", 2, 7))
+    grams = (
+        ds.select("sk", F.explode(zipped).alias("bg"))
+        .select(
+            "sk", F.col("bg.0").alias("ha"), F.col("bg.1").alias("hb")
+        )
+        .dropDuplicates(["sk", "ha", "hb"])
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    prs = (
+        a.join(
+            b,
+            (F.col("a.ha") == F.col("b.ha"))
+            & (F.col("a.hb") == F.col("b.hb"))
+            & (F.col("a.sk") < F.col("b.sk")),
+        )
+        .groupBy(F.col("a.sk").alias("ska"), F.col("b.sk").alias("skb"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 3)
+    )
+    ga = g.select(
+        F.col("sk").alias("ska"), F.col("source").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    gb = g.select(
+        F.col("sk").alias("skb"), F.col("source").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    cross = (
+        prs.join(ga, "ska")
+        .join(gb, "skb")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            (F.col("na") * F.col("nb")).alias("w"),
+            "n_common",
+            F.lit(0).alias("ident"),
+        )
+    )
+    gs = g.alias("x").join(
+        g.alias("y"),
+        (F.col("x.sk") == F.col("y.sk"))
+        & (F.col("x.source") <= F.col("y.source")),
+    )
+    same = gs.select(
+        F.least("x.source", "y.source").alias("source_a"),
+        F.greatest("x.source", "y.source").alias("source_b"),
+        F.when(
+            F.col("x.source") == F.col("y.source"),
+            F.shiftright(F.col("x.n") * (F.col("x.n") - 1), 1),
+        )
+        .otherwise(F.col("x.n") * F.col("y.n"))
+        .cast("long")
+        .alias("w"),
+        F.lit(7).cast("long").alias("n_common"),
+        F.lit(1).alias("ident"),
+    )
+    contrib = cross.unionByName(same).filter(F.col("w") > 0)
+    return (
+        contrib.groupBy("source_a", "source_b")
+        .agg(
+            F.sum("w").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("ident") == 1, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("n_identical"),
+            F.max("n_common").alias("max_common_grams"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -92,7 +92,9 @@ def register(
 # extraction, the fuzzy-ER hint drop, the try_element_at probes), then
 # the r2-latest tier with the four r6-displaced queries first.
 # Eight r2-tier queries did not fit and lead round 8 (six listed
-# below plus vec_lsh_portable and vec_brute_force_topk, displaced by
+# below plus vec_lsh_portable, vec_brute_force_topk and
+# text_token_stats (both bench queries — continuously exercised),
+# displaced by
 # the late vec_ann_recall_report / mm_audio_fingerprint_dedup
 # additions; brute-force stays continuously exercised by bench and
 # the ANN recall gates),
@@ -108,6 +110,7 @@ _SWEEP_FIRST = [
     "dedup_incremental_delta",
     "vec_ann_recall_report",
     "mm_audio_fingerprint_dedup",
+    "mm_video_shingle_dedup",
     # changed in round 7 — zero-shuffle centroid assignment + the
     # rint/round_even centroid-mean twin (6 queries + the streaming
     # occupancy mirror), pegasos driver iteration (2), BT pair-stats
@@ -126,7 +129,7 @@ _SWEEP_FIRST = [
     "pipe_decontam_bloom",
     "stream_lm_gate",
     # r2-latest tier (the four r6-displaced queries first, then the
-    # remaining tier; deferred to round 8: vec_lsh_portable, vec_brute_force_topk, w3_session_segmentation,
+    # remaining tier; deferred to round 8: vec_lsh_portable, vec_brute_force_topk, text_token_stats, w3_session_segmentation,
     # w11_rolling_mean, x3_linreg_closed_form, x4_trace_coverage,
     # x6_grouped_glm, x6_partial_pooling)
     "comp_outcome_rates",
@@ -159,7 +162,6 @@ _SWEEP_FIRST = [
     "surv_km_curve",
     "surv_weibull_fit",
     "text_gopher_filters",
-    "text_token_stats",
 ]
 
 

@@ -440,3 +440,36 @@ def test_audio_envelope_invariances(spark):
         for twin in (d + 896, d + 128):
             x = got[d] ^ got[twin]
             assert x in (0, 1), f"replica moved past bit 0: {d} vs {twin}"
+
+
+def test_video_shingle_invariances(spark):
+    """The guarantees mm_video_shingle_dedup relies on, through the
+    FULL pipeline (P6 stream encode -> container walk -> per-frame
+    dHash): (1) a brightness-shifted replica of the same video has the
+    IDENTICAL frame-hash sequence; (2) a temporal crop (same scene,
+    start offset +1) shares exactly VIDEO_FRAMES-1 aligned frame
+    hashes, i.e. 6 of the 7 consecutive 2-grams."""
+    from appeals_data_spark.operators.multimodal import (
+        VIDEO_FRAMES,
+        as_video_media,
+        video_hash_seq,
+    )
+
+    base = [3, 10, 77]
+    ids = []
+    for d in base:
+        # +256: same vscene (256 % 64 == 0) and same offv (offv moves
+        # by 4 ≡ 0 mod 4) but a different brightness (256//7 shifts
+        # (d//7)%16) -> the brightness twin. +64: same vscene, offv+1
+        # -> the one-frame temporal crop.
+        ids += [d, d + 256, d + 64]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: list(r["seq"])
+        for r in video_hash_seq(as_video_media(docs)).collect()
+    }
+    for d in base:
+        assert len(got[d]) == VIDEO_FRAMES
+        assert got[d] == got[d + 256], f"brightness twin moved hashes: {d}"
+        # +64: offv+1 -> frames shift by one position
+        assert got[d][1:] == got[d + 64][:-1], f"crop misaligned: {d}"

@@ -238,6 +238,9 @@ ITERATIVE_SEGMENTS = {
     # same shape, audio: decode+envelope-hash pass -> source join ->
     # (hash, source, n) rollup checkpoint (2 exchanges)
     "mm_audio_fingerprint_dedup": (1, 2),
+    # same shape, video: stream-walk+frame-hash pass -> source join ->
+    # (sequence, source, n) rollup checkpoint (2 exchanges)
+    "mm_video_shingle_dedup": (1, 2),
     "stream_lm_gate": (1, 1),
     "pipe_perplexity_buckets": (1, 1),
     "text_bm25_topk": (1, 1),
