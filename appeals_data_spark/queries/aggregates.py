@@ -842,3 +842,115 @@ def a24_freq_items_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+def _cm_hash_sql(expr: str, j: str) -> str:
+    from ..operators.dedup import sql_portable_hash48
+
+    return f"({sql_portable_hash48(expr, j)}) % 512"
+
+
+@register(
+    "a25_countmin_bound",
+    oracle=f"""
+    WITH pos AS (
+      SELECT o_custkey, 0 AS j,
+             {_cm_hash_sql("CAST(o_custkey AS VARCHAR)", "0")} AS p
+      FROM orders
+      UNION ALL
+      SELECT o_custkey, 1,
+             {_cm_hash_sql("CAST(o_custkey AS VARCHAR)", "1")}
+      FROM orders
+      UNION ALL
+      SELECT o_custkey, 2,
+             {_cm_hash_sql("CAST(o_custkey AS VARCHAR)", "2")}
+      FROM orders
+    ), cm AS (
+      SELECT j, p, COUNT(*) AS cnt FROM pos GROUP BY j, p
+    ), exact AS (
+      SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey
+    ), kpos AS (
+      SELECT o_custkey, c, 0 AS j,
+             {_cm_hash_sql("CAST(o_custkey AS VARCHAR)", "0")} AS p
+      FROM exact
+      UNION ALL
+      SELECT o_custkey, c, 1,
+             {_cm_hash_sql("CAST(o_custkey AS VARCHAR)", "1")}
+      FROM exact
+      UNION ALL
+      SELECT o_custkey, c, 2,
+             {_cm_hash_sql("CAST(o_custkey AS VARCHAR)", "2")}
+      FROM exact
+    ), est AS (
+      SELECT k.o_custkey, k.c, MIN(cm.cnt) AS est
+      FROM kpos k JOIN cm ON cm.j = k.j AND cm.p = k.p
+      GROUP BY k.o_custkey, k.c
+    )
+    SELECT c AS exact_orders,
+           COUNT(*) AS n_keys,
+           CAST(SUM(CASE WHEN est < c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_underestimates,
+           CAST(SUM(est - c) AS BIGINT) AS total_overestimate,
+           CAST(MAX(est - c) AS BIGINT) AS max_overestimate
+    FROM est GROUP BY c ORDER BY exact_orders
+    """,
+    tags=("A3", "APPROX"),
+)
+def a25_countmin_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified Count-Min sketch (Cormode & Muthukrishnan 2005) — the
+    fourth APPROX certificate next to a22 (GK quantiles), a23 (HLL
+    distinct) and a24 (frequent items), and the only one whose sketch
+    VALUES are fully hash-checked: the d=3 x w=512 counter array is
+    built from the portable 48-bit hash family
+    (operators.dedup.portable_hash48), which DuckDB reproduces
+    bit-for-bit, so BOTH engines materialize the identical sketch and
+    the identical per-key estimates — not just a boolean bound. The
+    emitted report buckets every customer by exact order count and
+    pins the CM contract: n_underestimates is structurally 0 (each
+    row's counter >= the key's true count; min over rows preserves
+    it), and the total/max overestimate quantify the collision mass
+    at this (d, w, |keys|) operating point.
+
+    Scale shape: the build is ONE map-side-combinable aggregation
+    into d*w = 1536 cells regardless of stream size — the canonical
+    mergeable sketch for per-key counts when the key universe is too
+    big to shuffle; estimates join the broadcast cell table. The
+    exact side (one groupBy) exists here only to certify."""
+    from ..operators.dedup import portable_hash48
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def positions(key: F.Column) -> F.Column:
+        return F.array(*[
+            F.pmod(portable_hash48(key.cast("string"), j), F.lit(512))
+            for j in range(3)
+        ])
+
+    pos = o.select(
+        F.posexplode(positions(F.col("o_custkey"))).alias("j", "p")
+    )
+    cm = pos.groupBy("j", "p").agg(F.count("*").alias("cnt")).localCheckpoint()
+    exact = o.groupBy("o_custkey").agg(F.count("*").alias("c"))
+    kpos = exact.select(
+        "o_custkey",
+        "c",
+        F.posexplode(positions(F.col("o_custkey"))).alias("j", "p"),
+    )
+    est = (
+        kpos.join(F.broadcast(cm), ["j", "p"])
+        .groupBy("o_custkey", "c")
+        .agg(F.min("cnt").alias("est"))
+    )
+    over = F.col("est") - F.col("c")
+    return (
+        est.groupBy(F.col("c").alias("exact_orders"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum((F.col("est") < F.col("c")).cast("int"))
+            .cast("long")
+            .alias("n_underestimates"),
+            F.sum(over).cast("long").alias("total_overestimate"),
+            F.max(over).cast("long").alias("max_overestimate"),
+        )
+        .orderBy("exact_orders")
+    )

@@ -111,6 +111,7 @@ _SWEEP_FIRST = [
     "vec_ann_recall_report",
     "mm_audio_fingerprint_dedup",
     "mm_video_shingle_dedup",
+    "a25_countmin_bound",
     # changed in round 7 — zero-shuffle centroid assignment + the
     # rint/round_even centroid-mean twin (6 queries + the streaming
     # occupancy mirror), pegasos driver iteration (2), BT pair-stats
@@ -129,7 +130,7 @@ _SWEEP_FIRST = [
     "pipe_decontam_bloom",
     "stream_lm_gate",
     # r2-latest tier (the four r6-displaced queries first, then the
-    # remaining tier; deferred to round 8: vec_lsh_portable, vec_brute_force_topk, text_token_stats, w3_session_segmentation,
+    # remaining tier; deferred to round 8: vec_lsh_portable, vec_brute_force_topk, text_token_stats, surv_weibull_fit, w3_session_segmentation,
     # w11_rolling_mean, x3_linreg_closed_form, x4_trace_coverage,
     # x6_grouped_glm, x6_partial_pooling)
     "comp_outcome_rates",
@@ -160,7 +161,6 @@ _SWEEP_FIRST = [
     "stream_tumbling_counts",
     "stream_user_totals",
     "surv_km_curve",
-    "surv_weibull_fit",
     "text_gopher_filters",
 ]
 

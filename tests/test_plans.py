@@ -227,6 +227,9 @@ ITERATIVE_SEGMENTS = {
     # one distinct exchange) reused by the Bloom build and the
     # confirming semi-join broadcast
     "pipe_decontam_bloom": (1, 1),
+    # one checkpointed segment: the 1536-cell count-min table (one
+    # map-side-combinable exchange), broadcast to the estimate join
+    "a25_countmin_bound": (1, 1),
     # one checkpointed segment: the distinct frozen-corpus signature
     # set (scan + distinct exchange), reused by the bloom build and
     # the confirming join broadcast
