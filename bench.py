@@ -30,6 +30,7 @@ from appeals_data_spark.session import get_spark
 # "value" stays untouched.
 SECONDARY = [
     "a21_sliding_mau",
+    "a25_countmin_bound",
     "dedup_incremental_delta",
     "dedup_fuzzy_entity_names",
     "dedup_paragraph_retention",
@@ -37,7 +38,9 @@ SECONDARY = [
     "dedup_substring_coverage",
     "graph_pagerank_handoff",
     "mm_decode_audio",
+    "mm_audio_fingerprint_dedup",
     "mm_phash_near_dedup",
+    "mm_video_shingle_dedup",
     "pipe_classifier_filter",
     "pipe_decontam_bloom",
     "pipe_diverse_cluster_quota",
@@ -52,6 +55,7 @@ SECONDARY = [
     "text_bm25_topk",
     "text_bpe_merges",
     "text_hybrid_rrf_topk",
+    "vec_ann_recall_report",
     "vec_ivfpq_topk",
     "vec_pq_adc_topk",
     "vec_pq_rerank_topk",
