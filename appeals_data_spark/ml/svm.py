@@ -20,10 +20,14 @@ round is deterministic:
 where violators are rows with margin y * (w . x) < 1 and c_y is the
 per-class cost weight (the reference's ``class.weights``). The bias
 rides as a constant feature and is regularized with the rest (pure
-pegasos). Each round is ONE aggregation of the weighted violator sums
-with the refit coefficients broadcast back (model-as-data, the
-ml.glm.logistic_irls shape); ``localCheckpoint`` per round keeps the
-fit at `iters` data passes.
+pegasos). The loop is MLlib-style driver iteration: each round runs
+ONE map-side-combinable aggregation over the cached feature frame and
+collects k+1 doubles (the weighted violator sums + count); the updated
+coefficients are spliced into the next round's plan as literals. No
+per-round ``localCheckpoint`` and no growing lineage — the plan depth
+is constant because each round's inputs are constants, and the result
+is bit-identical to the broadcast-column formulation (both fold the
+same IEEE doubles in the same order).
 """
 
 from __future__ import annotations

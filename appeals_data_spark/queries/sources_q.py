@@ -357,7 +357,11 @@ def _claims_exchange_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         # wire order matters: the explicit-schema read binds by position
         rows = o.select(*[vals[c].alias(c) for c in CLAIMS_COLUMNS])
-        rows.write.csv(os.path.join(path, "csv"), header=True)
+        # mode("overwrite") keeps retries idempotent: if writer() fails
+        # after the CSV lands but before the memo is recorded, the next
+        # attempt must not die on "path already exists" (matches the
+        # other scratch_path_once writers, e.g. partitioned_orders).
+        rows.write.mode("overwrite").csv(os.path.join(path, "csv"), header=True)
         ingest_claims_csv(
             spark, os.path.join(path, "csv"), os.path.join(path, "landed")
         )

@@ -724,8 +724,16 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replaces the crossJoin + Window.partitionBy(vec_id) that shuffled
     # |corpus| x |cells| rows. Tie semantics identical (strict > keeps
     # the lowest label), so member rows are bit-for-bit unchanged.
+    # Round 8: the one-row model artifact is materialized ONCE (the
+    # ivf_topk localCheckpoint idiom) — member feeds BOTH the
+    # representative selection and the final scoring pass, and without
+    # the barrier the static plan inlined the full 4-exchange centroid
+    # build on each side (9 exchanges total; AQE stage reuse deduped
+    # it at runtime, but the guarantee now holds by construction:
+    # final plan 3 exchanges + 4 in the one-off checkpointed segment).
+    cents_arr = centroid_struct_array(cents).localCheckpoint()
     member = (
-        emb.crossJoin(F.broadcast(centroid_struct_array(cents)))
+        emb.crossJoin(F.broadcast(cents_arr))
         .select(
             "vec_id",
             "embedding",
@@ -740,14 +748,33 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_b.c_cos").alias("c_cos"),
         )
     )
-    wrep = Window.partitionBy("c_label").orderBy(F.desc("c_cos"), F.asc("vec_id"))
+    # Representative selection (round 8): the per-cluster argmax was a
+    # Window.partitionBy(c_label) row_number pass — a full-member-set
+    # shuffle-and-sort into |clusters| partitions, a skew magnet when k
+    # is small and the corpus is 100 TB. Collapsed to ONE map-side-
+    # combinable max_by aggregation: the (c_cos, -vec_id) key maximizes
+    # exactly the window's (c_cos DESC, vec_id ASC) order, and vec_id
+    # uniqueness makes the key unique per row, so the pick is
+    # deterministic and bit-identical. Each map task now ships k
+    # partially-combined rows instead of its whole member slice.
     rep = (
-        member.withColumn("rr", F.row_number().over(wrep))
-        .filter(F.col("rr") == 1)
+        member.groupBy("c_label")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("vec_id").alias("rep_id"),
+                    F.col("embedding").alias("rep_vec"),
+                ),
+                F.struct(
+                    F.col("c_cos").alias("k_cos"),
+                    (-F.col("vec_id")).alias("k_negid"),
+                ),
+            ).alias("_r")
+        )
         .select(
             "c_label",
-            F.col("vec_id").alias("rep_id"),
-            F.col("embedding").alias("rep_vec"),
+            F.col("_r.rep_id").alias("rep_id"),
+            F.col("_r.rep_vec").alias("rep_vec"),
         )
     )
     cos_rep = cosine(F.col("embedding"), F.col("rep_vec"))

@@ -171,11 +171,17 @@ def all_queries() -> dict[str, Query]:
 
     unknown = [n for n in _SWEEP_FIRST if n not in REGISTRY]
     # Loud, not silent: a typo or a renamed query must not shrink the
-    # driver's 50-query sweep window invisibly.
-    assert not unknown, f"_SWEEP_FIRST names not in REGISTRY: {unknown}"
-    assert len(set(_SWEEP_FIRST)) == len(_SWEEP_FIRST), (
-        "duplicate _SWEEP_FIRST entries shrink the sweep window"
-    )
+    # driver's 50-query sweep window invisibly. Real raises (not assert)
+    # so the guard survives ``python -O``.
+    if unknown:
+        raise ValueError(f"_SWEEP_FIRST names not in REGISTRY: {unknown}")
+    if len(set(_SWEEP_FIRST)) != len(_SWEEP_FIRST):
+        dupes = sorted(
+            {n for n in _SWEEP_FIRST if _SWEEP_FIRST.count(n) > 1}
+        )
+        raise ValueError(
+            f"duplicate _SWEEP_FIRST entries shrink the sweep window: {dupes}"
+        )
     ordered = {n: REGISTRY[n] for n in _SWEEP_FIRST}
     for n, q in REGISTRY.items():
         if n not in ordered:

@@ -254,6 +254,12 @@ ITERATIVE_SEGMENTS = {
     "text_bpe_vocab": (6, 5),
     "text_tfidf_topk": (1, 1),
     "text_unigram_logprob": (1, 1),
+    # one checkpointed segment: the 1-row centroid struct-array model
+    # (label means 2 exchanges + 1-row collapse) reused by BOTH member
+    # passes (rep selection + scoring) — was inlined twice (9 static
+    # exchanges); rep selection itself is now a max_by agg, not a
+    # Window.partitionBy(c_label) full-member sort-shuffle
+    "dedup_semantic_clusters": (1, 3),
     "vec_ann_recall_report": (1, 2),  # shared centroid checkpoint (ivf arm)
     "vec_ivf_topk": (1, 2),
     "vec_ivfpq_topk": (2, 4),
