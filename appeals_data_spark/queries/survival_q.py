@@ -1757,11 +1757,12 @@ def bt_pair_stats(li: DataFrame) -> DataFrame:
 
     Single-Arrow-group bound: the result is item-pairs-sized — the
     groupBy(sa, sb) caps it at C(S,2) rows for S distinct suppliers
-    REGARDLESS of fact-table size (32 bytes/row: ~1.6GB at S=10^4.5,
-    the applyInPandas comfort ceiling; a supplier universe beyond
-    ~3*10^4 needs the sharded fit documented in pref_bradley_terry
-    before the single-group applyInPandas is safe). The property gate
-    asserts the bound holds on real data."""
+    REGARDLESS of fact-table size (32 bytes/row: ~1.6GB at 5e7 pair
+    rows, the applyInPandas comfort ceiling — crossed near S~1e4 at
+    full pair density, ~3*10^4 at the sparse densities real corpora
+    show). Beyond that bound ml/bt.py's bt_strengths switches to the
+    sharded JVM fit (implemented round 8, bit-identity property-gated);
+    the C(S,2) property gate asserts the bound holds on real data."""
     unit = (
         li.groupBy(
             F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
@@ -1834,49 +1835,20 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     warm (r5), whole-frame-window + HOF-fold rounds 7.8s warm — the
     suppliers-sized math is scheduling-floor-bound in Spark jobs, and
     3.4s warm as a single Arrow fit (see BASELINE.md)."""
+    from ..ml.bt import bt_strengths
+
     li = load_table(spark, sf_dir, "lineitem")
     pairs = bt_pair_stats(li)
     from pyspark.sql.window import Window
 
-    def _mm_fit(pdf):
-        # Whole pair-stats table as ONE Arrow group: symmetrize,
-        # dense-index the supplier universe, run 3 MM rounds as numpy
-        # vector ops. np.add.at int64 scatter-adds are exact under any
-        # row arrival order; np.rint is half-to-even like Spark's rint
-        # and DuckDB's round_even.
-        import numpy as np
-        import pandas as pd
-
-        sa = pdf["sa"].to_numpy(np.int64)
-        sb = pdf["sb"].to_numpy(np.int64)
-        n = pdf["n"].to_numpy(np.int64)
-        w = pdf["w"].to_numpy(np.int64)
-        sup = np.unique(np.concatenate([sa, sb]))  # sorted suppkeys
-        ia = np.searchsorted(sup, sa)
-        ib = np.searchsorted(sup, sb)
-        size = sup.size
-        wins = np.zeros(size, np.int64)
-        np.add.at(wins, ia, w)
-        np.add.at(wins, ib, n - w)
-        ni = np.zeros(size, np.int64)
-        np.add.at(ni, ia, n)
-        np.add.at(ni, ib, n)
-        row = np.concatenate([ia, ib])
-        col = np.concatenate([ib, ia])
-        nn = np.concatenate([n, n]).astype(np.float64)
-        p = np.ones(size, np.float64)
-        for _ in range(3):
-            contrib = np.rint(nn / (p[row] + p[col]) * 1e6).astype(np.int64)
-            ssum = np.zeros(size, np.int64)
-            np.add.at(ssum, row, contrib)
-            praw = wins / (ssum.astype(np.float64) / 1e6)
-            t = np.rint(praw * 1e6).astype(np.int64).sum() / 1e6
-            p = praw / t
-        return pd.DataFrame({"i": sup, "wi": wins, "ni": ni, "p": p})
-
-    fit = pairs.groupBy(F.lit(1).alias("g")).applyInPandas(
-        _mm_fit, "i long, wi long, ni long, p double"
-    )
+    # Path choice at the gated bound (ml/bt.py): below 5e7 pair rows
+    # (all testdata SFs, by orders of magnitude) the whole pair table
+    # fits ONE Arrow group — symmetrize, dense-index, 3 MM rounds as
+    # numpy int64 scatter-folds. Beyond the bound bt_strengths switches
+    # to the sharded JVM fit (per-partition partial int64 sums, one
+    # items-sized combine per round) — bit-identical strengths,
+    # property-gated on an S>3e4 universe in tests/test_properties.py.
+    fit = bt_strengths(pairs, rounds=3)
     wr = Window.orderBy(F.desc("p"), F.asc("i"))
     return (
         fit.withColumn("rnk", F.row_number().over(wr))

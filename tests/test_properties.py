@@ -553,3 +553,45 @@ def test_bt_pair_stats_is_item_pairs_sized(spark):
     # and the bound is meaningfully tighter than fact scale: the group
     # that reaches the Arrow fit must not grow with lineitem rows
     assert n_pairs < li.count(), n_pairs
+
+
+def test_bt_sharded_fit_bit_identical_beyond_arrow_bound(spark):
+    """The sharded MM fit (ml/bt.py, round 8) must return bit-identical
+    strengths to the single-Arrow-group numpy fit — exercised on a
+    synthetic S>3e4 supplier universe, past the documented cliff where
+    the single group stops being safe on dense pair tables. Both fold
+    sites accumulate 6dp-scaled int64s, so equality is exact double
+    ==, not approx."""
+    from pyspark.sql import functions as F
+
+    from appeals_data_spark.ml.bt import bt_strengths
+
+    S = 30_001  # > 3e4 items
+    # Sparse deterministic tournament: ring pairs (i, i+1) plus a
+    # stride-997 overlay so the comparison graph is connected and
+    # irregular; n in 2..6, w in 0..1 <= n.
+    base = spark.range(S - 1).select(
+        F.col("id").alias("sa"),
+        (F.col("id") + 1).alias("sb"),
+        (F.col("id") % 5 + 2).alias("n"),
+        (F.col("id") % 2).alias("w"),
+    )
+    overlay = spark.range(0, S - 997, 997).select(
+        F.col("id").alias("sa"),
+        (F.col("id") + 997).alias("sb"),
+        (F.col("id") % 3 + 2).alias("n"),
+        (F.col("id") % 3).alias("w"),
+    )
+    pairs = base.unionByName(overlay).localCheckpoint()
+
+    single = bt_strengths(pairs, rounds=3, force="single").collect()
+    sharded = bt_strengths(pairs, rounds=3, force="sharded").collect()
+    as_map = lambda rows: {r["i"]: (r["wi"], r["ni"], r["p"]) for r in rows}
+    ms, mh = as_map(single), as_map(sharded)
+    assert set(ms) == set(mh) and len(ms) == S
+    diff = {i: (ms[i], mh[i]) for i in ms if ms[i] != mh[i]}
+    assert not diff, dict(list(diff.items())[:5])
+    # the auto switch picks the single-group path below the bound and
+    # the sharded path above it (tiny threshold to force the branch)
+    auto = bt_strengths(pairs, rounds=3, max_single_group_pairs=10).collect()
+    assert as_map(auto) == mh
