@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..operators.similarity import brute_force_topk, lsh_topk
-from ..registry import register
+from ..registry import REGISTRY, register
 
 _DIM = 64
 
@@ -1006,3 +1006,102 @@ def vec_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _arm_oracle(name: str) -> str:
+    """The registered oracle of an ANN arm, reused verbatim as a
+    parenthesized subquery — the recall report's truth-vs-arm compare
+    stays in sync with the arm queries by construction (same SQL
+    object, not a copy)."""
+    return REGISTRY[name].oracle
+
+
+@register(
+    "vec_pq_recall_report",
+    oracle=f"""
+    WITH bf AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS corpus_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(e.embedding AS DOUBLE[])) DESC,
+                          e.vec_id
+               ) AS rank
+        FROM embeddings q, embeddings e
+        WHERE q.vec_id < 8 AND e.vec_id != q.vec_id
+      ) WHERE rank <= 5
+    )
+    SELECT arm, query_id, n_hit, recall_pct FROM (
+      SELECT 'ivfpq' AS arm, b.query_id,
+             CAST(COUNT(a.corpus_id) AS BIGINT) AS n_hit,
+             CAST(COUNT(a.corpus_id) * 20 AS BIGINT) AS recall_pct
+      FROM bf b LEFT JOIN ({_arm_oracle("vec_ivfpq_topk")}) a
+        ON a.query_id = b.query_id AND a.corpus_id = b.corpus_id
+      GROUP BY b.query_id
+      UNION ALL
+      SELECT 'pq_adc' AS arm, b.query_id,
+             CAST(COUNT(a.corpus_id) AS BIGINT) AS n_hit,
+             CAST(COUNT(a.corpus_id) * 20 AS BIGINT) AS recall_pct
+      FROM bf b LEFT JOIN ({_arm_oracle("vec_pq_adc_topk")}) a
+        ON a.query_id = b.query_id AND a.corpus_id = b.corpus_id
+      GROUP BY b.query_id
+      UNION ALL
+      SELECT 'pq_rerank' AS arm, b.query_id,
+             CAST(COUNT(a.corpus_id) AS BIGINT) AS n_hit,
+             CAST(COUNT(a.corpus_id) * 20 AS BIGINT) AS recall_pct
+      FROM bf b LEFT JOIN ({_arm_oracle("vec_pq_rerank_topk")}) a
+        ON a.query_id = b.query_id AND a.corpus_id = b.corpus_id
+      GROUP BY b.query_id
+    ) ORDER BY arm, query_id
+    """,
+    tags=("VEC", "ANN", "PQ", "CERT"),
+)
+def vec_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall certificate for the LOSSY quantizer family — the r7
+    vec_ann_recall_report discipline extended to every PQ arm: run the
+    exact brute-force top-5 once, then measure per-query overlap with
+    (a) the composed IVFADC production shape (vec_ivfpq_topk), (b)
+    pure compressed-domain ADC (vec_pq_adc_topk, the floor), and (c)
+    ADC-shortlist + exact re-rank (vec_pq_rerank_topk, the buy-back).
+    One integer row per (arm, query): n_hit of 5 and recall as an
+    integer percent — hash-checked cross-engine, so a codebook, LUT,
+    or shortlist regression shows as a value diff, not just a pytest
+    floor breach (tests/test_ann_recall.py keeps the aggregate
+    floors).
+
+    The three arms ARE the registered queries (same builder functions,
+    same oracles spliced as subqueries), so this certificate can never
+    drift from what ships. Scale shape: the brute-force arm is the one
+    deliberate full scan (8 broadcast probes, WindowGroupLimit-bounded
+    top-k); each PQ arm touches the raw embedding column only at
+    encode/rerank time; the overlap joins are 40 rows a side."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    # 40 rows, reused by all three overlap joins — materialize once.
+    bf = (
+        brute_force_topk(emb, queries, k=5)
+        .select("query_id", "corpus_id")
+        .localCheckpoint()
+    )
+    out = None
+    for arm, df in (
+        ("ivfpq", vec_ivfpq_topk(spark, sf_dir)),
+        ("pq_adc", vec_pq_adc_topk(spark, sf_dir)),
+        ("pq_rerank", vec_pq_rerank_topk(spark, sf_dir)),
+    ):
+        hits = df.select("query_id", "corpus_id").withColumn("hit", F.lit(1))
+        rep = (
+            bf.join(hits, ["query_id", "corpus_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count("hit").alias("n_hit"),
+                (F.count("hit") * 20).alias("recall_pct"),
+            )
+            .select(F.lit(arm).alias("arm"), "query_id", "n_hit", "recall_pct")
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out.orderBy("arm", "query_id")

@@ -250,3 +250,25 @@ def test_ivfpq_exact_rerank_dominates_adc(spark, ground_truth):
         truth,
     )
     assert exact >= adc  # measured 0.50 vs 0.225
+
+
+def test_pq_recall_report_floors(spark):
+    # The driver-facing certificate (vec_pq_recall_report) must show
+    # the same floors the arm gates above assert — aggregated across
+    # the 8 probe queries, per arm. A breach here means a lossy-
+    # quantizer regression reached the shipped report.
+    from appeals_data_spark.registry import all_queries
+
+    rows = all_queries()["vec_pq_recall_report"].builder(
+        spark, SF_SMOKE
+    ).collect()
+    by_arm: dict[str, list[int]] = {}
+    for r in rows:
+        by_arm.setdefault(r.arm, []).append(r.n_hit)
+    assert set(by_arm) == {"ivfpq", "pq_adc", "pq_rerank"}
+    recall = {arm: sum(v) / (5 * len(v)) for arm, v in by_arm.items()}
+    assert recall["ivfpq"] >= 0.175, recall  # measured 0.225
+    assert recall["pq_adc"] >= 0.15, recall  # measured 0.20
+    assert recall["pq_rerank"] >= 0.8, recall  # measured 0.875
+    # exact re-rank over an ADC shortlist can only beat pure ADC
+    assert recall["pq_rerank"] >= recall["pq_adc"], recall

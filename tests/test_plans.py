@@ -56,6 +56,7 @@ BNLJ_OK = {
     "u3_array_intersect_sources",  # collect_set'd tiny side
     "vec_brute_force_topk",  # 8 probe vectors
     "vec_ann_recall_report",  # 8 probe vectors (brute-force arm) + 1-row centroid array
+    "vec_pq_recall_report",  # same brute-force truth arm + centroid/probe sides
     "vec_ivf_topk",  # probes x centroids
     "vec_ivfpq_topk",  # probes x centroids (coarse-quantizer stage)
     "vec_kmeans_lloyd",  # k=4 centroid side per Lloyd round
@@ -260,6 +261,10 @@ ITERATIVE_SEGMENTS = {
     # exchanges); rep selection itself is now a max_by agg, not a
     # Window.partitionBy(c_label) full-member sort-shuffle
     "dedup_semantic_clusters": (1, 3),
+    # five checkpointed segments: the 40-row brute-force truth table +
+    # the arm models (ivfpq centroid + codebook, adc codebook, rerank
+    # codebook) — the report composes four full registered pipelines
+    "vec_pq_recall_report": (5, 10),
     "vec_ann_recall_report": (1, 2),  # shared centroid checkpoint (ivf arm)
     "vec_ivf_topk": (1, 2),
     "vec_ivfpq_topk": (2, 4),
