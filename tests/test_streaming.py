@@ -560,3 +560,49 @@ def test_incremental_delta_dedup_parity(spark, docs_dir):
     )
     cols = ["doc_id", "source", "is_dup_vs_corpus"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_mm_perceptual_hash_parity(spark, docs_dir):
+    """The perceptual-dedup hash projections — image dHash, audio
+    envelope hash, video frame-dHash sequence — are stateless Arrow
+    (mapInPandas) projections, so a micro-batch ingest must score the
+    EXACT batch hash functions bit-for-bit (the PII-scrub discipline).
+    With parity pinned here, the mm_* banded dedup family can run its
+    candidate generation against a stream landing zone and join the
+    frozen corpus's distinct-hash table unchanged."""
+    from appeals_data_spark.operators.multimodal import (
+        as_gradient_image_media,
+        as_tone_wav_media,
+        as_video_media,
+        audio_envelope_hash,
+        dhash32,
+        video_hash_seq,
+    )
+    from appeals_data_spark.streaming.doc_stream import document_stream
+
+    batch_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+    def norm(rows):
+        return sorted(
+            (r["doc_id"], tuple(r["h"]) if isinstance(r["h"], list) else r["h"])
+            for r in rows
+        )
+
+    for name, build, hash_fn in (
+        ("image_dhash", as_gradient_image_media, dhash32),
+        ("audio_envelope", as_tone_wav_media, audio_envelope_hash),
+        ("video_seq", as_video_media, video_hash_seq),
+    ):
+        hcol = "seq" if name == "video_seq" else "h"
+        streamed = run_to_memory(
+            spark,
+            hash_fn(build(document_stream(spark, docs_dir))).withColumnRenamed(
+                hcol, "h"
+            ),
+            f"mm_hash_parity_{name}",
+            output_mode="append",
+        )
+        batch = hash_fn(build(batch_docs)).withColumnRenamed(hcol, "h")
+        got, want = norm(streamed.collect()), norm(batch.collect())
+        assert got == want, (name, got[:3], want[:3])
+        assert len(got) == batch_docs.count(), name
