@@ -83,85 +83,81 @@ def register(
 # valuable first. Cross-round driver union r1|r2|r3|r4|r5 covers ALL
 # registered queries.
 #
-# Round-7 rotation (EXECUTED this round): front-load the four round-7
-# additions (S6 claims-exchange ingest report, perceptual-hash image
-# near-dedup, trigram stupid-backoff LM, incremental corpus-delta
-# dedup), then every query whose code/plan/oracle changed in round 7
-# (the zero-shuffle centroid assignment + rint/round_even centroid
-# twin family, the pegasos driver-iteration pair, the BT pair-stats
-# extraction, the fuzzy-ER hint drop, the try_element_at probes), then
-# the r2-latest tier with the four r6-displaced queries first.
-# Eight r2-tier queries did not fit and lead round 8 (six listed
-# below plus vec_lsh_portable, vec_brute_force_topk and
-# text_token_stats (both bench queries — continuously exercised),
-# displaced by
-# the late vec_ann_recall_report / mm_audio_fingerprint_dedup
-# additions; brute-force stays continuously exercised by bench and
-# the ANN recall gates),
-# followed by the r3-latest tier — keeping every query's latest driver
-# verdict <= 2 rounds old.
+# Round-8 rotation (EXECUTED this round): front-load the one round-8
+# addition (the PQ recall certificate) and the two round-8-changed
+# queries (semantic dedup's max_by rep selection + checkpointed
+# centroid model; Bradley-Terry now fit through ml/bt.py's
+# path-switching bt_strengths), then the TEN r2-latest-tier queries
+# deferred from round 7 (retiring the r2 tier completely), then 37 of
+# the 45 r3-latest-tier queries. EIGHT r3-tier queries defer to round
+# 9, each with continuous non-driver evidence in the meantime:
+#   vec_pq_adc_topk, vec_pq_rerank_topk — their oracles and builders
+#     are spliced verbatim into vec_pq_recall_report (in this window),
+#     and both are in bench.py SECONDARY;
+#   dedup_substring_coverage, text_bpe_merges — bench.py SECONDARY;
+#   j21_bucketed_copartition_join — zero-Exchange SMJ plan-asserted in
+#     tests/test_bucketing.py;
+#   stream_click_attribution, stream_dedup_user_types,
+#   stream_event_union — stream-vs-batch parity gates in
+#     tests/test_streaming.py (batch twins oracle-checked).
+# Round-9 plan: those eight lead, then the r4/r5-latest tier.
 # Simulate with `python tools/check.py --window 50 --vanilla` before
 # shipping.
 _SWEEP_FIRST = [
-    # new in round 7 — need first driver rows
-    "s6_claims_ingest_report",
-    "mm_phash_near_dedup",
-    "text_trigram_backoff_logprob",
-    "dedup_incremental_delta",
-    "vec_ann_recall_report",
-    "mm_audio_fingerprint_dedup",
-    "mm_video_shingle_dedup",
-    "a25_countmin_bound",
-    # changed in round 7 — zero-shuffle centroid assignment + the
-    # rint/round_even centroid-mean twin (6 queries + the streaming
-    # occupancy mirror), pegasos driver iteration (2), BT pair-stats
-    # extraction, fuzzy-ER broadcast-hint drop, try_element_at probes
-    "vec_label_centroid_assign",
-    "vec_ivf_topk",
-    "vec_ivfpq_topk",
+    # new in round 8 — needs its first driver row
+    "vec_pq_recall_report",
+    # changed in round 8
     "dedup_semantic_clusters",
-    "pipe_diverse_cluster_quota",
-    "vec_kmeans_lloyd",
-    "stream_centroid_occupancy",
-    "pipe_classifier_filter",
-    "x3_linear_svm_eval",
     "pref_bradley_terry",
-    "dedup_fuzzy_entity_names",
-    "pipe_decontam_bloom",
-    "stream_lm_gate",
-    # r2-latest tier (the four r6-displaced queries first, then the
-    # remaining tier; deferred to round 8: vec_lsh_portable, vec_brute_force_topk, text_token_stats, surv_weibull_fit, w3_session_segmentation,
-    # w11_rolling_mean, x3_linreg_closed_form, x4_trace_coverage,
-    # x6_grouped_glm, x6_partial_pooling)
-    "comp_outcome_rates",
-    "a6_rate_vs_group_total",
-    "closure_components",
-    "x1_derived_count_scalars",
-    "a15_interval_overlap_months",
-    "comp_backlog_reconstruction",
-    "comp_decision_locs",
-    "comp_docket_projection",
-    "comp_exp_gap_fit",
-    "comp_priorloc_parsers",
-    "comp_time_to_first_ship",
-    "dedup_canonical_corpus",
-    "dedup_embedding_cosine",
-    "dedup_exact_summary",
-    "dedup_minhash_portable",
-    "dedup_ngram_jaccard_adjacent",
-    "dedup_simhash_portable",
-    "mm_feature_rollup",
-    "pipe_contamination_overlap",
-    "pipe_curation_funnel",
-    "pipe_pack_sequences",
-    "s5_csv_dim_broadcast_join",
-    "skew_salted_agg",
-    "stream_doc_curation",
-    "stream_session_stats",
-    "stream_tumbling_counts",
-    "stream_user_totals",
-    "surv_km_curve",
-    "text_gopher_filters",
+    # r2-latest tier, deferred from round 7 — retires the r2 tier
+    "surv_weibull_fit",
+    "text_token_stats",
+    "vec_brute_force_topk",
+    "vec_lsh_portable",
+    "w11_rolling_mean",
+    "w3_session_segmentation",
+    "x3_linreg_closed_form",
+    "x4_trace_coverage",
+    "x6_grouped_glm",
+    "x6_partial_pooling",
+    # r3-latest tier (37 of 45; the deferred eight are justified above)
+    "a16_cube_rollup",
+    "mm_decode_image",
+    "mm_frame_sample",
+    "mm_resize_dims",
+    "pipe_chunk_overlap",
+    "pipe_mixture_weights",
+    "pipe_model_score_broadcast",
+    "pipe_split_shards",
+    "pipe_stratified_sample",
+    "pipe_temperature_mixture",
+    "r6_paired_field_changes",
+    "s1_portable_sql_rollup",
+    "s9_partition_pruned_rollup",
+    "skew_salted_join",
+    "surv_km_counts",
+    "surv_median_lifetime",
+    "text_bpe_vocab",
+    "text_char_classes",
+    "text_fingerprint_md5",
+    "text_lang_confusion",
+    "text_quality_flags",
+    "text_subword_tokens",
+    "text_tfidf_topk",
+    "text_token_entropy",
+    "text_top2gram_repetition",
+    "text_unigram_logprob",
+    "text_vocab_topk",
+    "text_winnow_fingerprints",
+    "u5_event_where_hook",
+    "u6_event_funnel",
+    "w12_linear_interpolation",
+    "x3_grouped_correlation",
+    "x3_logistic_irls",
+    "x4_transition_matrix",
+    "x6_grouped_model_fit",
+    "x6_mixed_treatment_em",
+    "x6_random_intercept_em",
 ]
 
 
