@@ -42,6 +42,19 @@ from pyspark.sql import functions as F
 # ~1.6 GB at 32 B/row. C(S,2) crosses this around S ~ 1e4 at full
 # pair density, so any larger item universe (the documented ~3e4
 # supplier cliff at sparse density) lands on the sharded path.
+#
+# Measured at the 100x probe (BASELINE.md round 8, 49.95M pairs,
+# local[32]): with an adequately sized heap (24g) the sharded fit is
+# 11.9s vs 56.6s single-group — the Arrow group is the bottleneck
+# well before it becomes unsafe — but in the bench-default 8g local
+# heap the sharded path's per-round shuffles on top of the cached
+# pair table OOM while the single group (which streams Arrow batches
+# once) completes. The default therefore stays at the safety ceiling:
+# below it the single group is reliable in ANY heap; above it no heap
+# can hold the group and the sharded path with honestly sized
+# executors is the only option. Cluster callers with real executor
+# memory should pass a lower max_single_group_pairs (~2e7) to take
+# the measured 4.8x win earlier.
 MAX_SINGLE_GROUP_PAIRS = 50_000_000
 
 

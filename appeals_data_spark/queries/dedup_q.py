@@ -549,17 +549,19 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> per-source keep/drop accounting.
 
     Scale shape: exact edges are one window over a 64-bit hash key;
-    blocking bounds the pair join (block sizes are data-capped — at
-    sf0.1: max block 28 docs, 33k candidate pairs from 5k docs, never
-    |docs|^2); components iterate join+min with localCheckpoint
-    lineage cuts, O(duplicate-graph diameter) rounds on a graph of
-    only linked docs (vanishing fraction of corpus). The production
-    variant swaps blocking for minhash bands (dedup_minhash_lsh) —
-    same downstream graph machinery."""
+    blocked candidate pairs are quadratic in block size (measured on
+    the 100x probe: 33k pairs at sf0.1 -> 108M at sf10), so the
+    near-dup stage computes exact Jaccard by inverted-index
+    intersection counting — word-level equi-join + one map-side-
+    combinable pair aggregation, never a per-pair array compare (see
+    the inline round-8 note); components iterate join+min with
+    localCheckpoint lineage cuts, O(duplicate-graph diameter) rounds
+    on a graph of only linked docs (vanishing fraction of corpus).
+    The production variant swaps blocking for minhash bands
+    (dedup_minhash_lsh) — same downstream graph machinery."""
     from pyspark.sql.window import Window
 
     from ..operators.closure import connected_components
-    from ..operators.dedup import jaccard
 
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -579,16 +581,46 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("src"))
         .select("src", F.col("doc_id").alias("dst"))
     )
-    a, b = base.alias("a"), base.alias("b")
-    near_e = (
-        a.join(
-            b,
+    # Near edges by inverted-index intersection counting (round 8).
+    # The r2-r7 form joined base to itself on blk and evaluated
+    # jaccard(a.ws, b.ws) per pair — each candidate pair shipped TWO
+    # full word arrays through the join. Candidate pairs are quadratic
+    # in block size, and the 100x probe measured the blowup: 33k pairs
+    # at sf0.1 -> 108M at sf10 (max block 28 -> 1336 docs), ~21.6G
+    # word-slots through the Jaccard filter — the query ran >25min
+    # (BASELINE.md). This form computes the SAME exact Jaccard from
+    # word-level rows: explode the distinct word set once, equi-join on
+    # (blk, word), count shared words per ordered pair (map-side
+    # combinable), and J = inter / (na + nb - inter) — set algebra,
+    # value-identical to size(intersect)/size(union), oracle unchanged.
+    # Emitted rows = sum-over-(blk,word) C(occ,2): 1.43G narrow rows at
+    # sf10 (~15x less data than the array form) streamed through one
+    # partial aggregation; pairs sharing ONLY the blocking token cost
+    # one row instead of two materialized arrays.
+    wsx = base.select(
+        "doc_id", "blk", F.size("ws").alias("nw"), F.explode("ws").alias("w")
+    )
+    inter = (
+        wsx.alias("a")
+        .join(
+            wsx.alias("b"),
             (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.w") == F.col("b.w"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(jaccard(F.col("a.ws"), F.col("b.ws")) >= 0.5)
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .groupBy(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            F.col("a.nw").alias("na"),
+            F.col("b.nw").alias("nb"),
+        )
+        .agg(F.count("*").alias("ninter"))
     )
+    near_e = inter.filter(
+        F.col("ninter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("ninter"))
+        >= 0.5
+    ).select("src", "dst")
     comp = connected_components(exact_e.unionByName(near_e).distinct())
     dropped = (
         d.select("doc_id", "source")

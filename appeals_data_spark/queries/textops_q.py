@@ -594,11 +594,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exact values, never order-dependent float accumulations.
 
     Physical shape at 100 TB: vocab is a token groupBy with map-side
-    partials; the scalar total and the vocab log-prob table broadcast
-    back onto the exploded occurrence stream (vocab is MB-scale even
-    for web corpora after the count floor; if it outgrows broadcast,
-    the join degrades gracefully to a hash-partitioned equi-join on
-    token). Per-doc and per-source rollups both partial-aggregate."""
+    partials; the vocab log-prob table joins back onto the exploded
+    occurrence stream UNHINTED (round 8) — AQE broadcasts it while it
+    is MB-scale and falls back to a hash-partitioned equi-join on
+    token when the vocab outgrows broadcast; a hard hint would force
+    the broadcast at any size (the sf10-probe trigram lesson,
+    BASELINE.md). Per-doc and per-source rollups both
+    partial-aggregate."""
     d = load_table(spark, sf_dir, "documents")
     from pyspark.sql.functions import broadcast
 
@@ -607,7 +609,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lp = unigram_logprob_frame(tok)
     per_doc = (
-        tok.join(broadcast(lp), "token")
+        tok.join(lp, "token")
         .groupBy("doc_id", "source")
         .agg(F.count("*").alias("ntok"), F.sum("lp").alias("sumdec"))
     )
@@ -887,7 +889,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = tf.agg(F.countDistinct("source").alias("ns"))
     scored = (
-        tf.join(broadcast(stats), "token")
+        tf.join(stats, "token")
         .crossJoin(broadcast(n))
         .select(
             "source",
@@ -957,8 +959,8 @@ def _bm25_doc_scores(d: DataFrame, terms: tuple[str, ...]) -> DataFrame:
         6,
     ).cast("decimal(18,6)")
     return (
-        tf.join(broadcast(df), "token")
-        .join(broadcast(dl), "doc_id")
+        tf.join(df, "token")
+        .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(contrib).cast("double").alias("bm25"))
@@ -1214,7 +1216,7 @@ def pipe_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lp = unigram_logprob_frame(tok)
     per_doc = (
-        tok.join(broadcast(lp), "token")
+        tok.join(lp, "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("ntok"),
@@ -1473,10 +1475,8 @@ def text_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = vocab.agg(F.sum("n").cast("double").alias("t"))
     bigc = occ.groupBy("prev", "w").agg(F.count("*").alias("nb"))
     lp2 = (
-        bigc.join(
-            broadcast(vocab.selectExpr("token AS prev", "n AS np")), "prev"
-        )
-        .join(broadcast(vocab.selectExpr("token AS w", "n AS nw")), "w")
+        bigc.join(vocab.selectExpr("token AS prev", "n AS np"), "prev")
+        .join(vocab.selectExpr("token AS w", "n AS nw"), "w")
         .crossJoin(broadcast(tot))
         .select(
             "prev",
@@ -1493,7 +1493,7 @@ def text_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_doc = (
-        occ.join(broadcast(lp2), ["prev", "w"])
+        occ.join(lp2, ["prev", "w"])
         .groupBy("doc_id", "source")
         .agg(F.count("*").alias("nbig"), F.sum("lp").alias("sumdec"))
     )
@@ -1588,11 +1588,13 @@ def text_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: trigrams come from zipped slices (no positional
     self-join); the expensive tokenize+zip+explode is checkpointed
     once and feeds all five count aggregations AND the per-doc
-    scoring join; the lp table rides a broadcast hint sized for a
-    count-pruned trigram vocab — drop the hint past the broadcast
-    limit and the scoring join becomes a hash join on the trigram key
-    (Spark honors hints unconditionally; it does not degrade on its
-    own)."""
+    scoring join. The LM tables carry NO broadcast hints (round 8):
+    they are vocab-sized — they grow with the corpus — and Spark
+    honors hints unconditionally, so the hinted form forced a 2 GB+
+    broadcast at the 100x probe (caught by /tmp/sf10, BASELINE.md).
+    AQE picks broadcast while a table is actually small and a
+    hash-partitioned equi-join on the n-gram key beyond — the same
+    fuzzy-ER precedent as round 7."""
     from pyspark.sql.functions import broadcast
 
     d = load_table(spark, sf_dir, "documents")
@@ -1636,10 +1638,10 @@ def text_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lp = (
-        tri.join(broadcast(pre), ["u", "v"])
-        .join(broadcast(suf), ["v", "w"])
-        .join(broadcast(mid), "v")
-        .join(broadcast(lastc), "w")
+        tri.join(pre, ["u", "v"])
+        .join(suf, ["v", "w"])
+        .join(mid, "v")
+        .join(lastc, "w")
         .crossJoin(broadcast(tot))
         .select(
             "u",
@@ -1649,7 +1651,7 @@ def text_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_doc = (
-        occ.join(broadcast(lp), ["u", "v", "w"])
+        occ.join(lp, ["u", "v", "w"])
         .groupBy("doc_id", "source")
         .agg(F.count("*").alias("ntri"), F.sum("lp").alias("sumdec"))
     )

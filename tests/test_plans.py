@@ -212,7 +212,13 @@ def _ex(plan: str) -> int:
 # test_pagerank_per_round_exchanges_frozen.
 ITERATIVE_SEGMENTS = {
     "closure_components": (3, 10),
-    "dedup_canonical_corpus": (5, 18),
+    # (5, 18) -> (5, 22) in round 8: the near-dup stage moved from a
+    # per-pair array-shipping block join to inverted-index
+    # intersection counting (explode + (blk, word) equi-join + one
+    # map-side-combinable pair agg) after the 100x probe measured the
+    # array form at >25min/run (BASELINE.md) — 4 more exchange NODES
+    # carrying ~15x less data.
+    "dedup_canonical_corpus": (5, 22),
     "graph_pagerank_handoff": (10, 41),  # N is a broadcast agg: full plan chain even on the empty sf0.001 graph
     # pipe_classifier_filter / x3_linear_svm_eval no longer appear:
     # pegasos moved to MLlib-style driver iteration (literal-spliced
