@@ -120,11 +120,24 @@ _SWEEP_FIRST = [
     "x4_trace_coverage",
     "x6_grouped_glm",
     "x6_partial_pooling",
-    # r3-latest tier (37 of 45; the deferred eight are justified above)
+    # changed by the round-8 sf10-probe scale fixes (data-sized
+    # broadcast hints dropped; canonical near-dup stage rewritten as
+    # inverted-index intersection counting) — fresh driver rows needed
+    "dedup_canonical_corpus",
+    "text_trigram_backoff_logprob",
+    "text_bigram_interp_logprob",
+    "text_bm25_topk",
+    "text_hybrid_rrf_topk",
+    "pipe_perplexity_buckets",
+    # r3-latest tier (31 of 45; the deferred eight are justified
+    # above, plus six more displaced by the probe-fix queries:
+    # mm_decode_image / mm_resize_dims / mm_frame_sample (decode value
+    # gates in tests/test_multimodal.py), x4_transition_matrix (the
+    # trace family has fresh rows via x4_trace_coverage/x4_trace_regex),
+    # surv_km_counts / surv_median_lifetime (surv_km_curve is
+    # continuously benched and in this window) — all fourteen lead
+    # round 9)
     "a16_cube_rollup",
-    "mm_decode_image",
-    "mm_frame_sample",
-    "mm_resize_dims",
     "pipe_chunk_overlap",
     "pipe_mixture_weights",
     "pipe_model_score_broadcast",
@@ -135,8 +148,6 @@ _SWEEP_FIRST = [
     "s1_portable_sql_rollup",
     "s9_partition_pruned_rollup",
     "skew_salted_join",
-    "surv_km_counts",
-    "surv_median_lifetime",
     "text_bpe_vocab",
     "text_char_classes",
     "text_fingerprint_md5",
@@ -154,7 +165,6 @@ _SWEEP_FIRST = [
     "w12_linear_interpolation",
     "x3_grouped_correlation",
     "x3_logistic_irls",
-    "x4_transition_matrix",
     "x6_grouped_model_fit",
     "x6_mixed_treatment_em",
     "x6_random_intercept_em",

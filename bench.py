@@ -56,6 +56,7 @@ SECONDARY = [
     "text_bpe_merges",
     "text_hybrid_rrf_topk",
     "vec_ann_recall_report",
+    "vec_pq_recall_report",
     "vec_ivfpq_topk",
     "vec_pq_adc_topk",
     "vec_pq_rerank_topk",
