@@ -557,8 +557,11 @@ def comp_ep_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cases = (
         o.join(flags, o["o_orderkey"] == flags["l_orderkey"])
         .join(last_line, "l_orderkey")
+        # unhinted (round-8 hint audit): customer is corpus-sized — a
+        # hard broadcast hint would ship it whole at any scale; AQE
+        # broadcasts while it is actually small
         .join(
-            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            c.select("c_custkey", "c_mktsegment"),
             o["o_custkey"] == F.col("c_custkey"),
             "left",
         )

@@ -423,8 +423,11 @@ def w12_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") >= "1996-01-01")
             & (F.col("o_orderdate") <= "1996-12-31")
         )
+        # unhinted (round-8 hint audit): a nation-filtered customer
+        # slice still grows with the corpus (~20% of customers); AQE
+        # decides
         .join(
-            F.broadcast(cust.filter(F.col("c_nationkey") < 5)).select(
+            cust.filter(F.col("c_nationkey") < 5).select(
                 "c_custkey", F.col("c_nationkey").alias("nation")
             ),
             F.col("o_custkey") == F.col("c_custkey"),

@@ -129,14 +129,17 @@ _SWEEP_FIRST = [
     "text_bm25_topk",
     "text_hybrid_rrf_topk",
     "pipe_perplexity_buckets",
+    "comp_ep_classifier_eval",
     # r3-latest tier (31 of 45; the deferred eight are justified
     # above, plus six more displaced by the probe-fix queries:
     # mm_decode_image / mm_resize_dims / mm_frame_sample (decode value
     # gates in tests/test_multimodal.py), x4_transition_matrix (the
     # trace family has fresh rows via x4_trace_coverage/x4_trace_regex),
     # surv_km_counts / surv_median_lifetime (surv_km_curve is
-    # continuously benched and in this window) — all fourteen lead
-    # round 9)
+    # continuously benched and in this window), and
+    # x6_random_intercept_em displaced by the hint-audit-changed
+    # comp_ep_classifier_eval (the EM family keeps a window row via
+    # x6_mixed_treatment_em) — all fifteen lead round 9)
     "a16_cube_rollup",
     "pipe_chunk_overlap",
     "pipe_mixture_weights",
@@ -167,7 +170,6 @@ _SWEEP_FIRST = [
     "x3_logistic_irls",
     "x6_grouped_model_fit",
     "x6_mixed_treatment_em",
-    "x6_random_intercept_em",
 ]
 
 

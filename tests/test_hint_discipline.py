@@ -1,0 +1,90 @@
+"""Broadcast-hint discipline gate (the round-8 sf10-probe lesson).
+
+Spark honors ``broadcast()`` hints unconditionally — it will happily
+ship a vocab-sized LM table or a corpus-sized doc-length table to
+every executor and spill (measured: a 2 GB+ broadcast in the trigram
+LM at the 100x probe, BASELINE.md round 8). Policy: a hint is allowed
+ONLY on a frame whose size is bounded BY CONSTRUCTION — a 1-row
+scalar/model artifact, a fixed dim (nation/region/taxonomy), a probe
+set, a k-row centroid/representative table. Anything that grows with
+the data (vocab tables, count tables, doc stats, pair tables) must be
+left to AQE, which broadcasts while small and degrades to a hash join
+beyond.
+
+This gate snapshots the per-file count of ``broadcast(`` call sites in
+the engine source. Adding a hint anywhere forces a conscious diff
+here: before bumping a count, argue (in the commit) why the new
+broadcast side cannot grow with the corpus — then re-run the sf10
+probe on the affected query if in doubt.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import Counter
+
+PKG = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                   "appeals_data_spark")
+
+# (file, expected broadcast-call-site count) — audited round 8: every
+# remaining site is a by-construction bounded frame (1-row scalars and
+# model artifacts, k-row centroid/codebook/probe/dim sides). The
+# data-sized hints the sf10 probe caught (LM vocab tables, BM25 doc
+# lengths) were removed the same round.
+EXPECTED = {
+    "ml/glm.py": 1,
+    "ml/unigram_lm.py": 1,
+    "operators/bpe.py": 1,
+    "operators/delta_dedup.py": 2,
+    "operators/graph.py": 3,
+    "operators/pit.py": 1,
+    "operators/similarity.py": 7,
+    "queries/aggregates.py": 5,
+    "queries/composite_q.py": 1,
+    "queries/dedup_q.py": 1,
+    "queries/events_q.py": 3,
+    "queries/joins.py": 7,
+    "queries/pipeline_q.py": 7,
+    "queries/setops.py": 1,
+    "queries/skew_q.py": 1,
+    "queries/sources_q.py": 1,
+    "queries/survival_q.py": 3,
+    "queries/textops_q.py": 5,
+    "queries/vector_q.py": 7,
+    
+    "streaming/doc_stream.py": 1,
+    "streaming/vec_stream.py": 1,
+    "views/events.py": 4,
+}
+
+_CALL = re.compile(r"\bbroadcast\(")
+
+
+def _count_sites() -> Counter:
+    got: Counter = Counter()
+    for root, _dirs, files in os.walk(PKG):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, PKG).replace(os.sep, "/")
+            for line in open(path, encoding="utf-8"):
+                stripped = line.strip()
+                if (
+                    stripped.startswith("#")
+                    or stripped.startswith("def ")
+                    or "import" in stripped
+                ):
+                    continue
+                got[rel] += len(_CALL.findall(line))
+    return got
+
+
+def test_broadcast_hint_sites_are_frozen():
+    got = {f: n for f, n in _count_sites().items() if n}
+    assert got == EXPECTED, {
+        f: (got.get(f), EXPECTED.get(f))
+        for f in set(got) | set(EXPECTED)
+        if got.get(f) != EXPECTED.get(f)
+    }
