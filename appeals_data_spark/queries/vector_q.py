@@ -1105,3 +1105,93 @@ def vec_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = rep if out is None else out.unionByName(rep)
     return out.orderBy("arm", "query_id")
+
+
+@register(
+    "vec_ivf_delta_assign",
+    oracle="""
+    WITH unp AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings WHERE vec_id % 5 != 0
+    ), cent AS (
+      SELECT c_label, list(cx ORDER BY pos) AS cvec
+      FROM (SELECT label AS c_label, pos,
+                   round_even(CAST(SUM(CAST(round_even(x * 1000000000000.0, 0)
+                                            AS DECIMAL(38,0))) AS DOUBLE)
+                              / 1000000000000.0 / COUNT(*) * 1000000.0, 0)
+                     / 1000000.0 AS cx
+            FROM unp GROUP BY label, pos) t
+      GROUP BY c_label
+    ), assigned AS (
+      SELECT vec_id, (vec_id % 5 = 0) AS is_delta, c_label FROM (
+        SELECT e.vec_id, c.c_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cvec) DESC, c.c_label
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    )
+    SELECT c.c_label AS cell,
+           CAST(COALESCE(SUM(CASE WHEN NOT a.is_delta THEN 1 END), 0)
+                AS BIGINT) AS n_frozen,
+           CAST(COALESCE(SUM(CASE WHEN a.is_delta THEN 1 END), 0)
+                AS BIGINT) AS n_delta,
+           CAST(COALESCE(SUM(CASE WHEN a.is_delta THEN 1 END), 0) * 4
+                > COALESCE(SUM(CASE WHEN NOT a.is_delta THEN 1 END), 0)
+                AS INT) AS needs_resplit
+    FROM cent c LEFT JOIN assigned a USING (c_label)
+    GROUP BY c.c_label ORDER BY cell
+    """,
+    tags=("VEC", "IVF", "DELTA", "CERT"),
+)
+def vec_ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 ANN index maintenance — the vector-side twin of
+    dedup_incremental_delta: the IVF coarse quantizer is FROZEN on the
+    existing corpus (vec_id % 5 != 0), the day-2 delta batch
+    (vec_id % 5 == 0) is assigned to the frozen cells with the same
+    zero-shuffle broadcast-array fold the build uses, and the report
+    is per-cell occupancy before/after plus an integer re-split flag
+    (delta growth > 25% of frozen occupancy — the FAISS-style trigger
+    for re-training a cell's sub-quantizer). Pure integer counts, so
+    the certificate hash-matches cross-engine with no float anywhere.
+
+    Scale shape at 100 TB: retraining the quantizer per ingest batch
+    is the anti-pattern — this is the honest alternative: ONE k-row
+    frozen-centroid model (localCheckpoint'd, broadcast), each corpus
+    touched once by a narrow expression fold, two map-side-combinable
+    count aggregations, and a k-row join for the report. The delta
+    batch never sees the frozen corpus' raw vectors."""
+    from ..operators.similarity import assign_to_centroids, label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    frozen = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = label_centroids(frozen).localCheckpoint()
+
+    def occupancy(part: DataFrame, name: str) -> DataFrame:
+        return (
+            assign_to_centroids(part, cents, 1)
+            .groupBy("c_label")
+            .agg(F.count("*").alias(name))
+        )
+
+    cells = cents.select("c_label")
+    return (
+        cells.join(occupancy(frozen, "n_frozen"), "c_label", "left")
+        .join(occupancy(delta, "n_delta"), "c_label", "left")
+        .select(
+            F.col("c_label").alias("cell"),
+            F.coalesce("n_frozen", F.lit(0)).alias("n_frozen"),
+            F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+            (
+                F.coalesce("n_delta", F.lit(0)) * 4
+                > F.coalesce("n_frozen", F.lit(0))
+            )
+            .cast("int")
+            .alias("needs_resplit"),
+        )
+        .orderBy("cell")
+    )

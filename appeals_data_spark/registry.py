@@ -104,8 +104,9 @@ def register(
 # Simulate with `python tools/check.py --window 50 --vanilla` before
 # shipping.
 _SWEEP_FIRST = [
-    # new in round 8 — needs its first driver row
+    # new in round 8 — need their first driver rows
     "vec_pq_recall_report",
+    "vec_ivf_delta_assign",
     # changed in round 8
     "dedup_semantic_clusters",
     "pref_bradley_terry",
@@ -139,7 +140,10 @@ _SWEEP_FIRST = [
     # continuously benched and in this window), and
     # x6_random_intercept_em displaced by the hint-audit-changed
     # comp_ep_classifier_eval (the EM family keeps a window row via
-    # x6_mixed_treatment_em) — all fifteen lead round 9)
+    # x6_mixed_treatment_em) — plus text_winnow_fingerprints displaced by the late
+    # vec_ivf_delta_assign addition (its fingerprint sibling
+    # text_fingerprint_md5 keeps a window row) — all sixteen lead
+    # round 9)
     "a16_cube_rollup",
     "pipe_chunk_overlap",
     "pipe_mixture_weights",
@@ -162,7 +166,6 @@ _SWEEP_FIRST = [
     "text_top2gram_repetition",
     "text_unigram_logprob",
     "text_vocab_topk",
-    "text_winnow_fingerprints",
     "u5_event_where_hook",
     "u6_event_funnel",
     "w12_linear_interpolation",

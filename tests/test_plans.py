@@ -57,6 +57,7 @@ BNLJ_OK = {
     "vec_brute_force_topk",  # 8 probe vectors
     "vec_ann_recall_report",  # 8 probe vectors (brute-force arm) + 1-row centroid array
     "vec_pq_recall_report",  # same brute-force truth arm + centroid/probe sides
+    "vec_ivf_delta_assign",  # 1-row frozen-centroid array x 2 assign folds
     "vec_ivf_topk",  # probes x centroids
     "vec_ivfpq_topk",  # probes x centroids (coarse-quantizer stage)
     "vec_kmeans_lloyd",  # k=4 centroid side per Lloyd round
@@ -271,6 +272,9 @@ ITERATIVE_SEGMENTS = {
     # the arm models (ivfpq centroid + codebook, adc codebook, rerank
     # codebook) — the report composes four full registered pipelines
     "vec_pq_recall_report": (5, 10),
+    # one checkpointed segment: the frozen-corpus label centroids (2
+    # exchanges), the day-2 model both assignment folds broadcast
+    "vec_ivf_delta_assign": (1, 2),
     "vec_ann_recall_report": (1, 2),  # shared centroid checkpoint (ivf arm)
     "vec_ivf_topk": (1, 2),
     "vec_ivfpq_topk": (2, 4),
