@@ -609,7 +609,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lp = unigram_logprob_frame(tok)
     per_doc = (
-        tok.join(lp, "token")
+        tok.join(lp.hint("shuffle_hash"), "token")
         .groupBy("doc_id", "source")
         .agg(F.count("*").alias("ntok"), F.sum("lp").alias("sumdec"))
     )
@@ -1216,7 +1216,7 @@ def pipe_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lp = unigram_logprob_frame(tok)
     per_doc = (
-        tok.join(lp, "token")
+        tok.join(lp.hint("shuffle_hash"), "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("ntok"),
@@ -1493,7 +1493,7 @@ def text_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_doc = (
-        occ.join(lp2, ["prev", "w"])
+        occ.join(lp2.hint("shuffle_hash"), ["prev", "w"])
         .groupBy("doc_id", "source")
         .agg(F.count("*").alias("nbig"), F.sum("lp").alias("sumdec"))
     )
@@ -1651,7 +1651,7 @@ def text_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_doc = (
-        occ.join(lp, ["u", "v", "w"])
+        occ.join(lp.hint("shuffle_hash"), ["u", "v", "w"])
         .groupBy("doc_id", "source")
         .agg(F.count("*").alias("ntri"), F.sum("lp").alias("sumdec"))
     )
