@@ -509,3 +509,113 @@ def lloyd_refine(
             .localCheckpoint()
         )
     return centroids
+
+
+def sq_bounds(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar-quantization training: per-dimension (min, max) over the
+    corpus, returned as ONE row carrying two dim-length double arrays
+    (``mins``, ``maxs``). This is the entire SQ8 'codebook' — 2·dim
+    doubles regardless of corpus size — so it broadcasts trivially at
+    any scale; building it is a single posexplode + groupBy(pos)
+    min/max (one map-side-combinable exchange of ≤dim rows)."""
+    unp = corpus.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
+    )
+    per = unp.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return per.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("b")
+    ).select(
+        F.transform("b", lambda s: s["mn"]).alias("mins"),
+        F.transform("b", lambda s: s["mx"]).alias("maxs"),
+    )
+
+
+def _sq_dequant(code: Column, mn: Column, mx: Column) -> Column:
+    # mn + code/255*(mx-mn) — written in this exact operation order in
+    # the DuckDB oracle twin so the doubles are bit-identical.
+    return mn + code.cast("double") / F.lit(255.0) * (mx - mn)
+
+
+def sq_encode(
+    corpus: DataFrame,
+    bounds: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to dim uint8-range codes:
+    rint((x-mn)/(mx-mn)*255) per dimension (constant dimensions code
+    to 0). One broadcast-join pass over the corpus, no shuffle — the
+    4× storage cut (float32 -> byte) that makes an SQ8 index
+    RAM-resident at 100 TB. rint (half-to-even) twins DuckDB
+    round_even so codes are bit-identical cross-engine."""
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.when(
+            F.element_at(F.col("maxs"), i) > F.element_at(F.col("mins"), i),
+            F.rint(
+                (F.element_at(v, i) - F.element_at(F.col("mins"), i))
+                / (F.element_at(F.col("maxs"), i) - F.element_at(F.col("mins"), i))
+                * F.lit(255.0)
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    return corpus.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col).alias("corpus_id"), codes.alias("codes")
+    )
+
+
+def sq_adc_topk(
+    codes: DataFrame,
+    bounds: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric scalar-quantizer scoring: full-precision query
+    against dequantized corpus codes, squared-L2, top-k per query.
+    Queries (with the bounds row baked in) broadcast; the corpus side
+    reads ONLY the code column — the raw embeddings are never touched
+    at query time, same contract as pq_adc_topk.
+
+    Determinism: each per-dimension contribution (q_i - dq_i)² is
+    computed in a pinned operation order, rounded to 9 dp and summed
+    as exact DECIMAL(28,9), so the (dist asc, id asc) ranking is
+    bit-stable across engines and partitionings."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).crossJoin(F.broadcast(bounds))
+
+    def contrib(i: Column) -> Column:
+        dq = _sq_dequant(
+            F.element_at(F.col("codes"), i),
+            F.element_at(F.col("mins"), i),
+            F.element_at(F.col("maxs"), i),
+        )
+        d = F.element_at(F.col("q_vec"), i) - dq
+        return F.round(d * d, 9).cast("decimal(28,9)")
+
+    adist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        F.lit(0).cast("decimal(28,9)"),
+        lambda acc, i: (acc + contrib(i)).cast("decimal(28,9)"),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", adist.alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

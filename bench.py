@@ -60,6 +60,7 @@ SECONDARY = [
     "vec_ivfpq_topk",
     "vec_pq_adc_topk",
     "vec_pq_rerank_topk",
+    "vec_sq8_topk",
     "x3_linear_svm_eval",
     "x6_holt_linear",
     "x6_logistic_glmm",

@@ -272,3 +272,24 @@ def test_pq_recall_report_floors(spark):
     assert recall["pq_rerank"] >= 0.8, recall  # measured 0.875
     # exact re-rank over an ADC shortlist can only beat pure ADC
     assert recall["pq_rerank"] >= recall["pq_adc"], recall
+
+
+def test_sq8_recall_floor(ground_truth):
+    # 8-bit scalar quantization barely perturbs squared-L2 ordering
+    # even on the near-random fixture — recall should be near-exact
+    # (measured 1.0); the floor catches a broken bounds/encode/dequant
+    # path, where recall collapses toward the PQ-ADC ~0.2 regime.
+    from appeals_data_spark.operators.similarity import (
+        sq_adc_topk,
+        sq_bounds,
+        sq_encode,
+    )
+
+    emb, queries, truth = ground_truth
+    bounds = sq_bounds(emb).localCheckpoint()
+    codes = sq_encode(emb, bounds, dim=DIM)
+    found = {
+        (r.query_id, r.corpus_id)
+        for r in sq_adc_topk(codes, bounds, queries, dim=DIM, k=K).collect()
+    }
+    assert _recall(found, truth) >= 0.9

@@ -39,7 +39,10 @@ EXPECTED = {
     "operators/delta_dedup.py": 2,
     "operators/graph.py": 3,
     "operators/pit.py": 1,
-    "operators/similarity.py": 7,
+    # +3 in round 8b: SQ8 — the bounds row (1 row, 2·dim doubles by
+    # construction) broadcast at encode and at query-side bake-in,
+    # plus the 8-row probe set in sq_adc_topk.
+    "operators/similarity.py": 10,
     "queries/aggregates.py": 5,
     "queries/composite_q.py": 1,
     "queries/dedup_q.py": 1,

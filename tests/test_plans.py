@@ -58,6 +58,7 @@ BNLJ_OK = {
     "vec_ann_recall_report",  # 8 probe vectors (brute-force arm) + 1-row centroid array
     "vec_pq_recall_report",  # same brute-force truth arm + centroid/probe sides
     "vec_ivf_delta_assign",  # 1-row frozen-centroid array x 2 assign folds
+    "vec_sq8_topk",  # 1-row bounds model + 8 probe vectors (round 8b)
     "vec_ivf_topk",  # probes x centroids
     "vec_ivfpq_topk",  # probes x centroids (coarse-quantizer stage)
     "vec_kmeans_lloyd",  # k=4 centroid side per Lloyd round
@@ -278,6 +279,10 @@ ITERATIVE_SEGMENTS = {
     "vec_ann_recall_report": (1, 2),  # shared centroid checkpoint (ivf arm)
     "vec_ivf_topk": (1, 2),
     "vec_ivfpq_topk": (2, 4),
+    # one checkpointed segment: the 1-row SQ8 bounds model (posexplode
+    # scan -> groupBy(pos) min/max -> 1-row collapse), broadcast to the
+    # encode pass and to the query-side bake-in (round 8b)
+    "vec_sq8_topk": (1, 2),
     "vec_kmeans_lloyd": (2, 6),
     "vec_pq_adc_topk": (1, 2),
     "vec_pq_rerank_topk": (1, 2),
