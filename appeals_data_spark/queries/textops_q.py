@@ -1667,3 +1667,109 @@ def text_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_kgram_novelty",
+    oracle=r"""
+    WITH doc AS (
+      SELECT doc_id, source, lang,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, source, lang,
+             unnest(list_slice(ws, 1, len(ws) - 4)) AS w1,
+             unnest(list_slice(ws, 2, len(ws) - 3)) AS w2,
+             unnest(list_slice(ws, 3, len(ws) - 2)) AS w3,
+             unnest(list_slice(ws, 4, len(ws) - 1)) AS w4,
+             unnest(list_slice(ws, 5, len(ws))) AS w5
+      FROM doc WHERE len(ws) >= 5
+    ), grams AS (
+      SELECT DISTINCT doc_id, source, lang,
+             w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 || ' ' || w5 AS g
+      FROM occ
+    ), shared AS (
+      SELECT doc_id, source, lang, g,
+             COUNT(*) OVER (PARTITION BY g) AS ndocs
+      FROM grams
+    ), per_doc AS (
+      SELECT doc_id, source, lang,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_shared
+      FROM shared GROUP BY 1, 2, 3
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(n_shared) AS BIGINT) AS shared_grams,
+           CAST(SUM(CASE WHEN n_shared * 2 >= n_grams THEN 1 ELSE 0 END)
+                AS BIGINT) AS memorized_docs
+    FROM per_doc
+    GROUP BY source, lang ORDER BY source, lang
+    """,
+    tags=("TEXT", "DEDUP", "QUALITY"),
+)
+def text_kgram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document k-gram novelty / memorization audit (the metric
+    behind Lee et al. 2022, 'Deduplicating Training Data Makes
+    Language Models Better'): for every document, how many of its
+    DISTINCT word 5-grams also occur in at least one OTHER document —
+    rolled up per (source, lang) with a 'memorized' flag for docs
+    whose shared fraction reaches 1/2 (integer cross-multiplication,
+    no float). The per-source shared-gram mass is the signal a
+    curation pipeline uses to decide which source needs aggressive
+    dedup before training.
+
+    Scale shape (the skew-safe one): explode distinct per-doc 5-grams
+    (one pass, whole-stage codegen), groupBy(gram) count with map-side
+    combine, keep only grams with ndocs >= 2 (a small fraction of the
+    gram vocabulary), LEFT join the gram stream back against that dup
+    set — the stream's exchange on `g` is shared between the count agg
+    and the join probe (AQE stage reuse), so the corpus text is
+    shuffled ONCE, and no per-gram window sort ever materializes a
+    hot-gram partition (a million-doc boilerplate gram costs one
+    combined count row, not a million-row sort group). Per-doc and
+    per-source aggs are map-combinable integer counts — exact."""
+    from ..functions.text import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.trim(F.col("text")))
+    grams = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(F.array_distinct(shingles(low, 5))).alias("g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("g", F.lit(1).alias("dup"))
+    )
+    # shuffle_hash, not broadcast: the dup-gram table grows with the
+    # corpus (every boilerplate/near-dup gram lands in it), and
+    # agg-derived estimates are unreliable either way — the round-8
+    # planner-estimate lesson (BASELINE.md). Per-partition hash build
+    # is bounded at any corpus size and keeps the exchange on `g`
+    # shared with the count agg.
+    per_doc = (
+        grams.join(dup.hint("shuffle_hash"), "g", "left")
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0))).alias("n_shared"),
+        )
+    )
+    return (
+        per_doc.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("total_grams"),
+            F.sum("n_shared").cast("long").alias("shared_grams"),
+            F.sum(
+                (F.col("n_shared") * 2 >= F.col("n_grams")).cast("int")
+            ).cast("long").alias("memorized_docs"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -105,6 +105,7 @@ def register(
 # shipping.
 _SWEEP_FIRST = [
     # new in round 8 — need their first driver rows
+    "text_kgram_novelty",
     "vec_sq8_topk",
     "vec_pq_recall_report",
     "vec_ivf_delta_assign",
@@ -172,11 +173,11 @@ _SWEEP_FIRST = [
     "w12_linear_interpolation",
     "x3_grouped_correlation",
     "x3_logistic_irls",
-    "x6_grouped_model_fit",
-    # x6_mixed_treatment_em displaced by the round-8b vec_sq8_topk
-    # addition (the EM family keeps continuous pytest differential
-    # evidence via tests/test_differential.py; leads round 9 with the
-    # other displaced entries listed above).
+    # x6_grouped_model_fit and x6_mixed_treatment_em displaced by the
+    # round-8b additions (text_kgram_novelty, vec_sq8_topk); the
+    # grouped-fit/EM family keeps continuous pytest differential
+    # evidence via tests/test_differential.py and leads round 9 with
+    # the other displaced entries listed above.
 ]
 
 

@@ -54,6 +54,7 @@ SECONDARY = [
     "text_trigram_backoff_logprob",
     "text_bm25_topk",
     "text_bpe_merges",
+    "text_kgram_novelty",
     "text_hybrid_rrf_topk",
     "vec_ann_recall_report",
     "vec_pq_recall_report",
