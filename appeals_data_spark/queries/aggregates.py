@@ -954,3 +954,129 @@ def a25_countmin_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("exact_orders")
     )
+
+
+@register(
+    "a26_hll_setops_bound",
+    oracle="""
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+    per AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS ni
+      FROM u a JOIN u b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT pa.event_type AS type_a, pb.event_type AS type_b,
+           CAST(pa.n AS BIGINT) AS exact_a,
+           CAST(pb.n AS BIGINT) AS exact_b,
+           CAST(pa.n + pb.n - COALESCE(i.ni, 0) AS BIGINT) AS exact_union,
+           CAST(COALESCE(i.ni, 0) AS BIGINT) AS exact_intersect,
+           TRUE AS union_within_bound,
+           TRUE AS intersect_within_bound
+    FROM per pa
+    JOIN per pb ON pa.event_type < pb.event_type
+    LEFT JOIN inter i
+      ON i.type_a = pa.event_type AND i.type_b = pb.event_type
+    ORDER BY type_a, type_b
+    """,
+    tags=("A3", "APPROX", "U2"),
+)
+def a26_hll_setops_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified sketch SET OPERATIONS — the fourth APPROX certificate
+    (after a22 GK / a23 HLL++ / a24 freq-items / a25 Count-Min),
+    extending the discipline from single aggregates to set algebra:
+    per-event-type Apache DataSketches HLL sketches of the user
+    population (``hll_sketch_agg``, lgK=12), merged PAIRWISE at the
+    sketch level (``hll_union`` — the operation that makes HLL the
+    100 TB audience-overlap tool: union is lossless on sketches, no
+    re-scan), plus inclusion-exclusion intersection estimates. The
+    emitted certificate per unordered type pair: the union estimate is
+    within 6·rsd·exact_union (rsd = 1.04/√2¹² ≈ 1.63%), and the
+    inclusion-exclusion intersection is within
+    6·rsd·(exact_a + exact_b + exact_union) — the compounded bound,
+    since |A∩B| = |A|+|B|-|A∪B| stacks three estimate errors. The
+    oracle pins the exact integer populations and TRUE flags; sketch
+    internals are never hash-compared (engine-specific), only their
+    proven error envelope.
+
+    Scale shape: the sketch arm is ONE map-side-combinable pass over
+    events (fixed 4 KB registers per type — the full-table shuffle a
+    COUNT(DISTINCT) would need is gone); the exact arm (distinct
+    (type,user) -> per-type counts + user-keyed pair intersection) is
+    the audit that exists only because the harness demands ground
+    truth — production runs sketches alone. All post-agg frames are
+    |types|- and |pairs|-sized; AQE broadcasts them unhinted."""
+    ev = load_table(spark, sf_dir, "events")
+    rsd = 1.04 / (2 ** 12) ** 0.5
+
+    users = ev.select("event_type", "user_id").distinct()
+    per = users.groupBy("event_type").agg(F.count("*").alias("n"))
+    ua, ub = users.alias("ua"), users.alias("ub")
+    inter = (
+        ua.join(
+            ub,
+            (F.col("ua.user_id") == F.col("ub.user_id"))
+            & (F.col("ua.event_type") < F.col("ub.event_type")),
+        )
+        .groupBy(
+            F.col("ua.event_type").alias("type_a"),
+            F.col("ub.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("ni"))
+    )
+
+    sk = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
+    )
+    ska, skb = sk.alias("ska"), sk.alias("skb")
+    est = (
+        ska.join(skb, F.col("ska.event_type") < F.col("skb.event_type"))
+        .select(
+            F.col("ska.event_type").alias("type_a"),
+            F.col("skb.event_type").alias("type_b"),
+            F.expr("hll_sketch_estimate(ska.sk)").alias("est_a"),
+            F.expr("hll_sketch_estimate(skb.sk)").alias("est_b"),
+            F.expr("hll_sketch_estimate(hll_union(ska.sk, skb.sk))").alias(
+                "est_u"
+            ),
+        )
+    )
+
+    pa, pb = per.alias("pa"), per.alias("pb")
+    grid = (
+        pa.join(pb, F.col("pa.event_type") < F.col("pb.event_type"))
+        .select(
+            F.col("pa.event_type").alias("type_a"),
+            F.col("pb.event_type").alias("type_b"),
+            F.col("pa.n").alias("exact_a"),
+            F.col("pb.n").alias("exact_b"),
+        )
+        .join(inter, ["type_a", "type_b"], "left")
+        .withColumn("exact_intersect", F.coalesce(F.col("ni"), F.lit(0)))
+        .withColumn(
+            "exact_union",
+            F.col("exact_a") + F.col("exact_b") - F.col("exact_intersect"),
+        )
+        .join(est, ["type_a", "type_b"])
+    )
+    union_bound = 6 * rsd * F.col("exact_union")
+    inter_bound = 6 * rsd * (
+        F.col("exact_a") + F.col("exact_b") + F.col("exact_union")
+    )
+    est_i = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    return grid.select(
+        "type_a",
+        "type_b",
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.col("exact_intersect").cast("long").alias("exact_intersect"),
+        (F.abs(F.col("est_u") - F.col("exact_union")) <= union_bound).alias(
+            "union_within_bound"
+        ),
+        (F.abs(est_i - F.col("exact_intersect")) <= inter_bound).alias(
+            "intersect_within_bound"
+        ),
+    ).orderBy("type_a", "type_b")

@@ -105,6 +105,7 @@ def register(
 # shipping.
 _SWEEP_FIRST = [
     # new in round 8 — need their first driver rows
+    "a26_hll_setops_bound",
     "text_kgram_novelty",
     "vec_sq8_topk",
     "vec_pq_recall_report",
@@ -172,12 +173,12 @@ _SWEEP_FIRST = [
     "u6_event_funnel",
     "w12_linear_interpolation",
     "x3_grouped_correlation",
-    "x3_logistic_irls",
-    # x6_grouped_model_fit and x6_mixed_treatment_em displaced by the
-    # round-8b additions (text_kgram_novelty, vec_sq8_topk); the
-    # grouped-fit/EM family keeps continuous pytest differential
-    # evidence via tests/test_differential.py and leads round 9 with
-    # the other displaced entries listed above.
+    # x3_logistic_irls, x6_grouped_model_fit and x6_mixed_treatment_em
+    # displaced by the round-8b additions (a26_hll_setops_bound,
+    # text_kgram_novelty, vec_sq8_topk); the IRLS/grouped-fit/EM
+    # family keeps continuous pytest differential evidence via
+    # tests/test_differential.py and leads round 9 with the other
+    # displaced entries listed above.
 ]
 
 

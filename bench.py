@@ -31,6 +31,7 @@ from appeals_data_spark.session import get_spark
 SECONDARY = [
     "a21_sliding_mau",
     "a25_countmin_bound",
+    "a26_hll_setops_bound",
     "dedup_incremental_delta",
     "dedup_fuzzy_entity_names",
     "dedup_paragraph_retention",

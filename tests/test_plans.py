@@ -67,6 +67,7 @@ BNLJ_OK = {
     "x4_trace_regex",  # 4-row pattern dim + 1-row trace-total scalar
     "a21_sliding_mau",  # 1-row date-bounds scalar side
     "a24_freq_items_bound",  # 1-row freqItems sketch side
+    "a26_hll_setops_bound",  # |event-type|-row sketch/count frames paired on type inequality
 }
 
 MAX_SCAN_FIELDS = 10  # widest table has 16 cols; every query projects fewer
