@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import literal_dim, load_table
 from ..operators.pit import date_grid, pit_backlog
-from ..registry import register
+from ..registry import REGISTRY, materialize_ctes, register
 
 
 @register(
@@ -742,3 +742,122 @@ def x4_trace_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern_name")
     )
+
+
+def _stationary_oracle(rounds: int = 6) -> str:
+    """Unrolled power-iteration oracle: round K's mass at state s' is
+    SUM over s of pi_{K-1}(s)·p(s,s'), every term an exact
+    DECIMAL(14,12)×DECIMAL(14,12) product summed exactly, then rounded
+    back to 12 dp — so neither engine's summation order can move a
+    digit (the pegasos/IRLS unrolled-oracle discipline)."""
+    ctes = ["""
+    seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), trans AS (
+      SELECT event_type, next_type,
+             CAST(ROUND(CAST(COUNT(*) AS DOUBLE)
+                        / SUM(COUNT(*)) OVER (PARTITION BY event_type), 12)
+                  AS DECIMAL(14,12)) AS p
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ), r0 AS (
+      SELECT event_type AS state,
+             CAST(ROUND(1.0 / (SELECT COUNT(DISTINCT event_type) FROM events),
+                        12) AS DECIMAL(14,12)) AS pi
+      FROM (SELECT DISTINCT event_type FROM events)
+    )"""]
+    for k in range(1, rounds + 1):
+        ctes.append(f""", r{k} AS (
+      SELECT t.next_type AS state,
+             CAST(ROUND(SUM(r.pi * t.p), 12) AS DECIMAL(14,12)) AS pi
+      FROM r{k - 1} r JOIN trans t ON t.event_type = r.state
+      GROUP BY t.next_type
+    )""")
+    body = "".join(ctes).lstrip()
+    return f"WITH {body}\n    SELECT state, pi FROM r{rounds} ORDER BY state"
+
+
+@register(
+    "x4_markov_stationary",
+    oracle=None,  # bound below after materialize_ctes import dance
+    tags=("X4", "ITER"),
+)
+def x4_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event chain — the
+    process-mining 'where does the process spend its time' summary on
+    top of x4_transition_matrix (edeaR process-map edges,
+    status-api-traces.R:110-120): 6 synchronous power-iteration rounds
+    pi_{k+1} = pi_k·P from a uniform start. Substochastic states
+    (traces that end) leak mass, so the vector converges to the
+    dominant left eigendirection of the observed chain — exactly what
+    the reference's trace reports rank states by.
+
+    Scale shape: the 100 TB work is deriving P — one per-entity window
+    pass + one (state, next) count agg, identical to
+    x4_transition_matrix; after that the chain is |alphabet|²-sized
+    (model-sized, localCheckpoint'd once) and each round is a ≤|S|-row
+    join-agg — the closure/pagerank iterative pattern at its cheapest.
+    Determinism: transition probs and the uniform start round to exact
+    DECIMAL(14,12); every round multiplies decimals exactly and sums
+    order-free, rounding back to 12 dp (the unrolled-oracle
+    discipline), so the final vector hash-matches DuckDB digit for
+    digit."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = (
+        seq.groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "next_type",
+            F.round(
+                F.col("n").cast("double")
+                / F.sum("n").over(Window.partitionBy("event_type")),
+                12,
+            )
+            .cast("decimal(14,12)")
+            .alias("p"),
+        )
+        .localCheckpoint()
+    )
+    n_states = e.select("event_type").distinct().agg(
+        F.count("*").alias("ns")
+    )
+    pi = (
+        e.select(F.col("event_type").alias("state"))
+        .distinct()
+        .crossJoin(F.broadcast(n_states))
+        .select(
+            "state",
+            F.round(F.lit(1.0) / F.col("ns"), 12)
+            .cast("decimal(14,12)")
+            .alias("pi"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(6):
+        pi = (
+            pi.join(trans, pi["state"] == trans["event_type"])
+            .groupBy(F.col("next_type").alias("state"))
+            .agg(
+                F.round(F.sum(F.col("pi") * F.col("p")), 12)
+                .cast("decimal(14,12)")
+                .alias("pi")
+            )
+            .localCheckpoint()
+        )
+    return pi.orderBy("state")
+
+
+# Bind the unrolled oracle (materialized CTEs: each round references
+# the previous one from a join — inlining would re-evaluate the chain
+# exponentially).
+REGISTRY["x4_markov_stationary"].oracle = materialize_ctes(
+    _stationary_oracle(6)
+)
