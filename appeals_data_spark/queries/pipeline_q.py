@@ -1080,3 +1080,142 @@ def pipe_pii_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_DSIR_B = 256  # hashed-feature buckets (fixed: the model is B-sized)
+_DSIR_TARGET = ("src0", "src1", "src2", "src3")  # 'curated' exemplar
+
+
+@register(
+    "pipe_dsir_importance",
+    oracle=f"""
+    WITH doc AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, source,
+             {sql_portable_hash48(
+                 "unnest(list_slice(ws, 1, len(ws) - 1)) || ' ' || "
+                 "unnest(list_slice(ws, 2, len(ws)))", "dsir")} % {_DSIR_B}
+               AS b
+      FROM doc WHERE len(ws) >= 2
+    ), raw_c AS (
+      SELECT b, COUNT(*) AS cr FROM bg GROUP BY b
+    ), tgt_c AS (
+      SELECT b, COUNT(*) AS ct FROM bg
+      WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY b
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nr,
+             CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3')
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS nt
+      FROM bg
+    ), lr AS (
+      SELECT r.b,
+             CAST(ROUND(LN((COALESCE(t.ct, 0) + 1.0) / (tot.nt + {_DSIR_B}.0))
+                        - LN((r.cr + 1.0) / (tot.nr + {_DSIR_B}.0)), 6)
+                  AS DECIMAL(18,6)) AS lr
+      FROM raw_c r LEFT JOIN tgt_c t USING (b) CROSS JOIN tot
+    ), per_doc AS (
+      SELECT g.doc_id, g.source,
+             CAST(SUM(cnt * l.lr) AS DECIMAL(28,6)) AS w
+      FROM (SELECT doc_id, source, b, COUNT(*) AS cnt
+            FROM bg GROUP BY 1, 2, 3) g
+      JOIN lr l USING (b)
+      GROUP BY g.doc_id, g.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS DECIMAL(38,6)) AS sum_weight,
+           CAST(MIN(w) AS DECIMAL(28,6)) AS min_weight,
+           CAST(MAX(w) AS DECIMAL(28,6)) AS max_weight,
+           CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_target_like
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    tags=("PIPE", "TEXT", "QUALITY"),
+)
+def pipe_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, 'Data Selection
+    for Language Models via Importance Resampling'): score every raw
+    document by the log importance ratio of a hashed-bigram bag model
+    between a TARGET exemplar corpus (here the src0-src3 slice) and
+    the RAW corpus — log p_target(x) - log p_raw(x) =
+    sum over the doc's bigrams of the bucketed, Laplace-smoothed
+    log-count ratio. Positive weight = 'looks like the target';
+    per-source sums/extremes and target-like counts are what a
+    mixture designer reads before resampling.
+
+    Scale shape: features are hashed into a FIXED B=256 bucket space
+    (portable_hash48 — bit-identical in DuckDB), so both n-gram count
+    tables are B-row model artifacts built by ONE map-side-combinable
+    pass over the exploded bigram stream; the per-doc scoring pass
+    joins the broadcast 256-row log-ratio table and reduces with
+    exact decimal arithmetic (integer counts x DECIMAL(18,6) ratios —
+    no float accumulation anywhere). At 100 TB: two linear passes, no
+    data-sized shuffle except the per-doc rollup. LN is the one
+    libm-boundary op, pinned by ROUND(...,6) (the LM-family
+    precedent)."""
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.trim(F.col("text")))
+    bg = d.select(
+        "doc_id",
+        "source",
+        F.explode(shingles(low, 2)).alias("g"),
+    ).select(
+        "doc_id",
+        "source",
+        F.pmod(portable_hash48(F.col("g"), "dsir"), F.lit(_DSIR_B)).alias("b"),
+    )
+    raw_c = bg.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt_c = (
+        bg.filter(F.col("source").isin(*_DSIR_TARGET))
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot = bg.agg(
+        F.count("*").cast("double").alias("nr"),
+        F.sum(F.col("source").isin(*_DSIR_TARGET).cast("int"))
+        .cast("double")
+        .alias("nt"),
+    )
+    lr = (
+        raw_c.join(tgt_c, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nt") + F.lit(float(_DSIR_B)))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("nr") + F.lit(float(_DSIR_B)))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lr"),
+        )
+        .localCheckpoint()
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "source", "b")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg((F.sum(F.col("cnt") * F.col("lr"))).cast("decimal(28,6)").alias("w"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w").cast("decimal(38,6)").alias("sum_weight"),
+            F.min("w").cast("decimal(28,6)").alias("min_weight"),
+            F.max("w").cast("decimal(28,6)").alias("max_weight"),
+            F.sum((F.col("w") > 0).cast("int")).cast("long").alias("n_target_like"),
+        )
+        .orderBy("source")
+    )

@@ -105,6 +105,7 @@ def register(
 # shipping.
 _SWEEP_FIRST = [
     # new in round 8 — need their first driver rows
+    "pipe_dsir_importance",
     "x4_markov_stationary",
     "a26_hll_setops_bound",
     "text_kgram_novelty",
@@ -172,12 +173,12 @@ _SWEEP_FIRST = [
     "text_vocab_topk",
     "u5_event_where_hook",
     "u6_event_funnel",
-    "w12_linear_interpolation",
-    # x3_grouped_correlation, x3_logistic_irls, x6_grouped_model_fit
-    # and x6_mixed_treatment_em displaced by the round-8b additions
-    # (x4_markov_stationary, a26_hll_setops_bound, text_kgram_novelty,
-    # vec_sq8_topk); the correlation/IRLS/grouped-fit/EM family keeps
-    # continuous pytest differential evidence via
+    # w12_linear_interpolation, x3_grouped_correlation,
+    # x3_logistic_irls, x6_grouped_model_fit and x6_mixed_treatment_em
+    # displaced by the round-8b additions (pipe_dsir_importance,
+    # x4_markov_stationary, a26_hll_setops_bound, text_kgram_novelty,
+    # vec_sq8_topk); the interp/correlation/IRLS/grouped-fit/EM family
+    # keeps continuous pytest differential evidence via
     # tests/test_differential.py and leads round 9 with the other
     # displaced entries listed above.
 ]

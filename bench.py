@@ -44,6 +44,7 @@ SECONDARY = [
     "mm_video_shingle_dedup",
     "pipe_classifier_filter",
     "pipe_decontam_bloom",
+    "pipe_dsir_importance",
     "pipe_diverse_cluster_quota",
     "pipe_perplexity_buckets",
     "pipe_pii_blocklist_scrub",

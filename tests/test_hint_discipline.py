@@ -49,7 +49,9 @@ EXPECTED = {
     # +1 in round 8b: x4_markov_stationary's 1-row state-count scalar.
     "queries/events_q.py": 4,
     "queries/joins.py": 7,
-    "queries/pipeline_q.py": 7,
+    # +2 in round 8b: pipe_dsir_importance (1-row totals scalar, 256-row
+    # fixed-B log-ratio model).
+    "queries/pipeline_q.py": 9,
     "queries/setops.py": 1,
     "queries/skew_q.py": 1,
     "queries/sources_q.py": 1,

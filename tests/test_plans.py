@@ -288,6 +288,9 @@ ITERATIVE_SEGMENTS = {
     "vec_pq_adc_topk": (1, 2),
     "vec_pq_rerank_topk": (1, 2),
     "x3_logistic_irls": (3, 3),
+    # one checkpointed segment: the 256-row hashed-bigram log-ratio
+    # model (two map-combinable count aggs + 1-row totals broadcast)
+    "pipe_dsir_importance": (1, 3),
     # eight checkpointed segments: the |alphabet|²-row transition
     # matrix (window pass + count agg), the uniform start vector, and
     # six ≤|S|-row power-iteration rounds (1 tiny agg exchange each)
