@@ -586,30 +586,40 @@ def sq_adc_topk(
     at query time, same contract as pq_adc_topk.
 
     Determinism: each per-dimension contribution (q_i - dq_i)² is
-    computed in a pinned operation order, rounded to 9 dp and summed
-    as exact DECIMAL(28,9), so the (dist asc, id asc) ranking is
-    bit-stable across engines and partitionings."""
+    computed in a pinned operation order, scaled by 1e9 and rounded to
+    the nearest integer, then summed as exact BIGINTs — 9-dp-exact
+    like a decimal fold but integer-add cheap — so the (dist asc, id
+    asc) ranking is bit-stable across engines and partitionings.
+    Dequantization runs ONCE per corpus row (a transform before the
+    probe join), not once per (query, corpus) pair."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    ).crossJoin(F.broadcast(bounds))
-
-    def contrib(i: Column) -> Column:
-        dq = _sq_dequant(
+    )
+    dq = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: _sq_dequant(
             F.element_at(F.col("codes"), i),
             F.element_at(F.col("mins"), i),
             F.element_at(F.col("maxs"), i),
-        )
-        d = F.element_at(F.col("q_vec"), i) - dq
-        return F.round(d * d, 9).cast("decimal(28,9)")
-
+        ),
+    )
+    cdq = codes.crossJoin(F.broadcast(bounds)).select(
+        "corpus_id", dq.alias("dq")
+    )
     adist = F.aggregate(
-        F.sequence(F.lit(1), F.lit(dim)),
-        F.lit(0).cast("decimal(28,9)"),
-        lambda acc, i: (acc + contrib(i)).cast("decimal(28,9)"),
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("dq"),
+            lambda x, y: F.round((x - y) * (x - y) * F.lit(1.0e9), 0).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
     scored = (
-        codes.crossJoin(F.broadcast(q))
+        cdq.crossJoin(F.broadcast(q))
         .filter(F.col("corpus_id") != F.col("query_id"))
         .select("query_id", "corpus_id", adist.alias("adist"))
     )

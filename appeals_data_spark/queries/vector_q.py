@@ -1215,8 +1215,9 @@ def vec_ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), contrib AS (
       SELECT q.vec_id AS query_id, c.corpus_id,
              CAST(ROUND((q.x - (c.mn + c.code / 255.0 * (c.mx - c.mn)))
-                      * (q.x - (c.mn + c.code / 255.0 * (c.mx - c.mn))), 9)
-                  AS DECIMAL(28,9)) AS d
+                      * (q.x - (c.mn + c.code / 255.0 * (c.mx - c.mn)))
+                      * 1000000000.0, 0)
+                  AS BIGINT) AS d
       FROM unp q JOIN codes c USING (pos)
       WHERE q.vec_id < 8 AND c.corpus_id != q.vec_id
     ), pairs AS (
@@ -1248,9 +1249,9 @@ def vec_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.2 on these near-random vectors), 8-bit scalar quantization
     preserves ordering almost exactly — the pytest gate holds recall
     ≥ 0.9 (tests/test_ann_recall.py). Determinism: codes are
-    rint/round_even twins; per-dimension contributions round to 9 dp
-    and sum as exact DECIMAL(28,9), so (dist asc, id asc) ranks are
-    bit-stable cross-engine."""
+    rint/round_even twins; per-dimension contributions scale by 1e9,
+    round to integers and sum as exact BIGINTs, so (dist asc, id asc)
+    ranks are bit-stable cross-engine."""
     from ..operators.similarity import sq_adc_topk, sq_bounds, sq_encode
 
     emb = load_table(spark, sf_dir, "embeddings")
