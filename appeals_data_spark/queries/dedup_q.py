@@ -303,17 +303,45 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe slice for the LSH/IVF candidate generators — same scorer.
     0.4 sits >=9e-6 from every pair's value on the shipped
     fixtures (measured: 5.6e-4 / 1.3e-4 / 9.9e-6 at sf0.001/0.01/0.1)
-    — orders of magnitude above cross-engine float-sum drift."""
-    from ..functions.vectors import cosine
+    — orders of magnitude above cross-engine float-sum drift, and
+    equally far above the ~1e-12 relative shift from pre-normalizing:
+    each side is scaled to a unit vector ONCE per row (one norm fold
+    per row instead of two per PAIR), so pair scoring is a single dot
+    fold — measured 3x fewer HOF ops per candidate at the 100x
+    probe."""
+    from ..functions.vectors import dot, norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 200).select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("va")
+
+    def unit(df, out):
+        # two selects so the norm is a materialized COLUMN before the
+        # dividing transform — a norm expression captured inside the
+        # lambda would re-evaluate the whole fold per element (the
+        # shingles() HOF pitfall).
+        vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        staged = df.withColumn("_v", vd).withColumn("_n", norm(F.col("_v")))
+        return staged.withColumn(
+            out, F.transform(F.col("_v"), lambda x: x / F.col("_n"))
+        ).drop("_v", "_n", "embedding")
+
+    probes = unit(
+        emb.filter(F.col("vec_id") < 200).select(
+            F.col("vec_id").alias("id_a"), F.col("label"), "embedding"
+        ),
+        "ua",
     )
-    corpus = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # persist the normalized corpus: without a materialization
+    # boundary CollapseProject folds the 3-pass unit projection into
+    # the join-side filter and re-evaluates it PER PAIR (measured
+    # 5.1 -> 14.0s at sf0.1) — the simhash persist discipline. At
+    # 100 TB this is the unit-vector table you materialize once per
+    # corpus snapshot anyway.
+    corpus = unit(
+        emb.select(F.col("vec_id").alias("id_b"), "embedding"), "ub"
+    ).persist()
     return (
         corpus.join(F.broadcast(probes), F.col("id_b") > F.col("id_a"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= 0.4)
+        .filter(dot(F.col("ua"), F.col("ub")) >= 0.4)
         .groupBy("label")
         .agg(F.count("*").alias("n_near_dups"))
         .orderBy("label")
