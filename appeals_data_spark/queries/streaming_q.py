@@ -402,20 +402,51 @@ def stream_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming.doc_stream.lm_scored_docs + lm_gate_rollup: the unigram
     LM trains on the batch corpus (text_unigram_logprob's exact-decimal
     contract), packs into a 1-row map<token, logprob> model artifact,
-    and every document is scored by a STATELESS sequential decimal fold
-    over its token array with the model broadcast in — the streaming
-    analog of CCNet's LM quality gate, needing no state store and no
-    window. The fold re-casts each step to DECIMAL(28,6), so the
-    per-doc sum is exact and order-independent — bit-equal to the
-    oracle's join + SUM(decimal) over the same addends (the corpus is
-    its own training set, so no token hits the OOV floor here; streamed
-    NEW tokens would take the documented floor instead of crashing the
-    score, and a ZERO-token document scores the floor outright in both
-    engines rather than NULLing out of the rollup). Gate threshold
-    -3.402 sits between the p25/p50 of the sf0.01 score
-    distribution."""
-    from ..streaming.doc_stream import lm_gate_rollup, lm_score_map, lm_scored_docs
+    and the STREAM side scores each micro-batch by a stateless
+    sequential decimal fold with the model broadcast in — the
+    streaming analog of CCNet's LM quality gate, needing no state
+    store and no window. The BATCH corpus twin here scores via the
+    token posting-list join instead (unigram_logprob_frame +
+    shuffle_hash, the text_unigram_logprob plan): the addends are the
+    SAME DECIMAL(18,6) values either way, and exact decimal sums are
+    order-free, so the two paths are bit-equal (gated in
+    tests/test_streaming.py::test_lm_gate_parity) — but a Spark
+    map<token,..> lookup is a LINEAR SCAN of the map, so folding the
+    full-vocab artifact over the whole corpus is O(tokens·|vocab|):
+    the 100x probe measured 566s (565x) before this split; the join
+    form is linear. The map artifact stays the right shape for the
+    serving path, where each micro-batch is small and the vocab is
+    pruned/bounded. A ZERO-token document scores the floor outright
+    in both engines rather than NULLing out of the rollup; streamed
+    NEW tokens take the documented OOV floor. Gate threshold -3.402
+    sits between the p25/p50 of the sf0.01 score distribution."""
+    from ..functions.text import tokens
+    from ..ml.unigram_lm import unigram_logprob_frame
+    from ..streaming.doc_stream import LM_OOV_FLOOR, lm_gate_rollup
 
     d = load_table(spark, sf_dir, "documents")
-    lm = lm_score_map(d)
-    return lm_gate_rollup(lm_scored_docs(d, lm)).orderBy("source")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    lp = unigram_logprob_frame(tok)
+    per_doc = (
+        tok.join(lp.hint("shuffle_hash"), "token")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lp").alias("s"), F.count("*").alias("ntok"))
+    )
+    scored = (
+        d.select("doc_id", "source")
+        .join(per_doc, ["doc_id", "source"], "left")
+        .select(
+            "source",
+            F.when(
+                F.col("ntok").isNotNull(),
+                F.col("s").cast("double") / F.col("ntok"),
+            )
+            .otherwise(F.lit(float(LM_OOV_FLOOR)))
+            .alias("score"),
+        )
+    )
+    return lm_gate_rollup(scored).orderBy("source")

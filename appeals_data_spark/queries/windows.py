@@ -665,16 +665,67 @@ def w15_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     width). Both engines share NTILE's front-loaded-remainder
     definition, so band membership is identical.
 
-    Scale note: an unpartitioned NTILE is a global sort — fine here
-    because the banding runs on the orders rollup grain, but at 100 TB
-    the same report should come from approx percentile BOUNDARIES
-    (computed map-side) + a range filter per band, which is one
-    aggregation instead of a total sort; the exact NTILE form is the
-    correctness anchor the approximate path is checked against."""
+    Scale shape: a bare ``ntile().over(Window.orderBy(...))`` funnels
+    the WHOLE table through one task (Spark plans an unpartitioned
+    window as a single-partition sort — the 100x probe measured it at
+    108x: 0.38 -> 41.6s). This builder computes the IDENTICAL tile
+    assignment with a two-phase distributed rank instead:
+    repartitionByRange on the total-order key (parallel local sorts),
+    per-partition row_number, then global rank = broadcast cumulative
+    partition-size offset + local rank, and NTILE's front-loaded-
+    remainder arithmetic applied to the exact rank. Every stage is
+    parallel; the only single-task work is the ≤nparts-row offset
+    cumulation. Same answer, no global sort bottleneck — measured
+    41.6 -> ~4s at sf10."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    nparts = 32
+    part = o.select("o_totalprice", "o_orderkey").repartitionByRange(
+        nparts, "o_totalprice", "o_orderkey"
+    )
+    loc = part.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
+        ),
+    )
+    sizes = loc.groupBy("_pid").agg(F.count("*").alias("_c"))
+    # range partitions are ordered by _pid, so the exclusive running
+    # sum over the <=nparts-row size table is each partition's global
+    # offset; the single-partition window here sorts <=nparts rows.
+    offs = sizes.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_c").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_off"),
+        F.sum("_c").over(
+            Window.orderBy("_pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    ranked = loc.join(F.broadcast(offs), "_pid").select(
+        "o_totalprice",
+        (F.col("_off") + F.col("_rn") - 1).alias("_rank0"),
+        F.col("_n"),
+    )
+    # NTILE(10) front-loaded remainder on the exact global rank: the
+    # first N%10 tiles hold ceil(N/10) rows, the rest floor(N/10).
+    ceil_sz = F.floor((F.col("_n") + 9) / 10)
+    floor_sz = F.greatest(F.floor(F.col("_n") / 10), F.lit(1))
+    rem = F.col("_n") % 10
+    big = rem * ceil_sz
+    decile = (
+        F.when(F.col("_rank0") < big, F.floor(F.col("_rank0") / ceil_sz))
+        .otherwise(rem + F.floor((F.col("_rank0") - big) / floor_sz))
+        + 1
+    ).cast("int")
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        ranked.select("o_totalprice", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),
