@@ -106,3 +106,74 @@ def month_trunc(col: str | Column) -> Column:
 
 SQL_FISCAL_YEAR = "YEAR(CAST({col} AS TIMESTAMP) + INTERVAL 3 MONTH)"
 SQL_MONTH_TRUNC = "CAST(DATE_TRUNC('month', {col}) AS DATE)"
+
+
+# -- cross-engine deterministic rounding --------------------------------------
+#
+# Two portable "pin" recipes, motivated by the round-8 driver flips on
+# x4_markov_stationary / pipe_dsir_importance (CORRECTNESS_r08: hash
+# mismatch, rows+schema green). ROUND(double, s) is NOT portable:
+# Spark rounds the double's exact binary expansion (BigDecimal
+# HALF_UP) while DuckDB rounds a scaled double (std::round(x*10^s) /
+# 10^s) — measured 4/200k disagreements at s=12 on integer-ratio
+# inputs, and ratios n/d with d = 2^a·5^b·k hit EXACT .5 ties at
+# 12 dp where the two strategies systematically diverge. The fixes:
+#
+# * integer ratios  -> ``ratio_dec``: no doubles at all. half-up of
+#   n·10^s/d == floor((2n·10^s + d) / (2d)), computed with exact
+#   decimal arithmetic (mod-subtract makes the division exact at any
+#   magnitude, immune to Spark's scale-6 quotient rounding).
+# * transcendentals -> ``pin_dec``: floor(x·10^s + 0.5) — multiply,
+#   add, and floor are all exactly-rounded IEEE ops, so BOTH engines
+#   compute identical bits given the same x; the only residual
+#   cross-engine window is a 1-ulp libm difference landing within
+#   1 ulp of an integer (~1e-10/value, vs ~1e-5 for ROUND at s=12).
+#   Note floor(x+0.5) is round-half-toward-+inf for negatives — fine,
+#   because both engines use the SAME formula.
+
+from decimal import Decimal as _Dec
+
+
+def ratio_dec(n: Column, d: Column, scale: int = 12) -> Column:
+    """Exact half-up n/d as DECIMAL(scale+2, scale); n, d integer
+    columns, d > 0, n <= d·100. Engine-portable digit for digit."""
+    s_pow = 10**scale
+    num = (
+        n.cast("decimal(20,0)") * F.lit(2 * s_pow).cast(f"decimal({scale + 1},0)")
+        + d.cast("decimal(20,0)")
+    )
+    den = d.cast("decimal(20,0)") * F.lit(2).cast("decimal(1,0)")
+    q = (num - num % den) / den  # exactly divisible -> exact at scale 6
+    return (
+        q.cast(f"decimal({scale + 2},0)") * F.lit(_Dec(1).scaleb(-scale))
+    ).cast(f"decimal({scale + 2},{scale})")
+
+
+def sql_ratio_dec(n: str, d: str, scale: int = 12) -> str:
+    """DuckDB twin of ``ratio_dec``: HUGEINT floor-division (exact)."""
+    s_pow = 10**scale
+    one = "0." + "0" * (scale - 1) + "1"
+    return (
+        f"CAST(CAST((2::HUGEINT * ({n}) * {s_pow} + ({d})) // "
+        f"(2::HUGEINT * ({d})) AS DECIMAL({scale + 2},0)) "
+        f"* CAST('{one}' AS DECIMAL({scale + 1},{scale})) "
+        f"AS DECIMAL({scale + 2},{scale}))"
+    )
+
+
+def pin_dec(x: Column, scale: int = 6, prec: int = 18) -> Column:
+    """Bit-portable double->DECIMAL pin: floor(x·10^scale + 0.5)."""
+    pinned = F.floor(x * F.lit(float(10**scale)) + F.lit(0.5))
+    return (
+        pinned.cast(f"decimal({prec},0)") * F.lit(_Dec(1).scaleb(-scale))
+    ).cast(f"decimal({prec},{scale})")
+
+
+def sql_pin_dec(expr: str, scale: int = 6, prec: int = 18) -> str:
+    """DuckDB twin of ``pin_dec`` — the identical IEEE expression."""
+    one = "0." + "0" * (scale - 1) + "1"
+    return (
+        f"CAST(CAST(FLOOR(({expr}) * {float(10**scale)} + 0.5) "
+        f"AS DECIMAL({prec},0)) * CAST('{one}' AS DECIMAL({scale + 1},{scale})) "
+        f"AS DECIMAL({prec},{scale}))"
+    )

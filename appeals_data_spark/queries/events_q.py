@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import literal_dim, load_table
+from ..functions.scalars import ratio_dec, sql_ratio_dec
 from ..operators.pit import date_grid, pit_backlog
 from ..registry import REGISTRY, materialize_ctes, register
 
@@ -749,8 +750,19 @@ def _stationary_oracle(rounds: int = 6) -> str:
     SUM over s of pi_{K-1}(s)·p(s,s'), every term an exact
     DECIMAL(14,12)×DECIMAL(14,12) product summed exactly, then rounded
     back to 12 dp — so neither engine's summation order can move a
-    digit (the pegasos/IRLS unrolled-oracle discipline)."""
-    ctes = ["""
+    digit (the pegasos/IRLS unrolled-oracle discipline).
+
+    The transition probs and the uniform start are ``sql_ratio_dec``
+    exact integer half-up divisions — NOT ROUND(double, 12), which
+    flipped the round-8 driver hash: count ratios n/d with d divisible
+    by a high power of 2 land on exact 12-dp ties where Spark's
+    exact-expansion HALF_UP and DuckDB's scaled-double std::round
+    systematically disagree (functions/scalars.py pin rationale)."""
+    p_expr = sql_ratio_dec("COUNT(*)",
+                           "SUM(COUNT(*)) OVER (PARTITION BY event_type)")
+    pi0_expr = sql_ratio_dec(
+        "1", "(SELECT COUNT(DISTINCT event_type) FROM events)")
+    ctes = [f"""
     seq AS (
       SELECT event_type,
              LEAD(event_type) OVER (PARTITION BY user_id
@@ -758,15 +770,12 @@ def _stationary_oracle(rounds: int = 6) -> str:
       FROM events
     ), trans AS (
       SELECT event_type, next_type,
-             CAST(ROUND(CAST(COUNT(*) AS DOUBLE)
-                        / SUM(COUNT(*)) OVER (PARTITION BY event_type), 12)
-                  AS DECIMAL(14,12)) AS p
+             {p_expr} AS p
       FROM seq WHERE next_type IS NOT NULL
       GROUP BY event_type, next_type
     ), r0 AS (
       SELECT event_type AS state,
-             CAST(ROUND(1.0 / (SELECT COUNT(DISTINCT event_type) FROM events),
-                        12) AS DECIMAL(14,12)) AS pi
+             {pi0_expr} AS pi
       FROM (SELECT DISTINCT event_type FROM events)
     )"""]
     for k in range(1, rounds + 1):
@@ -800,11 +809,12 @@ def x4_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     x4_transition_matrix; after that the chain is |alphabet|²-sized
     (model-sized, localCheckpoint'd once) and each round is a ≤|S|-row
     join-agg — the closure/pagerank iterative pattern at its cheapest.
-    Determinism: transition probs and the uniform start round to exact
-    DECIMAL(14,12); every round multiplies decimals exactly and sums
-    order-free, rounding back to 12 dp (the unrolled-oracle
-    discipline), so the final vector hash-matches DuckDB digit for
-    digit."""
+    Determinism: transition probs and the uniform start are exact
+    integer half-up divisions to DECIMAL(14,12) (``ratio_dec`` — the
+    round-8 driver flip proved ROUND(double, 12) is not portable when
+    a count ratio lands on an exact 12-dp tie); every round multiplies
+    decimals exactly and sums order-free, rounding back to 12 dp, so
+    the final vector hash-matches DuckDB digit for digit."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
@@ -816,10 +826,9 @@ def x4_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "next_type",
-            F.round(
-                F.col("n").cast("double")
-                / F.sum("n").over(Window.partitionBy("event_type")),
-                12,
+            ratio_dec(
+                F.col("n"),
+                F.sum("n").over(Window.partitionBy("event_type")),
             )
             .cast("decimal(14,12)")
             .alias("p"),
@@ -835,7 +844,7 @@ def x4_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_states))
         .select(
             "state",
-            F.round(F.lit(1.0) / F.col("ns"), 12)
+            ratio_dec(F.lit(1), F.col("ns"))
             .cast("decimal(14,12)")
             .alias("pi"),
         )

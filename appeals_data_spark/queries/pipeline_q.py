@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.scalars import pin_dec, sql_pin_dec
 from ..functions.text import shingles, tokens
 from ..operators.dedup import portable_hash48, sql_portable_hash48
 from ..registry import register
@@ -1113,9 +1114,9 @@ _DSIR_TARGET = ("src0", "src1", "src2", "src3")  # 'curated' exemplar
       FROM bg
     ), lr AS (
       SELECT r.b,
-             CAST(ROUND(LN((COALESCE(t.ct, 0) + 1.0) / (tot.nt + {_DSIR_B}.0))
-                        - LN((r.cr + 1.0) / (tot.nr + {_DSIR_B}.0)), 6)
-                  AS DECIMAL(18,6)) AS lr
+             {sql_pin_dec(
+                 f"LN((COALESCE(t.ct, 0) + 1.0) / (tot.nt + {_DSIR_B}.0))"
+                 f" - LN((r.cr + 1.0) / (tot.nr + {_DSIR_B}.0))")} AS lr
       FROM raw_c r LEFT JOIN tgt_c t USING (b) CROSS JOIN tot
     ), per_doc AS (
       SELECT g.doc_id, g.source,
@@ -1155,8 +1156,9 @@ def pipe_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact decimal arithmetic (integer counts x DECIMAL(18,6) ratios —
     no float accumulation anywhere). At 100 TB: two linear passes, no
     data-sized shuffle except the per-doc rollup. LN is the one
-    libm-boundary op, pinned by ROUND(...,6) (the LM-family
-    precedent)."""
+    libm-boundary op, pinned by ``pin_dec`` (bit-identical IEEE
+    floor(x*1e6 + 0.5) on both engines — hardened after the round-8
+    driver hash flip; see functions/scalars.py pin rationale)."""
     d = load_table(spark, sf_dir, "documents")
     low = F.lower(F.trim(F.col("text")))
     bg = d.select(
@@ -1185,7 +1187,7 @@ def pipe_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             "b",
-            F.round(
+            pin_dec(
                 F.log(
                     (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
                     / (F.col("nt") + F.lit(float(_DSIR_B)))
@@ -1193,11 +1195,8 @@ def pipe_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.log(
                     (F.col("cr") + F.lit(1.0))
                     / (F.col("nr") + F.lit(float(_DSIR_B)))
-                ),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("lr"),
+                )
+            ).alias("lr"),
         )
         .localCheckpoint()
     )

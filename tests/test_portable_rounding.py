@@ -1,0 +1,130 @@
+"""Cross-engine rounding-pin gates (functions/scalars.py).
+
+The round-8 driver flipped two hash rows (CORRECTNESS_r08:
+pipe_dsir_importance, x4_markov_stationary) with rows+schema green —
+the classic signature of a single rounded value landing on a boundary
+where Spark's exact-binary-expansion HALF_UP and DuckDB's
+scaled-double std::round disagree.  These tests hammer the two
+portable replacements with the adversarial inputs that break
+ROUND(double, s):
+
+* ``ratio_dec``  — integer count ratios, including EXACT 12-dp ties
+  (denominators 2^a·5^b where half the numerators land on .5 exactly).
+* ``pin_dec``    — transcendental doubles pinned by floor(x·10^s+0.5),
+  the same IEEE ops on both engines.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from appeals_data_spark.functions.scalars import (
+    pin_dec,
+    ratio_dec,
+    sql_pin_dec,
+    sql_ratio_dec,
+)
+
+
+def _tie_cases():
+    """(n, d) pairs whose n·10^12/d is an exact half-integer — the
+    inputs where ROUND(CAST(n AS DOUBLE)/d, 12) is engine-dependent."""
+    cases = []
+    for d in (8192, 2**14, 2**13 * 5, 2**20, 3 * 2**13):
+        for n in (1, 3, 5, d // 2 - 1, d - 1):
+            if (2 * n * 10**12) % d == 0 and (n * 10**12) % d != 0:
+                cases.append((n, d))
+    assert len(cases) >= 8, "tie-case generator lost its teeth"
+    return cases
+
+
+def _random_cases(k=300):
+    rng = random.Random(1729)
+    out = []
+    for _ in range(k):
+        d = rng.randint(2, 5_000_000)
+        out.append((rng.randint(1, d), d))
+    return out
+
+
+def test_ratio_dec_matches_duckdb_and_exact_halfup(spark):
+    rows = _tie_cases() + _random_cases()
+    df = spark.createDataFrame(rows, "n long, d long")
+    got = {
+        (r["n"], r["d"]): r["p"]
+        for r in df.select(
+            "n", "d", ratio_dec(F.col("n"), F.col("d")).alias("p")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(n BIGINT, d BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    duck = {
+        (n, d): p
+        for n, d, p in con.execute(
+            f"SELECT n, d, {sql_ratio_dec('n', 'd')} FROM t"
+        ).fetchall()
+    }
+    for n, d in rows:
+        truth = (Decimal(n) / Decimal(d)).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+        assert got[(n, d)] == truth, f"spark ratio_dec {n}/{d}"
+        assert duck[(n, d)] == truth, f"duckdb sql_ratio_dec {n}/{d}"
+
+
+def test_ratio_dec_catches_what_round_double_misses():
+    """Sanity: at least one tie case WOULD diverge under the old
+    ROUND(double, 12) oracle — i.e. this gate is not vacuous."""
+    con = duckdb.connect()
+    diverged = 0
+    for n, d in _tie_cases():
+        (duck_round,) = con.execute(
+            f"SELECT CAST(ROUND(CAST({n} AS DOUBLE)/{d}, 12)"
+            " AS DECIMAL(14,12))"
+        ).fetchone()
+        spark_style = Decimal(n / d).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+        if duck_round != spark_style:
+            diverged += 1
+    assert diverged >= 1, (
+        "no tie case diverges under ROUND(double,12) on this platform; "
+        "re-derive the adversarial set"
+    )
+
+
+@pytest.mark.parametrize("scale", [6, 9])
+def test_pin_dec_matches_duckdb(spark, scale):
+    rng = random.Random(42)
+    xs = [
+        math.log((rng.randint(0, 5000) + 1.0) / (rng.uniform(1e4, 2e5)))
+        - math.log((rng.randint(1, 20000) + 1.0) / (rng.uniform(1e5, 1e6)))
+        for _ in range(400)
+    ]
+    # exact .5-at-scale boundaries — floor(x*10^s + 0.5) must agree
+    xs += [0.0000005, -0.0000005, 1.9999995, -1.9999995, 0.1234565]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [
+        r["p"]
+        for r in df.select(pin_dec(F.col("x"), scale).alias("p")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    duck = [
+        p for (p,) in con.execute(
+            f"SELECT {sql_pin_dec('x', scale)} FROM t"
+        ).fetchall()
+    ]
+    assert got == duck
+    # and the pin really is floor(x·10^s + 0.5) of the IEEE double
+    for x, p in zip(xs, got):
+        expect = Decimal(math.floor(x * 10**scale + 0.5)).scaleb(-scale)
+        assert p == expect, f"pin_dec({x!r}, {scale})"
