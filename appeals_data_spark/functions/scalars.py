@@ -134,10 +134,12 @@ SQL_MONTH_TRUNC = "CAST(DATE_TRUNC('month', {col}) AS DATE)"
 from decimal import Decimal as _Dec
 
 
-def ratio_dec(n: Column, d: Column, scale: int = 12) -> Column:
-    """Exact half-up n/d as DECIMAL(scale+2, scale); n, d integer
-    columns, d > 0, n <= d·100. Engine-portable digit for digit."""
+def ratio_dec(n: Column, d: Column, scale: int = 12, int_digits: int = 2) -> Column:
+    """Exact half-up n/d as DECIMAL(scale+int_digits, scale); n, d
+    integer columns, d > 0, |n/d| < 10^int_digits. Engine-portable
+    digit for digit."""
     s_pow = 10**scale
+    prec = scale + int_digits
     num = (
         n.cast("decimal(20,0)") * F.lit(2 * s_pow).cast(f"decimal({scale + 1},0)")
         + d.cast("decimal(20,0)")
@@ -145,19 +147,20 @@ def ratio_dec(n: Column, d: Column, scale: int = 12) -> Column:
     den = d.cast("decimal(20,0)") * F.lit(2).cast("decimal(1,0)")
     q = (num - num % den) / den  # exactly divisible -> exact at scale 6
     return (
-        q.cast(f"decimal({scale + 2},0)") * F.lit(_Dec(1).scaleb(-scale))
-    ).cast(f"decimal({scale + 2},{scale})")
+        q.cast(f"decimal({prec},0)") * F.lit(_Dec(1).scaleb(-scale))
+    ).cast(f"decimal({prec},{scale})")
 
 
-def sql_ratio_dec(n: str, d: str, scale: int = 12) -> str:
+def sql_ratio_dec(n: str, d: str, scale: int = 12, int_digits: int = 2) -> str:
     """DuckDB twin of ``ratio_dec``: HUGEINT floor-division (exact)."""
     s_pow = 10**scale
+    prec = scale + int_digits
     one = "0." + "0" * (scale - 1) + "1"
     return (
         f"CAST(CAST((2::HUGEINT * ({n}) * {s_pow} + ({d})) // "
-        f"(2::HUGEINT * ({d})) AS DECIMAL({scale + 2},0)) "
+        f"(2::HUGEINT * ({d})) AS DECIMAL({prec},0)) "
         f"* CAST('{one}' AS DECIMAL({scale + 1},{scale})) "
-        f"AS DECIMAL({scale + 2},{scale}))"
+        f"AS DECIMAL({prec},{scale}))"
     )
 
 

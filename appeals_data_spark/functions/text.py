@@ -125,6 +125,89 @@ def winnow_fingerprints(
     )
 
 
+def cdc_chunks(df, text_col: str, id_col: str, w: int = 8, div: int = 64):
+    """Content-defined chunking (the gear/Rabin family behind storage
+    dedup and chunk-level corpus dedup, cf. FastCDC, Xia et al.
+    ATC'16): a boundary is cut after character e whenever the base-31
+    polynomial hash of the w-gram ending at e is ≡ 0 (mod div), so
+    boundaries depend on CONTENT, not offsets — an insertion early in
+    a document shifts every fixed-size block but leaves all later CDC
+    chunks (and their hashes) intact. Expected chunk length ≈ div.
+
+    Pure CDC (no min/max clamp) is used deliberately: clamped variants
+    make each boundary depend on the previous one — a per-document
+    sequential scan — while the pure form is embarrassingly
+    position-parallel (the winnowing explode pattern, same hash
+    family). Chunk re-extraction via substring is O(doc_len · chunks)
+    worst-case on UTF8String offsets, bounded here by the ~1 KB doc
+    length, NOT corpus size — at 100 TB cost stays linear in corpus.
+
+    Returns (doc_id, chunk_len, h) — one row per chunk, h the
+    portable-48 hash of the chunk text (exact SQL twin).
+    """
+    from ..operators.dedup import portable_hash48
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("_t"),
+        F.transform(F.split(t, ""), F.ascii).alias("_c"),
+    ).filter(F.length("_t") >= 1)
+    pos = base.filter(F.size("_c") >= w).select(
+        "doc_id",
+        F.size("_c").alias("_n"),
+        F.col("_c"),
+        F.explode(F.sequence(F.lit(1), F.size("_c") - (w - 1))).alias("p"),
+    )
+    h = None
+    for j in range(w):
+        # long arithmetic: 31^7 · 127 overflows int32 at w = 8
+        term = F.element_at(F.col("_c"), F.col("p") + j).cast("long") * F.lit(
+            31**j
+        ).cast("long")
+        h = term if h is None else h + term
+    cuts = (
+        pos.select("doc_id", "_n", h.cast("long").alias("h"), "p")
+        .filter((F.col("h") % div == 0) & (F.col("p") + (w - 1) < F.col("_n")))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.col("p") + (w - 1))).alias("cs"))
+    )
+    spans = (
+        base.join(cuts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "_t",
+            F.length("_t").alias("n"),
+            F.coalesce(F.col("cs"), F.array().cast("array<long>")).alias("cs"),
+        )
+        .select(
+            "doc_id",
+            "_t",
+            F.explode(
+                F.arrays_zip(
+                    F.concat(F.array(F.lit(0).cast("long")), F.col("cs")),
+                    F.concat(F.col("cs"), F.array(F.col("n").cast("long"))),
+                )
+            ).alias("z"),
+        )
+        .select(
+            "doc_id",
+            F.col("z.0").alias("s"),
+            F.col("z.1").alias("e"),
+            "_t",
+        )
+        .filter(F.col("e") > F.col("s"))
+    )
+    return spans.select(
+        "doc_id",
+        (F.col("e") - F.col("s")).alias("chunk_len"),
+        portable_hash48(
+            F.expr("substring(_t, s + 1, e - s)"), "cdc"
+        ).alias("h"),
+    )
+
+
 def lang_id_heuristic(col: str | Column) -> Column:
     """Tiny deterministic language-ID stand-in: scores by marker-word
     hits. Real model would be a pandas-UDF over a fastText-style model;

@@ -48,6 +48,49 @@ def brute_force_topk(
     )
 
 
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact maximum-inner-product top-k per query — the retrieval
+    scoring most rankers actually use (unnormalized dot product, so a
+    vector's magnitude carries signal, unlike cosine). Queries must be
+    small (broadcast); scoring is the same JVM-side zip_with/aggregate
+    fold as ``brute_force_topk``.
+
+    Scale path at 100 TB: MIPS reduces to cosine ANN by norm
+    augmentation (Bachrach et al., RecSys'14) — append
+    sqrt(M² − ‖x‖²) to every corpus vector (M = max corpus norm) and 0
+    to queries; the augmented cosine order equals the inner-product
+    order, so the IVF/PQ index family (vec_ivf_topk and friends)
+    serves MIPS unchanged. The brute-force form here is the exactness
+    baseline those indexes are recall-gated against."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            dot(F.col("q_vec"), F.col("c_vec")).alias("ip"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ip"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
     """Random-hyperplane LSH bucket id (n_planes sign bits packed)."""
     bits = F.transform(

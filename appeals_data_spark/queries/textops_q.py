@@ -9,8 +9,10 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..ml.unigram_lm import unigram_logprob_frame
+from ..functions.scalars import ratio_dec, sql_ratio_dec
 from ..functions.text import (
     STOPWORDS,
+    cdc_chunks,
     char_classes,
     lang_id_heuristic,
     stopword_ratio,
@@ -1773,3 +1775,126 @@ def text_kgram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+def _cdc_oracle(w: int = 8, div: int = 64) -> str:
+    """SQL twin of functions.text.cdc_chunks + the per-source rollup:
+    the identical base-31 w-gram hash (winnowing oracle idiom), cut
+    positions collected per doc, spans rebuilt by list indexing."""
+    from ..operators.dedup import sql_portable_hash48
+
+    gram = " + ".join(
+        f"{31**j}::BIGINT * ord(substr(t, p + {j}, 1))" for j in range(w)
+    )
+    h_sql = sql_portable_hash48("substr(t, s + 1, e - s)", "cdc")
+    avg_sql = sql_ratio_dec("SUM(CAST(cnt AS BIGINT) * clen)",
+                            "SUM(CAST(cnt AS BIGINT))", 6, 4)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), dn AS (
+      SELECT doc_id, source, t, length(t) AS n FROM d WHERE length(t) >= 1
+    ), pos AS (
+      SELECT doc_id, t, n, UNNEST(generate_series(1, n - {w - 1})) AS p
+      FROM dn WHERE n >= {w}
+    ), cuts AS (
+      SELECT doc_id, list(p + {w - 1} ORDER BY p) AS cs
+      FROM (SELECT doc_id, p, n, {gram} AS h FROM pos)
+      WHERE h % {div} = 0 AND p + {w - 1} < n
+      GROUP BY doc_id
+    ), spans AS (
+      SELECT dn.doc_id, dn.source, dn.t, dn.n,
+             COALESCE(c.cs, []) AS cs
+      FROM dn LEFT JOIN cuts c USING (doc_id)
+    ), idx AS (
+      SELECT doc_id, source, t, n, cs,
+             UNNEST(generate_series(1, len(cs) + 1)) AS i
+      FROM spans
+    ), chunk AS (
+      SELECT doc_id, source, t,
+             CASE WHEN i = 1 THEN 0 ELSE cs[i - 1] END AS s,
+             CASE WHEN i = len(cs) + 1 THEN n ELSE cs[i] END AS e
+      FROM idx
+    ), ch AS (
+      SELECT doc_id, source, e - s AS clen, {h_sql} AS h
+      FROM chunk WHERE e > s
+    ), g AS (
+      SELECT source, h, clen, COUNT(*) AS cnt
+      FROM ch GROUP BY source, h, clen
+    ), nd AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    )
+    SELECT g.source,
+           ANY_VALUE(nd.n_docs) AS n_docs,
+           CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           {avg_sql} AS avg_chunk_len,
+           CAST(SUM((cnt - 1) * clen) AS BIGINT) AS saved_chars
+    FROM g JOIN nd USING (source)
+    GROUP BY g.source ORDER BY g.source
+    """
+
+
+@register(
+    "text_cdc_chunks",
+    oracle=None,  # bound below
+    tags=("TEXT", "CDC", "DEDUP", "FP"),
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking report — the storage-dedup primitive
+    (FastCDC family) applied to corpus curation: boundaries are cut
+    where a rolling w-gram hash masks to zero, so chunk identity
+    survives insertions/deletions that would shift every fixed-size
+    block (the property chunk-level dedup needs; see
+    functions.text.cdc_chunks for the parallel-form rationale). The
+    per-source rollup is what a curator reads: chunk counts, distinct
+    vs duplicated chunk hashes, and saved_chars — the exact character
+    mass chunk-level dedup would reclaim.
+
+    Scale shape: one explode pass (positions, codegen'd integer hash),
+    one per-doc cut collection, one substring re-chunk bounded by doc
+    length, two hash-sized rollups — no pair joins anywhere; dedup
+    accounting is recovered from per-(hash, len) multiplicities, the
+    multiplicity-weight discipline of the mm_* family. avg_chunk_len
+    goes through ratio_dec (exact half-up integer division), never
+    ROUND(double)."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunks(d, "text", "doc_id", w=8, div=64)
+    g = (
+        chunks.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "h", "chunk_len")
+        .agg(F.count("*").alias("cnt"))
+    )
+    nd = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_chunks"),
+            F.count("*").cast("long").alias("n_distinct_chunks"),
+            F.sum((F.col("cnt") > 1).cast("int")).cast("long").alias("n_dup_chunks"),
+            ratio_dec(
+                F.sum(F.col("cnt") * F.col("chunk_len")),
+                F.sum("cnt"),
+                6,
+                4,
+            ).alias("avg_chunk_len"),
+            F.sum((F.col("cnt") - 1) * F.col("chunk_len"))
+            .cast("long")
+            .alias("saved_chars"),
+        )
+        .join(nd, "source")
+        .select(
+            "source", "n_docs", "n_chunks", "n_distinct_chunks",
+            "n_dup_chunks", "avg_chunk_len", "saved_chars",
+        )
+        .orderBy("source")
+    )
+
+
+from ..registry import REGISTRY as _REG  # noqa: E402
+
+_REG["text_cdc_chunks"].oracle = materialize_ctes(_cdc_oracle())

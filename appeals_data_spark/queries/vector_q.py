@@ -14,8 +14,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.vectors import cosine
 from ..operators.similarity import brute_force_topk, lsh_topk
-from ..registry import REGISTRY, register
+from ..registry import REGISTRY, materialize_ctes, register
 
 _DIM = 64
 
@@ -50,6 +51,195 @@ def vec_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return brute_force_topk(emb, queries, k=5).select("query_id", "rank", "corpus_id")
+
+
+@register(
+    "vec_mips_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS corpus_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_inner_product(q.qv, CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id
+             ) AS rank
+      FROM q, embeddings e
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, rank, corpus_id
+    FROM scored WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("VEC", "ANN", "MIPS"),
+)
+def vec_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inner-product (MIPS) top-5 for 8 query vectors — the
+    unnormalized-retrieval twin of vec_brute_force_topk (rankers score
+    by dot product, so magnitude matters; a long vector can outrank a
+    better-aligned short one). Both engines fold the dot product in
+    identical sequential element order (Spark zip_with/aggregate left
+    fold vs DuckDB list_inner_product loop), so the float scores are
+    bit-identical and the rank oracle is exact — the same
+    ulp-stability contract the cosine family runs on. The 100 TB path
+    (norm augmentation onto the IVF index) is documented on
+    operators.similarity.mips_topk."""
+    from ..operators.similarity import mips_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return mips_topk(emb, queries, k=5).select("query_id", "rank", "corpus_id")
+
+
+def _mmr_oracle(k_pick: int = 4, pool: int = 10) -> str:
+    """Unrolled MMR oracle: pick 1 is pure relevance; pick K's score
+    is 0.75·rel − 0.25·max-sim-to-selected, anti-joined against the
+    selected set. Each round references the previous union, so the
+    CTEs must be MATERIALIZED (the markov/pegasos discipline)."""
+    head = f"""
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 4
+    ), sc AS (
+      SELECT q.qid, e.vec_id AS cid, CAST(e.embedding AS DOUBLE[]) AS ev,
+             list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv,
+                                               CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id
+             ) AS rnk
+      FROM q, embeddings e WHERE e.vec_id != q.qid
+    ), pool AS (
+      SELECT qid, cid, ev, rel FROM sc WHERE rnk <= {pool}
+    ), pairs AS (
+      SELECT a.qid, a.cid AS ca, b.cid AS cb,
+             list_cosine_similarity(a.ev, b.ev) AS s
+      FROM pool a JOIN pool b ON a.qid = b.qid AND a.cid <> b.cid
+    ), s1 AS (
+      SELECT qid, cid, 1 AS pick_order FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, cid) AS rn
+        FROM pool
+      ) WHERE rn = 1
+    ), sel1 AS (SELECT qid, cid FROM s1)"""
+    rounds = []
+    for i in range(2, k_pick + 1):
+        rounds.append(f""", m{i} AS (
+      SELECT p.qid, p.ca AS cid, MAX(p.s) AS ms
+      FROM pairs p JOIN sel{i - 1} s ON p.qid = s.qid AND p.cb = s.cid
+      GROUP BY p.qid, p.ca
+    ), s{i} AS (
+      SELECT qid, cid, {i} AS pick_order FROM (
+        SELECT c.qid, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.qid
+                 ORDER BY 0.75*c.rel - 0.25*m.ms DESC, c.cid) AS rn
+        FROM pool c
+        JOIN m{i} m ON m.qid = c.qid AND m.cid = c.cid
+        LEFT JOIN sel{i - 1} x ON x.qid = c.qid AND x.cid = c.cid
+        WHERE x.cid IS NULL
+      ) WHERE rn = 1
+    ), sel{i} AS (
+      SELECT * FROM sel{i - 1} UNION ALL SELECT qid, cid FROM s{i}
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, k_pick + 1)
+    )
+    return (
+        f"WITH {head}{''.join(rounds)}\n"
+        f"    SELECT qid AS query_id, pick_order, cid AS corpus_id\n"
+        f"    FROM ({union}) ORDER BY query_id, pick_order"
+    )
+
+
+@register(
+    "vec_mmr_diversified_topk",
+    oracle=None,  # bound below (materialized unrolled CTEs)
+    tags=("VEC", "ANN", "MMR", "ITER"),
+)
+def vec_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified retrieval (Carbonell &
+    Goldstein, SIGIR'98) — the selection step a training-data curator
+    runs AFTER similarity search so the picked exemplars don't
+    collapse onto near-duplicates: greedily pick argmax of
+    0.75·rel(q,c) − 0.25·max_{s∈S} sim(c,s) over a relevance-top-10
+    candidate pool, 4 picks per query. Pure-relevance top-k
+    (vec_brute_force_topk) returns redundant neighbors; MMR trades a
+    little relevance for coverage.
+
+    Scale shape: the corpus-sized work is the ONE brute-force/ANN pool
+    pass (swap in vec_ivf_topk's index at 100 TB); everything after is
+    pool-sized (|Q|·10 rows, pairwise |Q|·90) — the iterative rounds
+    are model-sized localCheckpoints like the markov/pagerank family,
+    never corpus passes. Determinism: both engines fold cosines in the
+    same element order and score with the identical IEEE expression
+    0.75·rel − 0.25·ms; picks are id outputs under the established
+    ulp-stability contract for random embeddings (vector_q module
+    docstring), with cid ASC tiebreaks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    pool = brute_force_topk(emb, queries, k=10)
+    vecs = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("v")
+    )
+    poolv = (
+        pool.join(vecs, "corpus_id")
+        .select("query_id", "corpus_id", F.col("cos").alias("rel"), "v")
+        .localCheckpoint()
+    )
+    a, b = poolv.alias("a"), poolv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.corpus_id") != F.col("b.corpus_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.corpus_id").alias("ca"),
+            F.col("b.corpus_id").alias("cb"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("s"),
+        )
+        .localCheckpoint()
+    )
+    cand = poolv.select("query_id", "corpus_id", "rel")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("corpus_id"))
+    sel = (
+        cand.withColumn("score", F.col("rel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", "corpus_id", F.lit(1).alias("pick_order")
+        )
+        .localCheckpoint()
+    )
+    for i in range(2, 5):
+        picked = sel.select("query_id", F.col("corpus_id").alias("cb"))
+        maxsim = (
+            pairs.join(picked, ["query_id", "cb"])
+            .groupBy("query_id", F.col("ca").alias("corpus_id"))
+            .agg(F.max("s").alias("ms"))
+        )
+        pick = (
+            cand.join(sel.select("query_id", "corpus_id"),
+                      ["query_id", "corpus_id"], "left_anti")
+            .join(maxsim, ["query_id", "corpus_id"])
+            .withColumn(
+                "score", F.lit(0.75) * F.col("rel") - F.lit(0.25) * F.col("ms")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "corpus_id", F.lit(i).alias("pick_order"))
+        )
+        sel = sel.union(pick).localCheckpoint()
+    return sel.orderBy("query_id", "pick_order")
+
+
+REGISTRY["vec_mmr_diversified_topk"].oracle = materialize_ctes(_mmr_oracle())
 
 
 @register(

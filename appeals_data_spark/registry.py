@@ -83,104 +83,86 @@ def register(
 # valuable first. Cross-round driver union r1|r2|r3|r4|r5 covers ALL
 # registered queries.
 #
-# Round-8 rotation (EXECUTED this round): front-load the one round-8
-# addition (the PQ recall certificate) and the two round-8-changed
-# queries (semantic dedup's max_by rep selection + checkpointed
-# centroid model; Bradley-Terry now fit through ml/bt.py's
-# path-switching bt_strengths), then the TEN r2-latest-tier queries
-# deferred from round 7 (retiring the r2 tier completely), then 37 of
-# the 45 r3-latest-tier queries. EIGHT r3-tier queries defer to round
-# 9, each with continuous non-driver evidence in the meantime:
-#   vec_pq_adc_topk, vec_pq_rerank_topk — their oracles and builders
-#     are spliced verbatim into vec_pq_recall_report (in this window),
-#     and both are in bench.py SECONDARY;
-#   dedup_substring_coverage, text_bpe_merges — bench.py SECONDARY;
-#   j21_bucketed_copartition_join — zero-Exchange SMJ plan-asserted in
-#     tests/test_bucketing.py;
-#   stream_click_attribution, stream_dedup_user_types,
-#   stream_event_union — stream-vs-batch parity gates in
-#     tests/test_streaming.py (batch twins oracle-checked).
-# Round-9 plan: those eight lead, then the r4/r5-latest tier.
-# Simulate with `python tools/check.py --window 50 --vanilla` before
-# shipping.
+# Round-9 rotation (EXECUTED this round): lead with the three round-9
+# additions (MIPS exact top-k, MMR diversified retrieval, CDC
+# chunking) and the two round-9-FIXED queries (pipe_dsir_importance /
+# x4_markov_stationary — the r8 hash flips, re-pinned via the portable
+# rounding recipes in functions/scalars.py; their fresh verdicts are
+# the round's primary evidence). Then the ENTIRE 21-query
+# r3-latest tier (retiring it), then 24 of the 32 oracled r5-latest
+# queries. EIGHT r5-tier queries defer to round 10, each with
+# continuous non-driver evidence in the meantime:
+#   a12_monthly_rollup, j1_revenue_by_nation — bench.py HEADLINE every
+#     round;
+#   graph_pagerank_handoff, mm_decode_audio, pipe_source_caps,
+#     x6_holt_linear — bench.py SECONDARY (mm_decode additionally
+#     value-gated in tests/test_multimodal.py);
+#   x3_ab_welch_ttest, x3_mad_outliers — closed-form differential
+#     gates in tests/test_differential.py.
+# The three rows-only sketches (dedup_minhash_lsh,
+# dedup_simhash_hamming, vec_lsh_topk — documented no_oracle, portable
+# twins fully oracled) stay out of the window: a window slot buys no
+# hash verdict for them.
+# Round-10 plan: the eight deferred r5 entries lead, then the
+# r6-latest tier (44). Simulate with
+# `python tools/check.py --window 50 --vanilla` before shipping.
 _SWEEP_FIRST = [
-    # new in round 8 — need their first driver rows
+    # new in round 9 — need their first driver rows
+    "vec_mips_topk",
+    "vec_mmr_diversified_topk",
+    "text_cdc_chunks",
+    # FIXED in round 9 (r8 hash flips -> portable rounding pins)
     "pipe_dsir_importance",
     "x4_markov_stationary",
-    "a26_hll_setops_bound",
-    "text_kgram_novelty",
-    "vec_sq8_topk",
-    "vec_pq_recall_report",
-    "vec_ivf_delta_assign",
-    # changed in round 8
-    "dedup_semantic_clusters",
-    "pref_bradley_terry",
-    # r2-latest tier, deferred from round 7 — retires the r2 tier
-    "surv_weibull_fit",
-    "text_token_stats",
-    "vec_brute_force_topk",
-    "vec_lsh_portable",
-    "w11_rolling_mean",
-    "w3_session_segmentation",
-    "x3_linreg_closed_form",
-    "x4_trace_coverage",
-    "x6_grouped_glm",
-    "x6_partial_pooling",
-    # changed by the round-8 sf10-probe scale fixes (data-sized
-    # broadcast hints dropped; canonical near-dup stage rewritten as
-    # inverted-index intersection counting) — fresh driver rows needed
-    "dedup_canonical_corpus",
-    "text_trigram_backoff_logprob",
-    "text_bigram_interp_logprob",
-    "text_bm25_topk",
-    "text_hybrid_rrf_topk",
-    "pipe_perplexity_buckets",
-    "comp_ep_classifier_eval",
-    # r3-latest tier (31 of 45; the deferred eight are justified
-    # above, plus six more displaced by the probe-fix queries:
-    # mm_decode_image / mm_resize_dims / mm_frame_sample (decode value
-    # gates in tests/test_multimodal.py), x4_transition_matrix (the
-    # trace family has fresh rows via x4_trace_coverage/x4_trace_regex),
-    # surv_km_counts / surv_median_lifetime (surv_km_curve is
-    # continuously benched and in this window), and
-    # x6_random_intercept_em displaced by the hint-audit-changed
-    # comp_ep_classifier_eval (the EM family keeps a window row via
-    # x6_mixed_treatment_em) — plus text_winnow_fingerprints displaced by the late
-    # vec_ivf_delta_assign addition (its fingerprint sibling
-    # text_fingerprint_md5 keeps a window row) — all sixteen lead
-    # round 9)
-    "a16_cube_rollup",
-    "pipe_chunk_overlap",
-    "pipe_mixture_weights",
-    "pipe_model_score_broadcast",
-    "pipe_split_shards",
-    "pipe_stratified_sample",
-    "pipe_temperature_mixture",
-    "r6_paired_field_changes",
-    "s1_portable_sql_rollup",
-    "s9_partition_pruned_rollup",
-    "skew_salted_join",
-    "text_bpe_vocab",
-    "text_char_classes",
-    "text_fingerprint_md5",
-    "text_lang_confusion",
-    "text_quality_flags",
-    "text_subword_tokens",
-    "text_tfidf_topk",
-    "text_token_entropy",
-    "text_top2gram_repetition",
-    "text_unigram_logprob",
-    "text_vocab_topk",
-    "u5_event_where_hook",
-    "u6_event_funnel",
-    # w12_linear_interpolation, x3_grouped_correlation,
-    # x3_logistic_irls, x6_grouped_model_fit and x6_mixed_treatment_em
-    # displaced by the round-8b additions (pipe_dsir_importance,
-    # x4_markov_stationary, a26_hll_setops_bound, text_kgram_novelty,
-    # vec_sq8_topk); the interp/correlation/IRLS/grouped-fit/EM family
-    # keeps continuous pytest differential evidence via
-    # tests/test_differential.py and leads round 9 with the other
-    # displaced entries listed above.
+    # r3-latest tier (all 21 — retires the tier)
+    "dedup_substring_coverage",
+    "j21_bucketed_copartition_join",
+    "mm_decode_image",
+    "mm_frame_sample",
+    "mm_resize_dims",
+    "stream_click_attribution",
+    "stream_dedup_user_types",
+    "stream_event_union",
+    "surv_km_counts",
+    "surv_median_lifetime",
+    "text_bpe_merges",
+    "text_winnow_fingerprints",
+    "vec_pq_adc_topk",
+    "vec_pq_rerank_topk",
+    "w12_linear_interpolation",
+    "x3_grouped_correlation",
+    "x3_logistic_irls",
+    "x4_transition_matrix",
+    "x6_grouped_model_fit",
+    "x6_mixed_treatment_em",
+    "x6_random_intercept_em",
+    # r5-latest tier (24 of 32 oracled; deferral justified above).
+    # w15_ntile_deciles also carries the round-8b two-phase NTILE
+    # rewrite, so its fresh row doubles as a change-verification.
+    "a2_conditional_agg_flags",
+    "a3_distinct_counts",
+    "a7_quantile_summary",
+    "a8_crosstab",
+    "a9_pivot_agg",
+    "a10_listagg",
+    "a13_histogram",
+    "a14_ranked_selection",
+    "a15_fiscal_year_summary",
+    "a18_incremental_rollup",
+    "a20_retention_cohorts",
+    "a21_sliding_mau",
+    "a22_approx_quantile_bound",
+    "a23_approx_distinct_bound",
+    "opt_zorder_skipping",
+    "p1_projection_alias_nulltest",
+    "r7_scd2_dimension",
+    "surv_cuminc",
+    "u7_event_endstates",
+    "w13_ewma_smoothing",
+    "w14_cusum_changepoint",
+    "w15_ntile_deciles",
+    "x4_trace_regex",
+    "x6_logistic_glmm",
 ]
 
 

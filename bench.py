@@ -56,9 +56,12 @@ SECONDARY = [
     "text_trigram_backoff_logprob",
     "text_bm25_topk",
     "text_bpe_merges",
+    "text_cdc_chunks",
     "text_kgram_novelty",
     "text_hybrid_rrf_topk",
     "vec_ann_recall_report",
+    "vec_mips_topk",
+    "vec_mmr_diversified_topk",
     "vec_pq_recall_report",
     "vec_ivfpq_topk",
     "vec_pq_adc_topk",
