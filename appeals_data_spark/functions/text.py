@@ -208,6 +208,73 @@ def cdc_chunks(df, text_col: str, id_col: str, w: int = 8, div: int = 64):
     )
 
 
+def cdc_chunks_stateless(df, text_col: str, id_col: str, w: int = 8, div: int = 64):
+    """Row-local twin of ``cdc_chunks`` for STREAMING ingest: no
+    groupBy, no window — cut positions are derived inside the row with
+    higher-order functions, then chunks explode out, so the projection
+    is append-mode stream-safe (the scrub_counts/mm-hash discipline;
+    parity gate in tests/test_streaming.py, value-equality gate in
+    tests/test_cdc_mmr_mips.py).
+
+    HOF hygiene (the winnowing lesson): every lambda references only
+    its own element — per-position hashes come from ``arrays_zip`` of
+    w shifted slices (arguments evaluated once per row), positions are
+    zipped in as data, and the chunk substring runs AFTER the explode
+    at row level. The exploded batch form stays the hot path for
+    frozen-corpus passes (codegen'd hash, one explode); this form is
+    the ingest path where per-doc cost is bounded by arrival rate."""
+    from ..operators.dedup import portable_hash48
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("_t"),
+        F.transform(F.split(t, ""), F.ascii).alias("_c"),
+    ).filter(F.length("_t") >= 1)
+    n = F.length("_t")
+    cnt = F.greatest(n - (w - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice("_c", j + 1, cnt) for j in range(w)])
+    hs = F.transform(
+        z,
+        lambda s: sum(
+            s[str(j)].cast("long") * F.lit(31**j).cast("long") for j in range(w)
+        ),
+    )
+    pairs = F.arrays_zip(
+        hs, F.sequence(F.lit(1), cnt, F.lit(1))
+    )  # fields "0" (hash), "1" (position p)
+    # capturing n (= length(_t)) in the lambda re-evaluates a stored
+    # length per element — O(1), unlike capturing the split array
+    cuts = F.transform(
+        F.filter(
+            pairs,
+            lambda x: (x["0"] % div == 0) & (x["1"] + (w - 1) < n),
+        ),
+        lambda x: (x["1"] + (w - 1)).cast("long"),
+    )
+    spans = base.select(
+        "doc_id",
+        "_t",
+        F.explode(
+            F.arrays_zip(
+                F.concat(F.array(F.lit(0).cast("long")), cuts),
+                F.concat(cuts, F.array(n.cast("long"))),
+            )
+        ).alias("z"),
+    ).select(
+        "doc_id",
+        F.col("z.0").alias("s"),
+        F.col("z.1").alias("e"),
+        "_t",
+    ).filter(F.col("e") > F.col("s"))
+    return spans.select(
+        "doc_id",
+        (F.col("e") - F.col("s")).alias("chunk_len"),
+        portable_hash48(F.expr("substring(_t, s + 1, e - s)"), "cdc").alias("h"),
+    )
+
+
 def lang_id_heuristic(col: str | Column) -> Column:
     """Tiny deterministic language-ID stand-in: scores by marker-word
     hits. Real model would be a pandas-UDF over a fastText-style model;

@@ -714,3 +714,104 @@ def j21_bucketed_copartition_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "j22_binned_range_join",
+    oracle=None,  # bound below (needs the scalars import dance)
+    tags=("J22", "RANGE", "J17"),
+)
+def j22_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large×large point-in-interval join WITHOUT an equi key — the
+    backlog/concurrency family (J17/A15 semantics) where BOTH sides
+    are data-sized, so neither the calendar-grid broadcast
+    (operators.pit.date_grid) nor a dimension broadcast applies: how
+    many order windows (o_orderdate .. +7d) were active when each
+    URGENT order was placed, rolled up per month. A bare interval
+    predicate would plan as BNLJ/cartesian; the binned operator
+    (operators.range_join) explodes each interval into ≤2 epoch bins
+    and equi-joins on bin id + residual re-check — hash-partitioned
+    shuffle, the shape that survives two 100 TB sides.
+
+    Plan note — two valid physical shapes, chosen by payload:
+    * pair-payload range joins (each match row carries interval
+      attributes) go through operators.range_join's binned equi-join —
+      exercised and equivalence-gated in tests/test_range_join.py;
+    * THIS query's measure is a pure per-date count with uniform
+      self-exclusion (every order's own window covers its own date),
+      so conc(p) = coverage[p_date] − 1 and the interval side
+      pre-aggregates to a per-day coverage table (one explode of ≤8
+      day rows per interval, one count) — density-LINEAR where any
+      pair-enumerating plan is density-QUADRATIC. The oracle states
+      the quadratic pair semantics directly; hash equality proves the
+      rewrite.
+
+    Zero-concurrency points fall out naturally (coverage ≥ 1 always);
+    avg goes through ratio_dec, so every output value is
+    integer/exact-decimal."""
+    from ..functions.scalars import month_trunc, ratio_dec
+
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderdate").cast("date").alias("p_date"),
+    )
+    cover = (
+        o.select(
+            F.explode(
+                F.sequence(
+                    F.col("o_orderdate").cast("date"),
+                    F.date_add(F.col("o_orderdate").cast("date"), 7),
+                )
+            ).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count("*").alias("n_cover"))
+    )
+    per_pt = pts.join(cover, pts.p_date == cover.d).select(
+        "p_date", (F.col("n_cover") - 1).alias("conc")
+    )
+    return (
+        per_pt.groupBy(month_trunc("p_date").alias("month"))
+        .agg(
+            F.count("*").cast("long").alias("n_urgent"),
+            ratio_dec(F.sum("conc"), F.count("*"), 6, 6).alias(
+                "avg_concurrency"
+            ),
+            F.max("conc").cast("long").alias("max_concurrency"),
+        )
+        .orderBy("month")
+    )
+
+
+def _j22_oracle() -> str:
+    from ..functions.scalars import sql_ratio_dec
+
+    avg_sql = sql_ratio_dec("SUM(conc)", "COUNT(*)", 6, 6)
+    return f"""
+    WITH pts AS (
+      SELECT o_orderkey AS p_key, CAST(o_orderdate AS DATE) AS p_date
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), ivs AS (
+      SELECT o_orderkey AS i_key, CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 7 AS e
+      FROM orders
+    ), m AS (
+      SELECT p.p_key, p.p_date, COUNT(*) AS nconc
+      FROM pts p JOIN ivs i
+        ON p.p_date >= i.s AND p.p_date <= i.e AND p.p_key <> i.i_key
+      GROUP BY p.p_key, p.p_date
+    ), per_pt AS (
+      SELECT p.p_date, COALESCE(m.nconc, 0) AS conc
+      FROM pts p LEFT JOIN m ON p.p_key = m.p_key AND p.p_date = m.p_date
+    )
+    SELECT CAST(DATE_TRUNC('month', p_date) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_urgent,
+           {avg_sql} AS avg_concurrency,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrency
+    FROM per_pt GROUP BY month ORDER BY month
+    """
+
+
+from ..registry import REGISTRY as _REG  # noqa: E402
+
+_REG["j22_binned_range_join"].oracle = _j22_oracle()

@@ -1777,20 +1777,21 @@ def text_kgram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cdc_oracle(w: int = 8, div: int = 64) -> str:
-    """SQL twin of functions.text.cdc_chunks + the per-source rollup:
-    the identical base-31 w-gram hash (winnowing oracle idiom), cut
-    positions collected per doc, spans rebuilt by list indexing."""
+def _cdc_chain_sql(w: int = 8, div: int = 64) -> str:
+    """Shared SQL twin of functions.text.cdc_chunks up through the
+    per-chunk ``ch`` CTE (doc_id, source, clen, h): the identical
+    base-31 w-gram hash (winnowing oracle idiom), cut positions
+    collected per doc, spans rebuilt by list indexing. Both CDC
+    oracles (per-source rollup, cross-source matrix) splice this
+    verbatim so the chunking definition cannot drift between them."""
     from ..operators.dedup import sql_portable_hash48
 
     gram = " + ".join(
         f"{31**j}::BIGINT * ord(substr(t, p + {j}, 1))" for j in range(w)
     )
     h_sql = sql_portable_hash48("substr(t, s + 1, e - s)", "cdc")
-    avg_sql = sql_ratio_dec("SUM(CAST(cnt AS BIGINT) * clen)",
-                            "SUM(CAST(cnt AS BIGINT))", 6, 4)
     return f"""
-    WITH d AS (
+    d AS (
       SELECT doc_id, source,
              regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
       FROM documents
@@ -1820,7 +1821,15 @@ def _cdc_oracle(w: int = 8, div: int = 64) -> str:
     ), ch AS (
       SELECT doc_id, source, e - s AS clen, {h_sql} AS h
       FROM chunk WHERE e > s
-    ), g AS (
+    )"""
+
+
+def _cdc_oracle(w: int = 8, div: int = 64) -> str:
+    """Per-source CDC rollup oracle on top of ``_cdc_chain_sql``."""
+    avg_sql = sql_ratio_dec("SUM(CAST(cnt AS BIGINT) * clen)",
+                            "SUM(CAST(cnt AS BIGINT))", 6, 4)
+    return f"""
+    WITH {_cdc_chain_sql(w, div)}, g AS (
       SELECT source, h, clen, COUNT(*) AS cnt
       FROM ch GROUP BY source, h, clen
     ), nd AS (
@@ -1898,3 +1907,91 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..registry import REGISTRY as _REG  # noqa: E402
 
 _REG["text_cdc_chunks"].oracle = materialize_ctes(_cdc_oracle())
+
+
+def _cdc_cross_oracle(w: int = 8, div: int = 64) -> str:
+    """Cross-source chunk-containment oracle: distinct (source, h)
+    presence, self-joined on h with source_a < source_b."""
+    share_sql = sql_ratio_dec("COUNT(*)",
+                              "ANY_VALUE(LEAST(na.n, nb.n))", 6, 2)
+    return f"""
+    WITH {_cdc_chain_sql(w, div)}, sh AS (
+      SELECT DISTINCT source, h, clen FROM ch
+    ), ns AS (
+      SELECT source, COUNT(*) AS n FROM sh GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.h, a.clen
+      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_chunks,
+           CAST(SUM(p.clen) AS BIGINT) AS shared_chars,
+           {share_sql} AS containment
+    FROM pairs p
+    JOIN ns na ON na.source = p.source_a
+    JOIN ns nb ON nb.source = p.source_b
+    GROUP BY p.source_a, p.source_b
+    ORDER BY p.source_a, p.source_b
+    """
+
+
+@register(
+    "text_cdc_cross_source",
+    oracle=None,  # bound below
+    tags=("TEXT", "CDC", "DEDUP", "LINEAGE"),
+)
+def text_cdc_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-lineage matrix over CDC chunks: which
+    corpus sources share verbatim content, measured at chunk
+    granularity (the view a curator reads to catch mirror sites,
+    syndication, and benchmark bleed BETWEEN collections — the
+    within-source view is text_cdc_chunks). containment = shared
+    distinct chunks over the SMALLER side's distinct-chunk count
+    (exact half-up ratio_dec), so a small source fully embedded in a
+    large one reads as ~1 rather than being diluted.
+
+    Scale shape: everything after the one corpus chunking pass is
+    distinct-(source, hash)-sized — the self-join is an equi-join on
+    chunk hash over that table (bounded by content diversity, never
+    corpus size), the mm_*/banded discipline. No doc-pair enumeration
+    anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunks(d, "text", "doc_id", w=8, div=64)
+    # distinct-(source, hash) presence is hash-sized — checkpoint it so
+    # the self-join's two sides don't each re-run the corpus chunking
+    # pass (unchecked, the plan showed six document scans)
+    sh = (
+        chunks.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "h", "chunk_len")
+        .distinct()
+        .localCheckpoint()
+    )
+    ns = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(
+        F.col("source").alias("source_a"), "h", F.col("chunk_len").alias("clen")
+    )
+    b = sh.select(F.col("source").alias("source_b"), "h")
+    pairs = a.join(b, "h").filter(F.col("source_a") < F.col("source_b"))
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_chunks"),
+            F.sum("clen").cast("long").alias("shared_chars"),
+        )
+        .join(ns.select(F.col("source").alias("source_a"), F.col("n").alias("na")), "source_a")
+        .join(ns.select(F.col("source").alias("source_b"), F.col("n").alias("nb")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_chunks",
+            "shared_chars",
+            ratio_dec(
+                F.col("n_shared_chunks"), F.least("na", "nb"), 6, 2
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_REG["text_cdc_cross_source"].oracle = materialize_ctes(_cdc_cross_oracle())

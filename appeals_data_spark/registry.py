@@ -83,14 +83,15 @@ def register(
 # valuable first. Cross-round driver union r1|r2|r3|r4|r5 covers ALL
 # registered queries.
 #
-# Round-9 rotation (EXECUTED this round): lead with the three round-9
+# Round-9 rotation (EXECUTED this round): lead with the five round-9
 # additions (MIPS exact top-k, MMR diversified retrieval, CDC
-# chunking) and the two round-9-FIXED queries (pipe_dsir_importance /
+# chunking + its cross-source lineage matrix, the binned range join)
+# and the two round-9-FIXED queries (pipe_dsir_importance /
 # x4_markov_stationary — the r8 hash flips, re-pinned via the portable
 # rounding recipes in functions/scalars.py; their fresh verdicts are
 # the round's primary evidence). Then the ENTIRE 21-query
-# r3-latest tier (retiring it), then 24 of the 32 oracled r5-latest
-# queries. EIGHT r5-tier queries defer to round 10, each with
+# r3-latest tier (retiring it), then 22 of the 32 oracled r5-latest
+# queries. TEN r5-tier queries defer to round 10, each with
 # continuous non-driver evidence in the meantime:
 #   a12_monthly_rollup, j1_revenue_by_nation — bench.py HEADLINE every
 #     round;
@@ -98,7 +99,13 @@ def register(
 #     x6_holt_linear — bench.py SECONDARY (mm_decode additionally
 #     value-gated in tests/test_multimodal.py);
 #   x3_ab_welch_ttest, x3_mad_outliers — closed-form differential
-#     gates in tests/test_differential.py.
+#     gates in tests/test_differential.py;
+#   x6_logistic_glmm — bench.py SECONDARY + tests/test_differential.py
+#     (displaced by the fourth round-9 addition,
+#     text_cdc_cross_source);
+#   x4_trace_regex — displaced by the fifth addition
+#     (j22_binned_range_join); the trace family keeps fresh rows via
+#     x4_trace_coverage (r8) and x4_transition_matrix (this window).
 # The three rows-only sketches (dedup_minhash_lsh,
 # dedup_simhash_hamming, vec_lsh_topk — documented no_oracle, portable
 # twins fully oracled) stay out of the window: a window slot buys no
@@ -111,9 +118,12 @@ _SWEEP_FIRST = [
     "vec_mips_topk",
     "vec_mmr_diversified_topk",
     "text_cdc_chunks",
+    "text_cdc_cross_source",
     # FIXED in round 9 (r8 hash flips -> portable rounding pins)
     "pipe_dsir_importance",
     "x4_markov_stationary",
+    # new in round 9 (late addition): the binned-range-join family
+    "j22_binned_range_join",
     # r3-latest tier (all 21 — retires the tier)
     "dedup_substring_coverage",
     "j21_bucketed_copartition_join",
@@ -136,7 +146,7 @@ _SWEEP_FIRST = [
     "x6_grouped_model_fit",
     "x6_mixed_treatment_em",
     "x6_random_intercept_em",
-    # r5-latest tier (24 of 32 oracled; deferral justified above).
+    # r5-latest tier (22 of 32 oracled; deferral justified above).
     # w15_ntile_deciles also carries the round-8b two-phase NTILE
     # rewrite, so its fresh row doubles as a change-verification.
     "a2_conditional_agg_flags",
@@ -161,8 +171,6 @@ _SWEEP_FIRST = [
     "w13_ewma_smoothing",
     "w14_cusum_changepoint",
     "w15_ntile_deciles",
-    "x4_trace_regex",
-    "x6_logistic_glmm",
 ]
 
 

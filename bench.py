@@ -38,6 +38,7 @@ SECONDARY = [
     "dedup_semantic_clusters",
     "dedup_substring_coverage",
     "graph_pagerank_handoff",
+    "j22_binned_range_join",
     "mm_decode_audio",
     "mm_audio_fingerprint_dedup",
     "mm_phash_near_dedup",
@@ -57,6 +58,7 @@ SECONDARY = [
     "text_bm25_topk",
     "text_bpe_merges",
     "text_cdc_chunks",
+    "text_cdc_cross_source",
     "text_kgram_novelty",
     "text_hybrid_rrf_topk",
     "vec_ann_recall_report",

@@ -59,7 +59,7 @@ def test_cdc_chunks_deterministic_and_short_doc_single_chunk(spark):
     got = _hashes(spark, [(1, "tiny"), (2, ""), (3, "   ")])
     assert len(got[1]) == 1 and got[1][0][1] == 4
     assert 2 not in got  # empty text -> no chunks
-    assert 3 not in got  # whitespace-only normalizes to empty... or 1?
+    assert 3 not in got  # whitespace-only normalizes to empty
     rerun = _hashes(spark, [(1, "tiny")])
     assert rerun[1] == got[1]
 
@@ -127,3 +127,15 @@ def test_mmr_picks_are_more_diverse_than_pure_topk(spark, emb):
             improved += 1
     # the tradeoff must actually bite somewhere, else lambda is inert
     assert improved >= 1
+
+
+def test_cdc_stateless_twin_bit_equal(spark):
+    """The stream-safe HOF form and the exploded batch form must agree
+    row-for-row — the parity gate that lets the streaming ingest path
+    reuse the batch corpus's chunk hashes."""
+    from appeals_data_spark.functions.text import cdc_chunks_stateless
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = sorted(map(tuple, cdc_chunks(d, "text", "doc_id").collect()))
+    b = sorted(map(tuple, cdc_chunks_stateless(d, "text", "doc_id").collect()))
+    assert a == b and len(a) > 100

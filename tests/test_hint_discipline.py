@@ -42,7 +42,9 @@ EXPECTED = {
     # +3 in round 8b: SQ8 — the bounds row (1 row, 2·dim doubles by
     # construction) broadcast at encode and at query-side bake-in,
     # plus the 8-row probe set in sq_adc_topk.
-    "operators/similarity.py": 10,
+    # +1 in round 9: mips_topk's query-set broadcast (tiny by
+    # construction — the brute_force_topk pattern).
+    "operators/similarity.py": 11,
     "queries/aggregates.py": 5,
     "queries/composite_q.py": 1,
     "queries/dedup_q.py": 1,

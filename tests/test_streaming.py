@@ -606,3 +606,27 @@ def test_mm_perceptual_hash_parity(spark, docs_dir):
         got, want = norm(streamed.collect()), norm(batch.collect())
         assert got == want, (name, got[:3], want[:3])
         assert len(got) == batch_docs.count(), name
+
+
+def test_cdc_chunking_parity(spark, docs_dir):
+    """The row-local CDC chunking projection (cdc_chunks_stateless) is
+    append-mode stream-safe — a micro-batch ingest must emit the
+    identical (doc_id, chunk_len, h) chunk rows the batch form
+    produces, so chunk-level dedup can run against a stream landing
+    zone and join the frozen corpus's chunk-hash table unchanged."""
+    from appeals_data_spark.functions.text import cdc_chunks_stateless
+    from appeals_data_spark.streaming.doc_stream import document_stream
+
+    streamed = run_to_memory(
+        spark,
+        cdc_chunks_stateless(
+            document_stream(spark, docs_dir), "text", "doc_id"
+        ),
+        "cdc_chunk_sink",
+        output_mode="append",
+    )
+    batch = cdc_chunks_stateless(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet"), "text", "doc_id"
+    )
+    cols = ["doc_id", "chunk_len", "h"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
