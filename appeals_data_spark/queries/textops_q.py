@@ -1995,3 +1995,101 @@ def text_cdc_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG["text_cdc_cross_source"].oracle = materialize_ctes(_cdc_cross_oracle())
+
+
+def _zipf_oracle(v_cap: int = 100) -> str:
+    from ..functions.scalars import sql_pin_dec as _spd
+
+    x = _spd("LN(r)")
+    y = _spd("LN(n)")
+    return f"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token
+    ), ranked AS (
+      SELECT source, n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n DESC, token) AS r
+      FROM vocab
+    ), pts AS (
+      SELECT source, {x} AS x, {y} AS y
+      FROM ranked WHERE r <= {v_cap}
+    ), s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS v,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY source
+    )
+    SELECT source, v AS n_ranks,
+           {_spd("CAST(v * sxy - sx * sy AS DOUBLE)"
+                 " / CAST(v * sxx - sx * sx AS DOUBLE)")} AS zipf_slope,
+           {_spd("(CAST(sy AS DOUBLE) - (CAST(v * sxy - sx * sy AS DOUBLE)"
+                 " / CAST(v * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))"
+                 " / v")} AS log_intercept
+    FROM s ORDER BY source
+    """
+
+
+@register(
+    "text_zipf_fit",
+    oracle=None,  # bound below
+    tags=("TEXT", "X3", "QUALITY"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source — the vocabulary-health diagnostic a
+    corpus curator reads before mixing (natural text follows
+    freq ∝ rank^-s with s ≈ 1; boilerplate-heavy or templated sources
+    flatten or steepen the curve): closed-form OLS of ln(freq) on
+    ln(rank) over the top-100 vocabulary ranks of each source.
+
+    Determinism is the full portable-pin discipline: ranks are integer
+    with a token tiebreak, both LNs pin through pin_dec (bit-identical
+    floor(x·1e6+0.5) both engines), the five OLS sums are exact
+    decimal, and the two closed-form ratios are computed with the
+    IDENTICAL double expression in both engines before a final pin —
+    no unpinned float ever crosses an aggregation. Scale shape: one
+    token explode + one (source, token) count (map-side combinable),
+    a per-source top-100 rank window over the VOCAB table (vocab-
+    sized, not corpus-sized), then 100-row-per-source arithmetic."""
+    from ..functions.scalars import pin_dec
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens(F.lower(F.trim(F.col("text"))))).alias("token"))
+    vocab = tok.groupBy("source", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("token"))
+    pts = (
+        vocab.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 100)
+        .select(
+            "source",
+            pin_dec(F.log(F.col("r"))).alias("x"),
+            pin_dec(F.log(F.col("n"))).alias("y"),
+        )
+    )
+    s = pts.groupBy("source").agg(
+        F.count("*").cast("long").alias("v"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("v") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("v")
+    return s.select(
+        "source",
+        F.col("v").alias("n_ranks"),
+        pin_dec(slope).alias("zipf_slope"),
+        pin_dec(intercept).alias("log_intercept"),
+    ).orderBy("source")
+
+
+_REG["text_zipf_fit"].oracle = _zipf_oracle()

@@ -59,6 +59,7 @@ SECONDARY = [
     "text_bpe_merges",
     "text_cdc_chunks",
     "text_cdc_cross_source",
+    "text_zipf_fit",
     "text_kgram_novelty",
     "text_hybrid_rrf_topk",
     "vec_ann_recall_report",

@@ -31,6 +31,7 @@ from audit_plans import build_with_segments  # noqa: E402
 BNLJ_OK = {
     "a15_interval_overlap_months",  # 80-row month grid side
     "dedup_embedding_cosine",  # top-k probe side
+    "vec_mips_topk",  # broadcast 8-query probe side (brute-force pattern)
     "j18_cross_join_grid",  # deliberate grid cross join (J18)
     "j4_wildcard_hierarchy_join",  # disjunctive taxonomy dim (must broadcast)
     "o4_complete_weeks_only",  # 1-row max-week scalar
@@ -295,6 +296,15 @@ ITERATIVE_SEGMENTS = {
     # matrix (window pass + count agg), the uniform start vector, and
     # six ≤|S|-row power-iteration rounds (1 tiny agg exchange each)
     "x4_markov_stationary": (8, 12),
+    # six checkpointed segments (round 9): the pool pass (brute-force
+    # top-10 + vector fetch), the |Q|·90 pairwise-sim frame, and the
+    # four greedy MMR picks (window argmax + anti-join each) — all
+    # pool-sized after the first segment
+    "vec_mmr_diversified_topk": (6, 22),
+    # one checkpointed segment: the distinct-(source, hash) chunk
+    # presence table (the corpus chunking pass), shared by both sides
+    # of the lineage self-join
+    "text_cdc_cross_source": (1, 2),
 }
 
 

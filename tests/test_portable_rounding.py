@@ -128,3 +128,31 @@ def test_pin_dec_matches_duckdb(spark, scale):
     for x, p in zip(xs, got):
         expect = Decimal(math.floor(x * 10**scale + 0.5)).scaleb(-scale)
         assert p == expect, f"pin_dec({x!r}, {scale})"
+
+
+# -- hypothesis fuzz: ratio_dec's closed form vs Python Decimal ---------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=10**15),
+        d=st.integers(min_value=1, max_value=10**15),
+        scale=st.sampled_from([6, 9, 12]),
+    )
+    def test_ratio_formula_matches_decimal_halfup(n, d, scale):
+        """The integer formula floor((2n·10^s + d)/(2d)) IS half-up —
+        fuzzed against Python's exact Decimal quantize over the full
+        BIGINT-ish range (no Spark in the loop: the formula is what
+        both engines execute; the engine gates above pin the
+        execution)."""
+        n = n % (d * 100)  # keep |n/d| inside the declared domain
+        s_pow = 10**scale
+        q = (2 * n * s_pow + d) // (2 * d)
+        want = (Decimal(n) / Decimal(d)).quantize(
+            Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+        )
+        assert Decimal(q).scaleb(-scale) == want
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
