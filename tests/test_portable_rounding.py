@@ -156,3 +156,59 @@ try:
         assert Decimal(q).scaleb(-scale) == want
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_markov_stationary_end_to_end_on_exact_tie_data(spark, tmp_path):
+    """Round-8 regression, reconstructed end to end: an events table
+    whose transition ratio out of state 'a' is an EXACT 12-dp tie with
+    a NON-dyadic denominator (12291/24576 = 0.5001220703125, d =
+    3·2^13 — the class where the double is inexact and the two
+    engines' ROUND strategies can land on opposite sides). Each user
+    loops a->b->a or a->c->a so the chain is irreducible and the
+    tie-rounded digit propagates through all six power-iteration
+    rounds. The re-pinned query must match DuckDB digit for digit."""
+    import datetime as dt
+
+    import duckdb
+
+    n_b, total = 12291, 24576  # n_b ≡ 3 (mod 6) -> exact half at 12 dp
+    assert (2 * n_b * 10**12) % total == 0
+    assert (n_b * 10**12) % total != 0
+    rows = []
+    eid = 0
+    t0 = dt.datetime(2000, 1, 1)
+    for u in range(total):
+        nxt = "b" if u < n_b else "c"
+        for k, et in enumerate(("a", nxt, "a")):
+            rows.append((eid, t0 + dt.timedelta(minutes=k), u, et, 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+    from appeals_data_spark.registry import all_queries
+
+    q = all_queries()["x4_markov_stationary"]
+    got = sorted(tuple(r) for r in q.builder(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    states = {s for s, _ in got}
+    assert states == {"a", "b", "c"}
+    assert all(v is not None and v > 0 for _, v in got)
+    # the tie really is in the chain: p(a->b) is the exact half-up of
+    # 12291/24576 in both engines (the formula gates pin the recipe;
+    # this pins the deployed query end to end)
+    p_ab = con.execute(
+        f"SELECT {sql_ratio_dec('12291', '24576')}"
+    ).fetchone()[0]
+    assert p_ab == Decimal("0.500122070313")
