@@ -120,7 +120,10 @@ SQL_MONTH_TRUNC = "CAST(DATE_TRUNC('month', {col}) AS DATE)"
 # 12 dp where the two strategies systematically diverge. The fixes:
 #
 # * integer ratios  -> ``ratio_dec``: no doubles at all. half-up of
-#   n·10^s/d == floor((2n·10^s + d) / (2d)), computed with exact
+#   n·10^s/d == floor((2n·10^s + d) / (2d)) for n >= 0 (the mod-
+#   subtract/intdiv implementations truncate, so the identity — and
+#   the helper's contract — holds on NON-NEGATIVE numerators only),
+#   computed with exact
 #   decimal arithmetic (mod-subtract makes the division exact at any
 #   magnitude, immune to Spark's scale-6 quotient rounding).
 # * transcendentals -> ``pin_dec``: floor(x·10^s + 0.5) — multiply,
@@ -135,9 +138,14 @@ from decimal import Decimal as _Dec
 
 
 def ratio_dec(n: Column, d: Column, scale: int = 12, int_digits: int = 2) -> Column:
-    """Exact half-up n/d as DECIMAL(scale+int_digits, scale); n, d
-    integer columns, d > 0, |n/d| < 10^int_digits. Engine-portable
-    digit for digit."""
+    """Exact half-up n/d as DECIMAL(scale+int_digits, scale).
+
+    Domain: n >= 0, d > 0, n/d < 10^int_digits — count ratios. For
+    NEGATIVE numerators both engines truncate (toward zero) instead of
+    flooring, which is no longer half-up; a signed caller (e.g. a
+    difference of counts) must split sign out first. Engine-portable
+    digit for digit on the declared domain (adversarial + fuzz gates
+    in tests/test_portable_rounding.py)."""
     s_pow = 10**scale
     prec = scale + int_digits
     num = (

@@ -149,11 +149,15 @@ def cdc_chunks(df, text_col: str, id_col: str, w: int = 8, div: int = 64):
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     t = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    # localCheckpoint: normalized text + char-code array feed BOTH the
+    # position-explode branch and the spans join — unchecked, the scan
+    # + regexp + split ran once per branch (round-9 code review; the
+    # cross-source sibling had the same shape one level up)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         t.alias("_t"),
         F.transform(F.split(t, ""), F.ascii).alias("_c"),
-    ).filter(F.length("_t") >= 1)
+    ).filter(F.length("_t") >= 1).localCheckpoint()
     pos = base.filter(F.size("_c") >= w).select(
         "doc_id",
         F.size("_c").alias("_n"),
@@ -241,9 +245,12 @@ def cdc_chunks_stateless(df, text_col: str, id_col: str, w: int = 8, div: int = 
             s[str(j)].cast("long") * F.lit(31**j).cast("long") for j in range(w)
         ),
     )
-    pairs = F.arrays_zip(
-        hs, F.sequence(F.lit(1), cnt, F.lit(1))
-    )  # fields "0" (hash), "1" (position p)
+    # sequence(1, 0) throws (short docs with 1 <= n < w have cnt=0 and
+    # must yield ZERO cuts -> one whole-doc chunk, like the batch twin)
+    positions = F.when(
+        cnt >= 1, F.sequence(F.lit(1), cnt, F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.arrays_zip(hs, positions)  # fields "0" (hash), "1" (pos p)
     # capturing n (= length(_t)) in the lambda re-evaluates a stored
     # length per element — O(1), unlike capturing the split array
     cuts = F.transform(

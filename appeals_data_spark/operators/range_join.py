@@ -38,7 +38,14 @@ def binned_point_in_interval_join(
     still joins correctly, it just replicates more).
 
     Returns points.columns + intervals.columns (both sides' columns
-    must be disjoint)."""
+    must be disjoint, and neither may already contain the reserved
+    ``_bin`` working column — asserted)."""
+    for side, df in (("points", points), ("intervals", intervals)):
+        if "_bin" in df.columns:
+            raise ValueError(
+                f"binned_point_in_interval_join: {side} frame already "
+                "has a '_bin' column (reserved working name)"
+            )
     p_bin = F.floor(
         F.datediff(F.col(point_col), F.lit(EPOCH).cast("date")) / bin_days
     )

@@ -1997,6 +1997,20 @@ def text_cdc_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REG["text_cdc_cross_source"].oracle = materialize_ctes(_cdc_cross_oracle())
 
 
+# The OLS ratios must be the IDENTICAL double expression in both
+# engines: every operand casts decimal->double FIRST (correctly
+# rounded, identical bits), THEN multiplies/subtracts in doubles.
+# Spark decimal products here would precision-overflow and round at
+# scale 6 while DuckDB keeps scale 12 — the exact cross-engine class
+# the round-9 pins eliminate (caught by this round's code review).
+_ZIPF_SLOPE = (
+    "(CAST(v AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(v AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+
+
 def _zipf_oracle(v_cap: int = 100) -> str:
     from ..functions.scalars import sql_pin_dec as _spd
 
@@ -2025,11 +2039,10 @@ def _zipf_oracle(v_cap: int = 100) -> str:
       FROM pts GROUP BY source
     )
     SELECT source, v AS n_ranks,
-           {_spd("CAST(v * sxy - sx * sy AS DOUBLE)"
-                 " / CAST(v * sxx - sx * sx AS DOUBLE)")} AS zipf_slope,
-           {_spd("(CAST(sy AS DOUBLE) - (CAST(v * sxy - sx * sy AS DOUBLE)"
-                 " / CAST(v * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))"
-                 " / v")} AS log_intercept
+           {_spd(_ZIPF_SLOPE)} AS zipf_slope,
+           {_spd(f"(CAST(sy AS DOUBLE) - ({_ZIPF_SLOPE})"
+                 " * CAST(sx AS DOUBLE)) / CAST(v AS DOUBLE)")}
+             AS log_intercept
     FROM s ORDER BY source
     """
 
@@ -2078,12 +2091,15 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    num = (F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("v") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    slope = num / den
-    intercept = (
-        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
-    ) / F.col("v")
+    # cast decimal->double FIRST so both engines run the identical
+    # IEEE expression (see _ZIPF_SLOPE comment)
+    v_d = F.col("v").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    slope = (v_d * sxy_d - sx_d * sy_d) / (v_d * sxx_d - sx_d * sx_d)
+    intercept = (sy_d - slope * sx_d) / v_d
     return s.select(
         "source",
         F.col("v").alias("n_ranks"),

@@ -114,7 +114,7 @@ def register(
 # dedup_simhash_hamming, vec_lsh_topk — documented no_oracle, portable
 # twins fully oracled) stay out of the window: a window slot buys no
 # hash verdict for them.
-# Round-10 plan: the eight deferred r5 entries lead, then the
+# Round-10 plan: the ELEVEN deferred r5 entries lead, then the
 # r6-latest tier (44). Simulate with
 # `python tools/check.py --window 50 --vanilla` before shipping.
 _SWEEP_FIRST = [
