@@ -301,10 +301,13 @@ ITERATIVE_SEGMENTS = {
     # four greedy MMR picks (window argmax + anti-join each) — all
     # pool-sized after the first segment
     "vec_mmr_diversified_topk": (6, 22),
-    # one checkpointed segment: the distinct-(source, hash) chunk
-    # presence table (the corpus chunking pass), shared by both sides
-    # of the lineage self-join
-    "text_cdc_cross_source": (1, 2),
+    # chunking base (normalize + char-code split) checkpointed inside
+    # cdc_chunks (round-9 review fix: it fed both the position-explode
+    # branch and the spans join) — one zero-exchange segment for the
+    # rollup query, plus the cross-source query's distinct-(source,
+    # hash) presence segment on top
+    "text_cdc_chunks": (1, 0),
+    "text_cdc_cross_source": (2, 2),
 }
 
 
