@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.scalars import fiscal_year
@@ -1954,3 +1955,135 @@ def x6_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("trend", 6).alias("trend"))
         .orderBy("prio", "month")
     )
+
+
+@register(
+    "x3_mann_whitney",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus AS st, o_totalprice AS p,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), g AS (
+      SELECT st, p, COUNT(*) AS cnt, SUM(ga) AS ca FROM s GROUP BY st, p
+    ), r AS (
+      SELECT st, cnt, ca,
+             SUM(cnt) OVER (PARTITION BY st ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - cnt AS cb4
+      FROM g
+    ), m AS (
+      SELECT st, ca,
+             CAST(2 * cb4 + cnt + 1 AS DECIMAL(20,0))
+               * CAST('0.5' AS DECIMAL(2,1)) AS mid,
+             cnt
+      FROM r
+    ), a AS (
+      SELECT st,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cnt) - SUM(ca) AS BIGINT) AS nb,
+             SUM(mid * CAST(ca AS DECIMAL(10,0))) AS ra,
+             SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+      FROM m GROUP BY st
+      HAVING SUM(ca) > 0 AND SUM(cnt) - SUM(ca) > 0
+    )
+    SELECT st AS status, na AS n_urgent, nb AS n_low,
+           CAST(ra - CAST(na AS DECIMAL(20,0)) * (na + 1)
+                     * CAST('0.5' AS DECIMAL(2,1)) AS DECIMAL(21,1)) AS u_stat,
+           (CAST(ra - CAST(na AS DECIMAL(20,0)) * (na + 1)
+                      * CAST('0.5' AS DECIMAL(2,1)) AS DOUBLE)
+            - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+           / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                  * ((CAST(n AS DOUBLE) + 1.0)
+                     - CAST(ties AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+             AS z_approx
+    FROM a ORDER BY status
+    """,
+    tags=("X3", "A2"),
+)
+def x3_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the urgent and low
+    order-priority cohorts on order value, per order status — the
+    NONPARAMETRIC sibling of x3_ab_welch_ttest for when the response
+    is skewed and a rank test is the honest choice. Midranks handle
+    ties exactly ((2·rank_before + t + 1)/2 at decimal scale 1), the
+    rank sums are exact decimals, and U = R_a − n_a(n_a+1)/2 is exact;
+    z uses the tie-corrected normal approximation computed as ONE
+    identical IEEE double expression over exact decimal-cast operands
+    in both engines (the Welch discipline — sqrt is correctly rounded
+    per IEEE-754, so no pin is needed).
+
+    Scale shape: one filter-scan, one (status, value) count agg
+    (map-side combinable), one DISTINCT-VALUE-sized rank window per
+    status (never row-sized — ties collapse first), then 3-row
+    arithmetic. The tie-cube sum runs in HUGEINT/DECIMAL so a
+    million-way tie cannot overflow."""
+    from decimal import Decimal as _D
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("p"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("ga"),
+    )
+    g = s.groupBy("st", "p").agg(
+        F.count("*").alias("cnt"), F.sum("ga").alias("ca")
+    )
+    w = (
+        Window.partitionBy("st")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = g.select(
+        "st",
+        "ca",
+        "cnt",
+        (
+            (2 * (F.sum("cnt").over(w) - F.col("cnt")) + F.col("cnt") + 1)
+            .cast("decimal(20,0)")
+            * F.lit(_D("0.5"))
+        ).alias("mid"),
+    )
+    a = (
+        m.groupBy("st")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum("ca").cast("long").alias("na"),
+            (F.sum("cnt") - F.sum("ca")).cast("long").alias("nb"),
+            F.sum(F.col("mid") * F.col("ca").cast("decimal(10,0)")).alias("ra"),
+            F.sum(
+                F.col("cnt").cast("decimal(13,0)")
+                * F.col("cnt")
+                * F.col("cnt")
+                - F.col("cnt")
+            ).alias("ties"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+    )
+    u = (
+        F.col("ra")
+        - F.col("na").cast("decimal(20,0)")
+        * (F.col("na") + 1)
+        * F.lit(_D("0.5"))
+    ).cast("decimal(21,1)")
+    n_d = F.col("n").cast("double")
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    z = (u.cast("double") - na_d * nb_d / F.lit(2.0)) / F.sqrt(
+        na_d * nb_d / F.lit(12.0)
+        * (
+            (n_d + F.lit(1.0))
+            - F.col("ties").cast("double") / (n_d * (n_d - F.lit(1.0)))
+        )
+    )
+    return a.select(
+        F.col("st").alias("status"),
+        F.col("na").alias("n_urgent"),
+        F.col("nb").alias("n_low"),
+        u.alias("u_stat"),
+        z.alias("z_approx"),
+    ).orderBy("status")

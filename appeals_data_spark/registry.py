@@ -83,15 +83,16 @@ def register(
 # valuable first. Cross-round driver union r1|r2|r3|r4|r5 covers ALL
 # registered queries.
 #
-# Round-9 rotation (EXECUTED this round): lead with the six round-9
+# Round-9 rotation (EXECUTED this round): lead with the seven round-9
 # additions (MIPS exact top-k, MMR diversified retrieval, CDC
 # chunking + its cross-source lineage matrix, the binned range join,
-# the Zipf vocabulary fit) and the two round-9-FIXED queries (pipe_dsir_importance /
+# the Zipf vocabulary fit, the Mann-Whitney rank test) and the two
+# round-9-FIXED queries (pipe_dsir_importance /
 # x4_markov_stationary — the r8 hash flips, re-pinned via the portable
 # rounding recipes in functions/scalars.py; their fresh verdicts are
 # the round's primary evidence). Then the ENTIRE 21-query
-# r3-latest tier (retiring it), then 21 of the 32 oracled r5-latest
-# queries. ELEVEN r5-tier queries defer to round 10, each with
+# r3-latest tier (retiring it), then 20 of the 32 oracled r5-latest
+# queries. TWELVE r5-tier queries defer to round 10, each with
 # continuous non-driver evidence in the meantime:
 #   a12_monthly_rollup, j1_revenue_by_nation — bench.py HEADLINE every
 #     round;
@@ -109,12 +110,16 @@ def register(
 #   surv_cuminc — displaced by the sixth addition (text_zipf_fit);
 #     the survival family holds three window rows (surv_km_counts,
 #     surv_median_lifetime) plus the continuously-benched
-#     surv_km_curve.
+#     surv_km_curve;
+#   u7_event_endstates — displaced by the seventh addition
+#     (x3_mann_whitney); the event-endstate path is exercised every
+#     round through the u1 headline bench's fused extractor views and
+#     u5/u6 hold window rows.
 # The three rows-only sketches (dedup_minhash_lsh,
 # dedup_simhash_hamming, vec_lsh_topk — documented no_oracle, portable
 # twins fully oracled) stay out of the window: a window slot buys no
 # hash verdict for them.
-# Round-10 plan: the ELEVEN deferred r5 entries lead, then the
+# Round-10 plan: the TWELVE deferred r5 entries lead, then the
 # r6-latest tier (44). Simulate with
 # `python tools/check.py --window 50 --vanilla` before shipping.
 _SWEEP_FIRST = [
@@ -126,9 +131,11 @@ _SWEEP_FIRST = [
     # FIXED in round 9 (r8 hash flips -> portable rounding pins)
     "pipe_dsir_importance",
     "x4_markov_stationary",
-    # new in round 9 (late additions): binned range join, Zipf fit
+    # new in round 9 (late additions): binned range join, Zipf fit,
+    # Mann-Whitney U
     "j22_binned_range_join",
     "text_zipf_fit",
+    "x3_mann_whitney",
     # r3-latest tier (all 21 — retires the tier)
     "dedup_substring_coverage",
     "j21_bucketed_copartition_join",
@@ -151,7 +158,7 @@ _SWEEP_FIRST = [
     "x6_grouped_model_fit",
     "x6_mixed_treatment_em",
     "x6_random_intercept_em",
-    # r5-latest tier (21 of 32 oracled; deferral justified above).
+    # r5-latest tier (20 of 32 oracled; deferral justified above).
     # w15_ntile_deciles also carries the round-8b two-phase NTILE
     # rewrite, so its fresh row doubles as a change-verification.
     "a2_conditional_agg_flags",
@@ -171,7 +178,6 @@ _SWEEP_FIRST = [
     "opt_zorder_skipping",
     "p1_projection_alias_nulltest",
     "r7_scd2_dimension",
-    "u7_event_endstates",
     "w13_ewma_smoothing",
     "w14_cusum_changepoint",
     "w15_ntile_deciles",

@@ -71,6 +71,7 @@ SECONDARY = [
     "vec_pq_rerank_topk",
     "vec_sq8_topk",
     "x3_linear_svm_eval",
+    "x3_mann_whitney",
     "x4_markov_stationary",
     "x6_holt_linear",
     "x6_logistic_glmm",

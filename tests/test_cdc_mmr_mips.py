@@ -152,3 +152,61 @@ def test_cdc_stateless_twin_bit_equal(spark):
     )
     assert sa == sb
     assert [r[0] for r in sa] == [1, 2, 3]  # empty doc -> no chunk
+
+
+def test_mann_whitney_matches_numpy_rederivation(spark):
+    """U and the tie-corrected z re-derived in pure NumPy from the raw
+    rows must match the distributed midrank computation."""
+    import math
+
+    from appeals_data_spark.registry import all_queries
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select("o_orderstatus", "o_totalprice", "o_orderpriority")
+        .collect()
+    )
+    got = {
+        r["status"]: r
+        for r in all_queries()["x3_mann_whitney"].builder(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    by_st = {}
+    for r in rows:
+        by_st.setdefault(r["o_orderstatus"], []).append(
+            (r["o_totalprice"], r["o_orderpriority"] == "1-URGENT")
+        )
+    checked = 0
+    for st, sample in by_st.items():
+        na = sum(1 for _, a in sample if a)
+        nb = len(sample) - na
+        if na == 0 or nb == 0:
+            assert st not in got
+            continue
+        vals = np.array([v for v, _ in sample])
+        order = np.argsort(vals, kind="stable")
+        ranks = np.empty(len(vals))
+        i = 0
+        ties = 0.0
+        sv = vals[order]
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0
+            t = j - i
+            ties += t**3 - t
+            i = j
+        ra = sum(rk for rk, (_, a) in zip(ranks, sample) if a)
+        u = ra - na * (na + 1) / 2.0
+        n = len(sample)
+        var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+        z = (u - na * nb / 2.0) / math.sqrt(var)
+        row = got[st]
+        assert row["n_urgent"] == na and row["n_low"] == nb
+        assert float(row["u_stat"]) == u
+        assert abs(row["z_approx"] - z) < 1e-9, st
+        checked += 1
+    assert checked >= 2
