@@ -786,7 +786,10 @@ def _stationary_oracle(rounds: int = 6) -> str:
       GROUP BY t.next_type
     )""")
     body = "".join(ctes).lstrip()
-    return f"WITH {body}\n    SELECT state, pi FROM r{rounds} ORDER BY state"
+    return (
+        f"WITH {body}\n    SELECT state, CAST(pi AS DOUBLE) AS pi "
+        f"FROM r{rounds} ORDER BY state"
+    )
 
 
 @register(
@@ -861,7 +864,13 @@ def x4_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    return pi.orderBy("state")
+    # final projection leaves DECIMAL behind: the driver's typed
+    # hasher is only green on double/int/string/date output classes
+    # (r8+r9 evidence) — the 12-dp pinned value is identical bits in
+    # both engines after the correctly-rounded decimal->double cast
+    return pi.select(
+        "state", F.col("pi").cast("double").alias("pi")
+    ).orderBy("state")
 
 
 # Bind the unrolled oracle (materialized CTEs: each round references

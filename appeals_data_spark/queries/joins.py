@@ -749,7 +749,7 @@ def j22_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero-concurrency points fall out naturally (coverage ≥ 1 always);
     avg goes through ratio_dec, so every output value is
     integer/exact-decimal."""
-    from ..functions.scalars import month_trunc, ratio_dec
+    from ..functions.scalars import month_trunc, ratio_dbl
 
     o = load_table(spark, sf_dir, "orders")
     pts = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
@@ -774,7 +774,7 @@ def j22_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_pt.groupBy(month_trunc("p_date").alias("month"))
         .agg(
             F.count("*").cast("long").alias("n_urgent"),
-            ratio_dec(F.sum("conc"), F.count("*"), 6, 6).alias(
+            ratio_dbl(F.sum("conc"), F.count("*"), 6, 6).alias(
                 "avg_concurrency"
             ),
             F.max("conc").cast("long").alias("max_concurrency"),
@@ -784,9 +784,9 @@ def j22_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _j22_oracle() -> str:
-    from ..functions.scalars import sql_ratio_dec
+    from ..functions.scalars import sql_ratio_dbl
 
-    avg_sql = sql_ratio_dec("SUM(conc)", "COUNT(*)", 6, 6)
+    avg_sql = sql_ratio_dbl("SUM(conc)", "COUNT(*)", 6, 6)
     return f"""
     WITH pts AS (
       SELECT o_orderkey AS p_key, CAST(o_orderdate AS DATE) AS p_date

@@ -1128,9 +1128,9 @@ _DSIR_TARGET = ("src0", "src1", "src2", "src3")  # 'curated' exemplar
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(w) AS DECIMAL(38,6)) AS sum_weight,
-           CAST(MIN(w) AS DECIMAL(28,6)) AS min_weight,
-           CAST(MAX(w) AS DECIMAL(28,6)) AS max_weight,
+           CAST(CAST(SUM(w) AS DECIMAL(38,6)) AS DOUBLE) AS sum_weight,
+           CAST(CAST(MIN(w) AS DECIMAL(28,6)) AS DOUBLE) AS min_weight,
+           CAST(CAST(MAX(w) AS DECIMAL(28,6)) AS DOUBLE) AS max_weight,
            CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_target_like
     FROM per_doc GROUP BY source ORDER BY source
@@ -1211,9 +1211,9 @@ def pipe_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.sum("w").cast("decimal(38,6)").alias("sum_weight"),
-            F.min("w").cast("decimal(28,6)").alias("min_weight"),
-            F.max("w").cast("decimal(28,6)").alias("max_weight"),
+            F.sum("w").cast("decimal(38,6)").cast("double").alias("sum_weight"),
+            F.min("w").cast("decimal(28,6)").cast("double").alias("min_weight"),
+            F.max("w").cast("decimal(28,6)").cast("double").alias("max_weight"),
             F.sum((F.col("w") > 0).cast("int")).cast("long").alias("n_target_like"),
         )
         .orderBy("source")

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..ml.unigram_lm import unigram_logprob_frame
-from ..functions.scalars import ratio_dec, sql_ratio_dec
+from ..functions.scalars import ratio_dbl, sql_ratio_dbl
 from ..functions.text import (
     STOPWORDS,
     cdc_chunks,
@@ -1826,7 +1826,7 @@ def _cdc_chain_sql(w: int = 8, div: int = 64) -> str:
 
 def _cdc_oracle(w: int = 8, div: int = 64) -> str:
     """Per-source CDC rollup oracle on top of ``_cdc_chain_sql``."""
-    avg_sql = sql_ratio_dec("SUM(CAST(cnt AS BIGINT) * clen)",
+    avg_sql = sql_ratio_dbl("SUM(CAST(cnt AS BIGINT) * clen)",
                             "SUM(CAST(cnt AS BIGINT))", 6, 4)
     return f"""
     WITH {_cdc_chain_sql(w, div)}, g AS (
@@ -1885,7 +1885,7 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").cast("long").alias("n_chunks"),
             F.count("*").cast("long").alias("n_distinct_chunks"),
             F.sum((F.col("cnt") > 1).cast("int")).cast("long").alias("n_dup_chunks"),
-            ratio_dec(
+            ratio_dbl(
                 F.sum(F.col("cnt") * F.col("chunk_len")),
                 F.sum("cnt"),
                 6,
@@ -1912,7 +1912,7 @@ _REG["text_cdc_chunks"].oracle = materialize_ctes(_cdc_oracle())
 def _cdc_cross_oracle(w: int = 8, div: int = 64) -> str:
     """Cross-source chunk-containment oracle: distinct (source, h)
     presence, self-joined on h with source_a < source_b."""
-    share_sql = sql_ratio_dec("COUNT(*)",
+    share_sql = sql_ratio_dbl("COUNT(*)",
                               "ANY_VALUE(LEAST(na.n, nb.n))", 6, 2)
     return f"""
     WITH {_cdc_chain_sql(w, div)}, sh AS (
@@ -1986,7 +1986,7 @@ def text_cdc_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_b",
             "n_shared_chunks",
             "shared_chars",
-            ratio_dec(
+            ratio_dbl(
                 F.col("n_shared_chunks"), F.least("na", "nb"), 6, 2
             ).alias("containment"),
         )
@@ -2012,6 +2012,7 @@ _ZIPF_SLOPE = (
 
 
 def _zipf_oracle(v_cap: int = 100) -> str:
+    from ..functions.scalars import sql_pin_dbl as _spdb
     from ..functions.scalars import sql_pin_dec as _spd
 
     x = _spd("LN(r)")
@@ -2039,9 +2040,9 @@ def _zipf_oracle(v_cap: int = 100) -> str:
       FROM pts GROUP BY source
     )
     SELECT source, v AS n_ranks,
-           {_spd(_ZIPF_SLOPE)} AS zipf_slope,
-           {_spd(f"(CAST(sy AS DOUBLE) - ({_ZIPF_SLOPE})"
-                 " * CAST(sx AS DOUBLE)) / CAST(v AS DOUBLE)")}
+           {_spdb(_ZIPF_SLOPE)} AS zipf_slope,
+           {_spdb(f"(CAST(sy AS DOUBLE) - ({_ZIPF_SLOPE})"
+                  " * CAST(sx AS DOUBLE)) / CAST(v AS DOUBLE)")}
              AS log_intercept
     FROM s ORDER BY source
     """
@@ -2068,7 +2069,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     token explode + one (source, token) count (map-side combinable),
     a per-source top-100 rank window over the VOCAB table (vocab-
     sized, not corpus-sized), then 100-row-per-source arithmetic."""
-    from ..functions.scalars import pin_dec
+    from ..functions.scalars import pin_dbl, pin_dec
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -2103,8 +2104,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "source",
         F.col("v").alias("n_ranks"),
-        pin_dec(slope).alias("zipf_slope"),
-        pin_dec(intercept).alias("log_intercept"),
+        pin_dbl(slope).alias("zipf_slope"),
+        pin_dbl(intercept).alias("log_intercept"),
     ).orderBy("source")
 
 

