@@ -145,7 +145,12 @@ def ratio_dec(n: Column, d: Column, scale: int = 12, int_digits: int = 2) -> Col
     flooring, which is no longer half-up; a signed caller (e.g. a
     difference of counts) must split sign out first. Engine-portable
     digit for digit on the declared domain (adversarial + fuzz gates
-    in tests/test_portable_rounding.py)."""
+    in tests/test_portable_rounding.py).
+
+    OUT of the declared domain (n/d >= 10^int_digits) both engines
+    yield NULL: Spark's decimal cast overflows to NULL (non-ANSI) and
+    the DuckDB twin uses TRY_CAST to match — one detectable failure
+    mode instead of a NULL-vs-exception asymmetry."""
     s_pow = 10**scale
     prec = scale + int_digits
     num = (
@@ -160,12 +165,16 @@ def ratio_dec(n: Column, d: Column, scale: int = 12, int_digits: int = 2) -> Col
 
 
 def sql_ratio_dec(n: str, d: str, scale: int = 12, int_digits: int = 2) -> str:
-    """DuckDB twin of ``ratio_dec``: HUGEINT floor-division (exact)."""
+    """DuckDB twin of ``ratio_dec``: HUGEINT floor-division (exact).
+
+    TRY_CAST (not CAST) on the narrowing steps so a domain breach
+    (quotient >= 10^int_digits) yields NULL exactly like Spark's
+    silent-NULL decimal overflow, instead of raising."""
     s_pow = 10**scale
     prec = scale + int_digits
     one = "0." + "0" * (scale - 1) + "1"
     return (
-        f"CAST(CAST((2::HUGEINT * ({n}) * {s_pow} + ({d})) // "
+        f"TRY_CAST(TRY_CAST((2::HUGEINT * ({n}) * {s_pow} + ({d})) // "
         f"(2::HUGEINT * ({d})) AS DECIMAL({prec},0)) "
         f"* CAST('{one}' AS DECIMAL({scale + 1},{scale})) "
         f"AS DECIMAL({prec},{scale}))"
@@ -181,10 +190,11 @@ def pin_dec(x: Column, scale: int = 6, prec: int = 18) -> Column:
 
 
 def sql_pin_dec(expr: str, scale: int = 6, prec: int = 18) -> str:
-    """DuckDB twin of ``pin_dec`` — the identical IEEE expression."""
+    """DuckDB twin of ``pin_dec`` — the identical IEEE expression.
+    TRY_CAST mirrors Spark's silent-NULL overflow (see sql_ratio_dec)."""
     one = "0." + "0" * (scale - 1) + "1"
     return (
-        f"CAST(CAST(FLOOR(({expr}) * {float(10**scale)} + 0.5) "
+        f"TRY_CAST(TRY_CAST(FLOOR(({expr}) * {float(10**scale)} + 0.5) "
         f"AS DECIMAL({prec},0)) * CAST('{one}' AS DECIMAL({scale + 1},{scale})) "
         f"AS DECIMAL({prec},{scale}))"
     )

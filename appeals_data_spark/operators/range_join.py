@@ -56,9 +56,16 @@ def binned_point_in_interval_join(
         F.datediff(F.col(end_col), F.lit(EPOCH).cast("date")) / bin_days
     )
     pts = points.withColumn("_bin", p_bin)
-    ivs = intervals.withColumn(
-        "_bin", F.explode(F.sequence(s_bin, e_bin))
-    )
+    # Guard reversed intervals BEFORE the explode: F.sequence with
+    # start > stop silently generates a DESCENDING list (default step
+    # -1), ballooning a badly reversed interval (end years before
+    # start) into one row per bin spanned — the residual filter keeps
+    # results correct but the explode explodes. A reversed interval
+    # matches no point anyway (start <= p <= end is unsatisfiable), so
+    # dropping it early is semantics-preserving and fail-fast cheap.
+    ivs = intervals.filter(
+        F.col(start_col) <= F.col(end_col)
+    ).withColumn("_bin", F.explode(F.sequence(s_bin, e_bin)))
     return (
         pts.join(ivs, "_bin")
         .filter(

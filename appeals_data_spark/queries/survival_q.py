@@ -1991,14 +1991,19 @@ def x6_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT st AS status, na AS n_urgent, nb AS n_low,
            CAST(ra - CAST(na AS DECIMAL(20,0)) * (na + 1)
                      * CAST('0.5' AS DECIMAL(2,1)) AS DECIMAL(21,1)) AS u_stat,
-           (CAST(ra - CAST(na AS DECIMAL(20,0)) * (na + 1)
+           CASE WHEN CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                     * ((CAST(n AS DOUBLE) + 1.0)
+                        - CAST(ties AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                     > 0.0
+           THEN (CAST(ra - CAST(na AS DECIMAL(20,0)) * (na + 1)
                       * CAST('0.5' AS DECIMAL(2,1)) AS DOUBLE)
             - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
            / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
                   * ((CAST(n AS DOUBLE) + 1.0)
                      - CAST(ties AS DOUBLE)
                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
-             AS z_approx
+           END AS z_approx
     FROM a ORDER BY status
     """,
     tags=("X3", "A2"),
@@ -2073,13 +2078,16 @@ def x3_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_d = F.col("n").cast("double")
     na_d = F.col("na").cast("double")
     nb_d = F.col("nb").cast("double")
-    z = (u.cast("double") - na_d * nb_d / F.lit(2.0)) / F.sqrt(
-        na_d * nb_d / F.lit(12.0)
-        * (
-            (n_d + F.lit(1.0))
-            - F.col("ties").cast("double") / (n_d * (n_d - F.lit(1.0)))
-        )
+    var = na_d * nb_d / F.lit(12.0) * (
+        (n_d + F.lit(1.0))
+        - F.col("ties").cast("double") / (n_d * (n_d - F.lit(1.0)))
     )
+    # degenerate all-tied group: the tie correction zeroes the
+    # variance and 0.0/0.0 is NaN in Spark but NULL in DuckDB — guard
+    # BOTH engines with the identical var > 0 predicate (same IEEE
+    # double expression, so the branch taken is engine-identical)
+    z = F.when(var > F.lit(0.0),
+               (u.cast("double") - na_d * nb_d / F.lit(2.0)) / F.sqrt(var))
     return a.select(
         F.col("st").alias("status"),
         F.col("na").alias("n_urgent"),

@@ -212,3 +212,47 @@ def test_markov_stationary_end_to_end_on_exact_tie_data(spark, tmp_path):
         f"SELECT {sql_ratio_dec('12291', '24576')}"
     ).fetchone()[0]
     assert p_ab == Decimal("0.500122070313")
+
+
+def test_mann_whitney_degenerate_all_tied_is_null_both_engines(spark):
+    """All-tied group: the tie correction zeroes the variance, so
+    z = 0/0 — Spark says NaN (IEEE), DuckDB says NULL. The registered
+    query guards BOTH engines with the identical var > 0 predicate, so
+    the degenerate group yields NULL z_approx on both sides."""
+    import duckdb
+    import os
+    import tempfile
+
+    from appeals_data_spark.registry import all_queries
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # one status where every price is identical (urgent + low both
+        # present so the HAVING keeps the group), one healthy status
+        rows = []
+        for i in range(6):
+            rows.append((i, "T", "1-URGENT" if i % 2 else "5-LOW", 100.0))
+        for i in range(6, 14):
+            rows.append(
+                (i, "H", "1-URGENT" if i % 2 else "5-LOW", 50.0 + i)
+            )
+        df = spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_orderstatus string, "
+            "o_orderpriority string, o_totalprice double",
+        )
+        df.coalesce(1).write.parquet(os.path.join(tmp, "orders.parquet"))
+        q = all_queries()["x3_mann_whitney"]
+        got = {
+            r["status"]: r["z_approx"]
+            for r in q.builder(spark, tmp).collect()
+        }
+        assert got["T"] is None  # guarded, not NaN
+        assert got["H"] is not None and got["H"] == got["H"]  # real z
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{tmp}/orders.parquet/*.parquet')"
+        )
+        want = {s: z for s, _, _, _, z in con.sql(q.oracle).fetchall()}
+        assert want["T"] is None
+        assert got["H"] == want["H"]

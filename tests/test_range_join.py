@@ -71,3 +71,35 @@ def test_interval_fanout_bounded_by_two_bins(spark):
         .collect()[0][0]
     )
     assert fan <= 2  # bin width >= interval length -> bounded replication
+
+
+def test_reversed_interval_dropped_not_exploded(spark):
+    """A reversed interval (end before start) satisfies no point and
+    must be filtered before the bin explode: F.sequence's default -1
+    step would otherwise generate one row per bin SPANNED (a
+    years-reversed interval balloons into hundreds of rows that the
+    residual filter then throws away)."""
+    p = spark.createDataFrame(
+        [(1, dt.date(1995, 6, 1))], "p_key long, p_date date"
+    )
+    v = spark.createDataFrame(
+        [
+            (10, dt.date(1995, 5, 30), dt.date(1995, 6, 3)),  # valid
+            (11, dt.date(1999, 1, 1), dt.date(1992, 1, 1)),   # reversed
+        ],
+        "i_key long, s date, e date",
+    )
+    out = binned_point_in_interval_join(p, v, "p_date", "s", "e", 8)
+    assert [r["i_key"] for r in out.collect()] == [10]
+    # and the exploded interval side never materializes the reversed
+    # row at all (fan-out stays <= 2 per interval)
+    ivs = v.filter(F.col("s") <= F.col("e")).withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.datediff("s", F.lit("1990-01-01").cast("date")) / 8),
+                F.floor(F.datediff("e", F.lit("1990-01-01").cast("date")) / 8),
+            )
+        ),
+    )
+    assert ivs.count() <= 2
