@@ -1218,3 +1218,85 @@ def pipe_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipe_dsir_importance_prod",
+    oracle=None,  # xxhash64 family has no DuckDB twin (rows-only; the
+    # fully-oracled portable twin above carries the hash verdict)
+    tags=("PIPE", "TEXT", "QUALITY", "SCALE"),
+)
+def pipe_dsir_importance_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path DSIR twin of :func:`pipe_dsir_importance`: the
+    identical hashed-bigram importance pipeline with the feature hash
+    swapped from portable_hash48 (md5 string work, the price of a
+    DuckDB-checkable oracle — measured as the registry's worst 100x
+    factor, 19.6x) to JVM-codegen'd ``xxhash64`` — the hash a 100 TB
+    run would actually use. Same registry discipline as the
+    dedup_minhash_lsh / dedup_minhash_portable pair: the portable twin
+    carries the cross-engine hash verdict, this one carries the scale
+    number (factors recorded in BASELINE.md).
+
+    Outputs the same per-source report shape (weights differ — a
+    different hash partitions bigrams into different buckets — but
+    n_docs per source and the two linear passes are identical), so the
+    rows-only check still pins row count and schema."""
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.trim(F.col("text")))
+    bg = d.select(
+        "doc_id",
+        "source",
+        F.explode(shingles(low, 2)).alias("g"),
+    ).select(
+        "doc_id",
+        "source",
+        F.pmod(F.xxhash64(F.col("g"), F.lit("dsir")), F.lit(_DSIR_B)).alias("b"),
+    )
+    raw_c = bg.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt_c = (
+        bg.filter(F.col("source").isin(*_DSIR_TARGET))
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot = bg.agg(
+        F.count("*").cast("double").alias("nr"),
+        F.sum(F.col("source").isin(*_DSIR_TARGET).cast("int"))
+        .cast("double")
+        .alias("nt"),
+    )
+    lr = (
+        raw_c.join(tgt_c, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            pin_dec(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nt") + F.lit(float(_DSIR_B)))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("nr") + F.lit(float(_DSIR_B)))
+                )
+            ).alias("lr"),
+        )
+        .localCheckpoint()
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "source", "b")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg((F.sum(F.col("cnt") * F.col("lr"))).cast("decimal(28,6)").alias("w"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w").cast("decimal(38,6)").cast("double").alias("sum_weight"),
+            F.min("w").cast("decimal(28,6)").cast("double").alias("min_weight"),
+            F.max("w").cast("decimal(28,6)").cast("double").alias("max_weight"),
+            F.sum((F.col("w") > 0).cast("int")).cast("long").alias("n_target_like"),
+        )
+        .orderBy("source")
+    )

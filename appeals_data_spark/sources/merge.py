@@ -1,0 +1,96 @@
+"""Keyed MERGE (upsert) into a parquet-backed table — the S10 analog.
+
+The reference's operational repair scripts mutate VACOLS rows in place
+with keyed UPDATE/INSERT pairs (``scratch/intake/flag_flip.R:49-75``
+activates cases by updating BRIEFF/FOLDER/PRIORLOC and inserting
+OTHDOCS rows per BFKEY; ``scratch/intake/repair-intake-bug.R:39-55``
+restores overwritten ISSUES dispositions key by key). A Spark engine
+over a parquet lake has no row-level UPDATE, and the 100 TB-correct
+re-expression is the standard MERGE-INTO rewrite pattern every
+lakehouse format implements underneath:
+
+    affected = target rows in the partitions the updates touch
+    merged   = (affected ANTI-JOIN updates ON keys) UNION updates
+    overwrite ONLY those partitions (dynamic partition overwrite)
+
+so a repair touching 3 of 3,000 date partitions rewrites 0.1% of the
+table, never all of it, and untouched partitions' files are left
+byte-identical on disk (gated by tests/test_merge.py). Unpartitioned
+tables fall back to a full rewrite — correct, but documented as the
+small-table path (the repair scripts' OTHDOCS-style side tables).
+
+Scale notes:
+* the updates side is repair-sized (the reference loops over dozens of
+  BFKEYs) — it broadcasts into both the partition filter and the
+  anti-join; a data-sized updates frame still works but plans a
+  shuffled anti-join, which is the right plan at that size.
+* parquet cannot be overwritten while a plan still lazily reads it, so
+  the merged frame is materialized (``localCheckpoint``) before the
+  write — partition-scoped, hence bounded by the touched-partition
+  volume, not the table. On a real cluster with a lakehouse format the
+  same logic is one ``MERGE INTO``; this helper is the format-free
+  equivalent with the identical partition-pruned I/O shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Upsert ``updates`` into the parquet table at ``path`` by key.
+
+    Rows whose ``keys`` match an existing row replace it (the UPDATE
+    arm); unmatched rows insert (the INSERT arm) — the exact
+    insert-or-update shape of flag_flip.R's OTHDOCS branch. ``updates``
+    must carry the target's full schema (construct the updated row as
+    the reference scripts do). With ``partition_cols`` the rewrite is
+    scoped to the partitions present in ``updates`` via dynamic
+    partition overwrite; files of untouched partitions are not
+    rewritten.
+    """
+    target = spark.read.parquet(path)
+    missing = [c for c in target.columns if c not in updates.columns]
+    if missing:
+        raise ValueError(
+            f"merge_into: updates frame lacks target columns {missing}"
+        )
+    updates = updates.select(*target.columns)  # align column order
+    if partition_cols:
+        bad = [c for c in partition_cols if c in keys]
+        if bad:
+            # a key that is also a partition column is fine semantically,
+            # but a MOVED row (same key, new partition value) would leave
+            # the stale copy in the old partition untouched — refuse
+            # rather than silently duplicate.
+            raise ValueError(
+                "merge_into: partition columns cannot overlap merge keys "
+                f"({bad}): a re-partitioned row would strand its old copy"
+            )
+        parts = updates.select(*partition_cols).distinct()
+        affected = target.join(F.broadcast(parts), partition_cols, "left_semi")
+        merged = affected.join(
+            F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
+        ).unionByName(updates)
+        # materialize BEFORE overwriting the files the plan reads from
+        merged = merged.localCheckpoint()
+        (
+            merged.repartition(*[merged[c] for c in partition_cols])
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    else:
+        merged = target.join(
+            F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
+        ).unionByName(updates)
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(path)

@@ -223,7 +223,14 @@ ITERATIVE_SEGMENTS = {
     # array form at >25min/run (BASELINE.md) — 4 more exchange NODES
     # carrying ~15x less data.
     "dedup_canonical_corpus": (5, 22),
-    "graph_pagerank_handoff": (10, 41),  # N is a broadcast agg: full plan chain even on the empty sf0.001 graph
+    # (10, 41) -> (12, 18) in round 10: the loop now checkpoints under
+    # a scoped AQE-off so LogicalRDD keeps hash partitioning/ordering —
+    # the loop-invariant edge frame is placed on src once (two new
+    # build segments: the edge-list materialization + the sorted
+    # re-layout) and each round's edge⋈rank join plans exchange-free
+    # (5 -> 2 exchanges/round; the two left are the contrib agg and the
+    # 1-row dangling agg). Same arithmetic, same oracle hash.
+    "graph_pagerank_handoff": (12, 18),
     # pipe_classifier_filter / x3_linear_svm_eval no longer appear:
     # pegasos moved to MLlib-style driver iteration (literal-spliced
     # coefficients, no per-round localCheckpoint) — each round is one
@@ -292,6 +299,10 @@ ITERATIVE_SEGMENTS = {
     # one checkpointed segment: the 256-row hashed-bigram log-ratio
     # model (two map-combinable count aggs + 1-row totals broadcast)
     "pipe_dsir_importance": (1, 3),
+    # identical pipeline with xxhash64 in place of the portable md5
+    # hash (the production/scale path; rows-only, no oracle) — same
+    # single checkpointed segment: the 256-row log-ratio model
+    "pipe_dsir_importance_prod": (1, 3),
     # eight checkpointed segments: the |alphabet|²-row transition
     # matrix (window pass + count agg), the uniform start vector, and
     # six ≤|S|-row power-iteration rounds (1 tiny agg exchange each)
@@ -323,16 +334,19 @@ def test_iterative_hidden_exchanges_frozen(all_plans):
 
 
 def test_pagerank_per_round_exchanges_frozen(spark):
-    # The honest scale statement for the flagship iterative: each of
-    # the 6 synchronous rounds costs 5 exchanges (edge-rank join +
-    # contribution agg + dangling anti-join + rank rebuild) that the
-    # final Exchange=1 plan hides behind localCheckpoint. 6 rounds x 5
-    # = 30 per-round exchanges + 11 one-off (node set, 1-row N
-    # aggregate, loop-invariant edge side).
+    # The honest scale statement for the flagship iterative. Round 10:
+    # the loop checkpoints under a scoped AQE-off, so the recorded
+    # LogicalRDD partitioning/ordering lets every round's edge⋈rank
+    # sort-merge join stream the pre-placed edge side with NO exchange
+    # and NO re-sort — 2 exchanges per round (the contribution agg on
+    # dst and the 1-row dangling-mass agg), down from 5. Build cost is
+    # 6 one-off segments: the caller's edge derivation (2 exchanges:
+    # the window + distinct), the node set (1), the 1-row N agg (1),
+    # the out-degree agg (1), the sorted src re-layout of the edge
+    # frame (1), and the rank init (0 — co-partitioned with nodes).
     plan, segs = build_with_segments(
         spark, all_queries()["graph_pagerank_handoff"].builder, SF_CORRECT
     )
-    # nodes + N agg + checkpointed edge side + rank init, then rounds
-    assert len(segs) == 10, len(segs)
-    assert [_ex(p) for p in segs[:4]] == [5, 1, 5, 0]
-    assert [_ex(p) for p in segs[4:]] == [5] * 6
+    assert len(segs) == 12, len(segs)
+    assert [_ex(p) for p in segs[:6]] == [2, 1, 1, 1, 1, 0]
+    assert [_ex(p) for p in segs[6:]] == [2] * 6
