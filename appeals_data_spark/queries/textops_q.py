@@ -1324,23 +1324,43 @@ def pipe_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex tokenization of every document, and re-deriving it for each
     of the 20 training passes measured 2x slower than caching the
     3-column result (8.0s -> 4.5s at sf0.1). The dedup fast paths set
-    the precedent; callers reclaim with clearCache."""
+    the precedent; callers reclaim with clearCache.
+
+    Partitioning (round 10): the tokenization pass runs at
+    sized_for_compute parallelism (a small export arrives as one split
+    and ran the regex single-threaded: first-run 13.5s -> 4.2s at
+    sf0.1), but the CACHED frame is re-bucketed to max(8, input
+    splits) partitions before persist — each of the 20 training rounds
+    is a 1-row aggregate whose bench-SF cost is pure task scheduling
+    (measured: 32 cached partitions cost +1.1s steady over 8; at
+    100 TB the input-splits bound makes the repartition a widening
+    no-op)."""
     from pyspark import StorageLevel
 
+    from ..catalog import sized_for_compute
     from ..ml.svm import pegasos_linear_svm
 
     d = load_table(spark, sf_dir, "documents")
+    try:
+        n_splits = len(d.inputFiles())
+    except Exception:
+        n_splits = 0
+    d = sized_for_compute(d)
     ntok = token_count("text")
     swr = stopword_ratio("text")
-    feat = d.select(
-        "doc_id",
-        "source",
-        F.when(ntok.between(20, 1000) & (swr > 0.05), 1.0)
-        .otherwise(-1.0)
-        .alias("y"),
-        (ntok.cast("double") / 1000 - 0.05).alias("x1"),
-        (swr * 10 - 0.5).alias("x2"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    feat = (
+        d.select(
+            "doc_id",
+            "source",
+            F.when(ntok.between(20, 1000) & (swr > 0.05), 1.0)
+            .otherwise(-1.0)
+            .alias("y"),
+            (ntok.cast("double") / 1000 - 0.05).alias("x1"),
+            (swr * 10 - 0.5).alias("x2"),
+        )
+        .repartition(max(8, n_splits))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # exact_sum_decimals: the violator folds accumulate 1e6-scaled
     # LONGs, so the 20-round fit is bit-identical under any
     # partitioning (tests/test_determinism.py covers this query).

@@ -32,6 +32,11 @@ SECONDARY = [
     "a21_sliding_mau",
     "a25_countmin_bound",
     "a26_hll_setops_bound",
+    # round 10: the two AQE-off co-partitioned iterative loops and the
+    # xxhash64 DSIR production twin join the timing series
+    "closure_components",
+    "dedup_canonical_corpus",
+    "pipe_dsir_importance_prod",
     "dedup_incremental_delta",
     "dedup_fuzzy_entity_names",
     "dedup_paragraph_retention",

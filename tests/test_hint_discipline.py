@@ -53,10 +53,17 @@ EXPECTED = {
     "queries/joins.py": 7,
     # +2 in round 8b: pipe_dsir_importance (1-row totals scalar, 256-row
     # fixed-B log-ratio model).
-    "queries/pipeline_q.py": 9,
+    # +2 in round 10: pipe_dsir_importance_prod, the xxhash64 twin —
+    # the same 1-row totals scalar and 256-row model.
+    "queries/pipeline_q.py": 11,
     "queries/setops.py": 1,
     "queries/skew_q.py": 1,
     "queries/sources_q.py": 1,
+    # round 10: merge_into — the updates side is repair-sized by
+    # contract (the reference scripts loop over dozens of keys): the
+    # touched-partition filter, and the key anti-joins on both the
+    # partitioned and unpartitioned arms.
+    "sources/merge.py": 3,
     "queries/survival_q.py": 3,
     "queries/textops_q.py": 5,
     "queries/vector_q.py": 7,

@@ -215,14 +215,23 @@ def _ex(plan: str) -> int:
 # honest per-round budget is frozen at sf0.01 in
 # test_pagerank_per_round_exchanges_frozen.
 ITERATIVE_SEGMENTS = {
-    "closure_components": (3, 10),
+    # (3, 10) -> (4, 7) in round 10: the loop checkpoints under a
+    # scoped AQE-off (see operators/closure.py) — one extra build
+    # segment (the sorted re-layout of the symmetric edge frame) and
+    # the per-round label-propagation join now plans exchange-free on
+    # the edge side; the convergence count also moved onto the
+    # checkpointed frame, halving per-round execution.
+    "closure_components": (4, 7),
     # (5, 18) -> (5, 22) in round 8: the near-dup stage moved from a
     # per-pair array-shipping block join to inverted-index
     # intersection counting (explode + (blk, word) equi-join + one
     # map-side-combinable pair agg) after the 100x probe measured the
     # array form at >25min/run (BASELINE.md) — 4 more exchange NODES
     # carrying ~15x less data.
-    "dedup_canonical_corpus": (5, 22),
+    # (5, 22) -> (6, 12) in round 10: inherits the closure loop's
+    # AQE-off co-partitioned rounds (connected_components is its
+    # clustering stage).
+    "dedup_canonical_corpus": (6, 12),
     # (10, 41) -> (12, 18) in round 10: the loop now checkpoints under
     # a scoped AQE-off so LogicalRDD keeps hash partitioning/ordering —
     # the loop-invariant edge frame is placed on src once (two new
