@@ -1,8 +1,10 @@
 """Similarity search over embedding columns (array<float>).
 
 - ``brute_force_topk``: exact cosine top-k of query vectors against the
-  corpus — broadcast the (small) query set, score JVM-side via
-  zip_with/aggregate, window top-k. The exactness baseline.
+  corpus — broadcast the (small) query set, score the pair stream on
+  the Arrow hot path (functions.vectors.pair_scores_arrow — bit-equal
+  to the JVM zip_with/aggregate fold, ~2x faster), window top-k. The
+  exactness baseline.
 - ``lsh_topk``: random-hyperplane (signed projection) bucketing; only
   candidates sharing a bucket are scored. The 100 TB path: candidate
   generation is an equi-join on bucket id, so cost tracks bucket
@@ -18,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import cosine, pair_scores_arrow
 
 
 def brute_force_topk(
@@ -28,17 +30,24 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
 ) -> DataFrame:
-    """Exact cosine top-k per query. Queries must be small (broadcast)."""
+    """Exact cosine top-k per query. Queries must be small (broadcast).
+
+    Scoring runs on the Arrow hot path (pair_scores_arrow) — bit-equal
+    to the HOF ``cosine`` fold, ~2x faster on the |corpus|x|queries|
+    pair stream (functions/vectors.py module note)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"))
-    scored = c.crossJoin(F.broadcast(q)).filter(
-        F.col("corpus_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "corpus_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+    scored = pair_scores_arrow(
+        c.crossJoin(F.broadcast(q)).filter(
+            F.col("corpus_id") != F.col("query_id")
+        ),
+        "q_vec",
+        "c_vec",
+        keep=["query_id", "corpus_id"],
+        out="cos",
+        metric="cosine",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
     return (
@@ -74,14 +83,15 @@ def mips_topk(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec")
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("corpus_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "corpus_id",
-            dot(F.col("q_vec"), F.col("c_vec")).alias("ip"),
-        )
+    scored = pair_scores_arrow(
+        c.crossJoin(F.broadcast(q)).filter(
+            F.col("corpus_id") != F.col("query_id")
+        ),
+        "q_vec",
+        "c_vec",
+        keep=["query_id", "corpus_id"],
+        out="ip",
+        metric="dot",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("ip"), F.asc("corpus_id"))
     return (
@@ -301,36 +311,144 @@ def assign_to_centroids(
     (rank_max=nprobe): (id, c_label, c_rank) — the IVF build/probe
     primitive.
 
-    Zero-shuffle shape (round 7): the centroid table collapses to a
-    one-row label-sorted array (one tiny exchange over |cells| rows),
-    broadcast-crossed onto the corpus, and the argmax/top-k is an
-    expression-level fold per vector — the r1-r6 crossJoin +
-    Window.partitionBy(id) version shuffled the FULL corpus
-    (|corpus| x |cells| rows through one exchange) just to rank
-    within each vector's own candidate list. At 100 TB that exchange
-    was the dominant cost of every IVF build; now the corpus pass is
-    narrow end-to-end. Tie semantics are identical (strict >/
-    comparator sort keep the lowest label), so assignments are
-    bit-for-bit the ones the window produced."""
+    Zero-shuffle shape (round 7): the corpus pass is narrow end-to-end
+    — the r1-r6 crossJoin + Window.partitionBy(id) version shuffled the
+    FULL corpus (|corpus| x |cells| rows through one exchange) just to
+    rank within each vector's own candidate list; at 100 TB that
+    exchange was the dominant cost of every IVF build.
+
+    Round 10 moved the per-row argmax/top-k from the expression-level
+    HOF fold (``nearest_centroid_best`` / ``_topk_centroid_structs`` —
+    kept as the reference implementations and for the streaming twin)
+    to an Arrow ``mapInPandas`` scorer with the IDENTICAL arithmetic
+    order: the centroid table (broadcast-small by contract — this
+    function previously collapsed it to ONE row) is collected
+    label-sorted to the driver, each Arrow batch computes every
+    (row, centroid) cosine by dimension-major float64 accumulation
+    (the HOF fold's exact order — see functions.vectors), rank 1 is a
+    strict-> first-wins scan in label order and rank_max>1 a stable
+    argsort on (cos DESC, label ASC) — term for term the fold/
+    comparator semantics, so assignments are bit-for-bit unchanged
+    (differential-gated in tests/test_ann_recall.py). Spark does not
+    codegen HOF lambdas, and this fold was the measured dominant term
+    of vec_ivf_topk at sf10 (~20s of 21s after the pair scorer moved).
+    Null vectors keep the fold semantics: rank 1 -> NULL label;
+    rank_max>1 -> the first rank_max labels in label order (what the
+    comparator's all-NULL-cos no-op sort sliced)."""
+    import numpy as np
+    import pandas as pd
+
     label_type = dict(centroids.dtypes)["c_label"]
-    joined = corpus.crossJoin(F.broadcast(centroid_struct_array(centroids)))
-    if rank_max == 1:
-        best = nearest_centroid_best(F.col("_cents"), F.col(vec_col), label_type)
-        return joined.select(
-            F.col(id_col),
-            F.col(vec_col),
-            best["c_label"].alias("c_label"),
-            F.lit(1).alias("c_rank"),
-        )
-    top = _topk_centroid_structs(F.col("_cents"), F.col(vec_col), rank_max)
-    return joined.select(
-        F.col(id_col), F.col(vec_col), F.posexplode(top).alias("_p", "_s")
-    ).select(
-        id_col,
-        vec_col,
-        F.col("_s")["c_label"].alias("c_label"),
-        (F.col("_p") + 1).alias("c_rank"),
+    cents_rows = sorted(
+        centroids.select("c_label", "cvec").collect(),
+        key=lambda r: r["c_label"],
     )
+    labels = [r["c_label"] for r in cents_rows]
+    n_cents = len(labels)
+    id_type = dict(corpus.dtypes)[id_col]
+    vec_type = dict(corpus.dtypes)[vec_col]
+    out_schema = (
+        f"{id_col} {id_type}, {vec_col} {vec_type}, "
+        f"c_label {label_type}, c_rank int"
+    )
+    src = corpus.select(id_col, vec_col)
+    if n_cents:
+        cmat = np.stack(
+            [np.asarray(r["cvec"], dtype=np.float64) for r in cents_rows]
+        )
+        dim = cmat.shape[1]
+        cnorm = np.zeros(n_cents)
+        for k in range(dim):  # sequential fold order, as norm()
+            cnorm += cmat[:, k] * cmat[:, k]
+        cnorm = np.sqrt(cnorm)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or n_cents == 0:
+                # empty centroid set: rank 1 -> NULL label per row (the
+                # fold's init survives); rank_max>1 -> no rows (the
+                # slice of an empty array posexplodes to nothing)
+                if rank_max == 1 and len(pdf) and n_cents == 0:
+                    res = pdf[[id_col, vec_col]].copy()
+                    res["c_label"] = None
+                    res["c_rank"] = np.ones(len(pdf), dtype=np.int32)
+                    yield res
+                else:
+                    res = pdf[[id_col, vec_col]].iloc[:0].copy()
+                    res["c_label"] = pd.Series([], dtype=object)
+                    res["c_rank"] = pd.Series([], dtype=np.int32)
+                    yield res
+                continue
+            vv = pdf[vec_col].values
+            mask = np.array([v is not None for v in vv])
+            scores = None
+            if mask.any():
+                X = np.stack(vv[mask]).astype(np.float64)
+                n = X.shape[0]
+                xn = np.zeros(n)
+                for k in range(dim):
+                    xk = X[:, k]
+                    xn += xk * xk
+                xn = np.sqrt(xn)
+                scores = np.empty((n, n_cents))
+                for j in range(n_cents):
+                    dt = np.zeros(n)
+                    cj = cmat[j]
+                    for k in range(dim):
+                        dt += X[:, k] * cj[k]
+                    scores[:, j] = dt / (xn * cnorm[j])
+            if rank_max == 1:
+                lab = np.empty(len(pdf), dtype=object)
+                lab[:] = None
+                if scores is not None:
+                    best = np.full(scores.shape[0], -np.inf)
+                    bi = np.full(scores.shape[0], -1)
+                    for j in range(n_cents):  # label asc = fold order
+                        upd = scores[:, j] > best  # strict >, NaN never
+                        bi[upd] = j
+                        best[upd] = scores[upd, j]
+                    lab[mask] = [
+                        labels[i] if i >= 0 else None for i in bi
+                    ]
+                res = pdf[[id_col, vec_col]].copy()
+                res["c_label"] = lab
+                res["c_rank"] = np.ones(len(pdf), dtype=np.int32)
+                yield res
+                continue
+            # rank_max > 1: (cos DESC, label ASC) — stable argsort on
+            # -cos with columns already in label order
+            top = min(rank_max, n_cents)
+            out_ids, out_vecs, out_lab, out_rank = [], [], [], []
+            valid_iter = (
+                iter(np.argsort(-scores, axis=1, kind="stable")[:, :top])
+                if scores is not None
+                else iter(())
+            )
+            for row_i in range(len(pdf)):
+                rid = pdf[id_col].iloc[row_i]
+                rvec = vv[row_i]
+                if mask[row_i]:
+                    order = next(valid_iter)
+                    picks = [labels[j] for j in order]
+                else:
+                    # all-NULL-cos comparator is a no-op sort: the
+                    # slice keeps the first labels in label order
+                    picks = labels[:top]
+                for rnk, lb in enumerate(picks, start=1):
+                    out_ids.append(rid)
+                    out_vecs.append(rvec)
+                    out_lab.append(lb)
+                    out_rank.append(rnk)
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    vec_col: out_vecs,
+                    "c_label": out_lab,
+                    "c_rank": np.asarray(out_rank, dtype=np.int32),
+                }
+            )
+
+    return src.mapInPandas(gen, schema=out_schema)
 
 
 def ivf_topk(
@@ -360,9 +478,16 @@ def ivf_topk(
     probes = assign_to_centroids(queries, cents, nprobe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "c_label"
     )
-    scored = cells.join(F.broadcast(probes), "c_label").filter(
-        F.col("corpus_id") != F.col("query_id")
-    ).select("query_id", "corpus_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+    scored = pair_scores_arrow(
+        cells.join(F.broadcast(probes), "c_label").filter(
+            F.col("corpus_id") != F.col("query_id")
+        ),
+        "q_vec",
+        "c_vec",
+        keep=["query_id", "corpus_id"],
+        out="cos",
+        metric="cosine",
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -441,11 +566,16 @@ def pq_encode(
         "code",
         F.round(l2sq(F.col("bv"), F.col("subvec")), round_dp).alias("d"),
     )
-    w = Window.partitionBy(id_col, "block").orderBy(F.asc("d"), F.asc("code"))
+    # argmin via struct-min: (d, code) lexicographic MIN is exactly the
+    # old (d ASC, code ASC) row_number()=1 winner, but as a map-side-
+    # combinable aggregate — the |corpus|·m·|codes| candidate stream
+    # collapses to |corpus|·m rows BEFORE the exchange instead of
+    # sort-shuffling in full for a window (round 10; values identical,
+    # oracle hashes unchanged).
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "block", "code")
+        scored.groupBy(id_col, "block")
+        .agg(F.min(F.struct("d", "code")).alias("_s"))
+        .select(id_col, "block", F.col("_s.code").alias("code"))
     )
 
 

@@ -293,3 +293,129 @@ def test_sq8_recall_floor(ground_truth):
         for r in sq_adc_topk(codes, bounds, queries, dim=DIM, k=K).collect()
     }
     assert _recall(found, truth) >= 0.9
+
+
+def test_pair_scores_arrow_bit_equals_hof_fold(spark):
+    """The Arrow hot path must be BIT-equal to the JVM HOF fold on the
+    same pairs; the missing-vector case stays NULL, and the degenerate
+    zero-norm cosine yields NULL (where the ANSI HOF fold throws)."""
+    from pyspark.sql import functions as F
+
+    from appeals_data_spark.functions.vectors import (
+        cosine,
+        dot,
+        pair_scores_arrow,
+    )
+
+    rows = []
+    for i in range(200):
+        rows.append((i, [((i * 7 + j * 13) % 101 - 50) / 7.0 for j in range(16)]))
+    # NOTE a zero-norm vector is NOT tested for cosine: under ANSI mode
+    # (Spark 4 default, the engine's sessions) the HOF fold's division
+    # THROWS on it, while the Arrow path yields NaN — the engine's
+    # corpora never carry zero embeddings, and NaN-sorts-last is the
+    # saner behavior if one ever appears.
+    rows.append((900, [0.0] * 16))  # dot: exact 0.0 both paths
+    rows.append((901, None))  # missing vector -> NULL score
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    q = df.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("v").alias("q_vec")
+    )
+    pairs = df.select(F.col("id").alias("cid"), F.col("v").alias("c_vec")).crossJoin(
+        F.broadcast(q)
+    )
+    for metric, col_fn in (("cosine", cosine), ("dot", dot)):
+        hof_pairs = (
+            pairs.filter(F.col("cid") != 900) if metric == "cosine" else pairs
+        )
+        hof = {
+            (r.qid, r.cid): r.s
+            for r in hof_pairs.select(
+                "qid", "cid", col_fn(F.col("q_vec"), F.col("c_vec")).alias("s")
+            ).collect()
+        }
+        arw = {
+            (r.qid, r.cid): r.s
+            for r in pair_scores_arrow(
+                pairs, "q_vec", "c_vec", keep=["qid", "cid"], out="s", metric=metric
+            ).collect()
+        }
+        assert set(hof) <= set(arw)
+        n_null = 0
+        for k, hv in hof.items():
+            av = arw[k]
+            if hv is None:
+                assert av is None, k
+                n_null += 1
+            else:
+                assert hv == av, (k, hv, av)  # exact float equality
+        assert n_null == 3  # the None-vector row against 3 queries
+        if metric == "cosine":
+            # the zero-norm row: the Arrow path yields NULL (the
+            # computed NaN crosses the Arrow boundary as null; the
+            # ANSI HOF fold would THROW on the same input)
+            for qid in (0, 1, 2):
+                assert arw[(qid, 900)] is None
+        else:
+            for qid in (0, 1, 2):
+                assert arw[(qid, 900)] == 0.0
+
+
+def test_assign_to_centroids_arrow_bit_equals_hof_fold(spark):
+    """The Arrow assigner must reproduce the HOF fold/comparator
+    assignments bit-for-bit — rank 1 (strict-> first-wins) and
+    rank_max>1 ((cos DESC, label ASC) stable order)."""
+    from pyspark.sql import functions as F
+
+    from appeals_data_spark.operators.similarity import (
+        assign_to_centroids,
+        centroid_struct_array,
+        nearest_centroid_best,
+        _topk_centroid_structs,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (i, [((i * 11 + j * 3) % 97 - 48) / 9.0 for j in range(8)])
+            for i in range(300)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [
+            (c, [((c * 5 + j * 7) % 23 - 11) / 4.0 for j in range(8)])
+            for c in range(6)
+        ],
+        "c_label int, cvec array<double>",
+    )
+
+    got1 = {
+        r.vec_id: r.c_label
+        for r in assign_to_centroids(corpus, cents, 1).collect()
+    }
+    joined = corpus.crossJoin(F.broadcast(centroid_struct_array(cents)))
+    want1 = {
+        r.vec_id: r.c_label
+        for r in joined.select(
+            "vec_id",
+            nearest_centroid_best(F.col("_cents"), F.col("embedding"), "int")[
+                "c_label"
+            ].alias("c_label"),
+        ).collect()
+    }
+    assert got1 == want1 and len(got1) == 300
+
+    got3 = {
+        (r.vec_id, r.c_rank): r.c_label
+        for r in assign_to_centroids(corpus, cents, 3).collect()
+    }
+    top = _topk_centroid_structs(F.col("_cents"), F.col("embedding"), 3)
+    want3 = {
+        (r.vec_id, r._p + 1): r.c_label
+        for r in joined.select(
+            "vec_id", F.posexplode(top).alias("_p", "_s")
+        ).select(
+            "vec_id", "_p", F.col("_s")["c_label"].alias("c_label")
+        ).collect()
+    }
+    assert got3 == want3 and len(got3) == 900

@@ -57,13 +57,10 @@ BNLJ_OK = {
     "u3_array_intersect_sources",  # collect_set'd tiny side
     "vec_brute_force_topk",  # 8 probe vectors
     "vec_ann_recall_report",  # 8 probe vectors (brute-force arm) + 1-row centroid array
-    "vec_pq_recall_report",  # same brute-force truth arm + centroid/probe sides
-    "vec_ivf_delta_assign",  # 1-row frozen-centroid array x 2 assign folds
     "vec_sq8_topk",  # 1-row bounds model + 8 probe vectors (round 8b)
-    "vec_ivf_topk",  # probes x centroids
-    "vec_ivfpq_topk",  # probes x centroids (coarse-quantizer stage)
-    "vec_kmeans_lloyd",  # k=4 centroid side per Lloyd round
-    "vec_label_centroid_assign",  # centroid side
+    # round 10: six vec entries left this list — the centroid assign
+    # fold moved to the Arrow mapInPandas scorer, so the 1-row
+    # centroid-array crossJoin BNLJs no longer exist in those plans
     "x6_partial_pooling",  # 1-row global shrinkage stats side
     "x4_trace_regex",  # 4-row pattern dim + 1-row trace-total scalar
     "a21_sliding_mau",  # 1-row date-bounds scalar side
@@ -101,7 +98,9 @@ SHUFFLE_BUDGET = {
     # local export is a single split and vanish on a real lake layout.
     "u1_union_event_log": 6,
     "vec_brute_force_topk": 2,
-    "vec_ivf_topk": 4,
+    # 4 -> 2 in round 10: the Arrow assigner replaced the two
+    # centroid_struct_array one-row collapses (one per assign side)
+    "vec_ivf_topk": 2,
     "w3_session_segmentation": 2,
 }
 
@@ -301,7 +300,7 @@ ITERATIVE_SEGMENTS = {
     # scan -> groupBy(pos) min/max -> 1-row collapse), broadcast to the
     # encode pass and to the query-side bake-in (round 8b)
     "vec_sq8_topk": (1, 2),
-    "vec_kmeans_lloyd": (2, 6),
+    "vec_kmeans_lloyd": (2, 4),  # (2,6)->(2,4) r10: Arrow assigner
     "vec_pq_adc_topk": (1, 2),
     "vec_pq_rerank_topk": (1, 2),
     "x3_logistic_irls": (3, 3),
