@@ -28,7 +28,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def chars_of(word) -> F.Column:
@@ -105,7 +104,6 @@ def _train(
 ) -> tuple[DataFrame, DataFrame]:
     cur = words.select("word", "n", chars_of("word").alias("syms"))
     out: DataFrame | None = None
-    w = Window.orderBy(F.desc("pair_count"), F.asc("pa"), F.asc("pb"))
     for r in range(1, n_rounds + 1):
         pairs = cur.select("n", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
         counts = (
@@ -114,10 +112,29 @@ def _train(
             .groupBy("pa", "pb")
             .agg(F.sum("n").alias("pair_count"))
         )
+        # argmax via 1-row struct-min: (-count, pa, pb) lexicographic
+        # MIN is exactly the old (count DESC, pa ASC, pb ASC)
+        # row_number()=1 winner, but as a map-side-combinable aggregate
+        # — the old global-order window funneled the ENTIRE pair vocab
+        # through one partition's sort every round, the classic
+        # single-reducer bottleneck at 100 TB vocab sizes (round 10;
+        # winner identical, oracle hash unchanged). An empty counts
+        # frame aggregates to a NULL struct — filtered, preserving the
+        # empty-best loop exit below.
         best = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("pa", "pb", "pair_count")
+            counts.agg(
+                F.min(
+                    F.struct(
+                        (-F.col("pair_count")).alias("neg"), "pa", "pb"
+                    )
+                ).alias("_b")
+            )
+            .filter(F.col("_b").isNotNull())
+            .select(
+                F.col("_b.pa").alias("pa"),
+                F.col("_b.pb").alias("pb"),
+                (-F.col("_b.neg")).alias("pair_count"),
+            )
             .localCheckpoint()
         )
         if best.isEmpty():

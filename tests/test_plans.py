@@ -276,8 +276,14 @@ ITERATIVE_SEGMENTS = {
     "text_bigram_interp_logprob": (2, 1),  # occ (narrow) + vocab checkpoints
     "text_trigram_backoff_logprob": (1, 0),  # one narrow occ checkpoint feeds 5 count tables + scoring
     "text_hybrid_rrf_topk": (1, 1),  # shared BM25 doc-length checkpoint
-    "text_bpe_merges": (5, 5),
-    "text_bpe_vocab": (6, 5),
+    # (5,5)/(6,5) -> (5,8)/(6,8) in round 10: the per-round argmax
+    # moved from a global-order window (ONE single-partition exchange
+    # funneling the ENTIRE pair vocab through one reducer's sort) to a
+    # struct-min aggregate — one more exchange NODE per round, but the
+    # map-side combine collapses each to 1-row partials; identical
+    # winner, oracle hash unchanged.
+    "text_bpe_merges": (5, 8),
+    "text_bpe_vocab": (6, 8),
     "text_tfidf_topk": (1, 1),
     "text_unigram_logprob": (1, 1),
     # one checkpointed segment: the 1-row centroid struct-array model
