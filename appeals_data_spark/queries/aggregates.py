@@ -330,17 +330,21 @@ def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a14_ranked_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-th element by rank — the reference's docket-line computation
     ("date of the 4000th pending case", docket-model.R:285-293).
-    Global row_number is a single-partition sort of only the filtered
-    projection; at 100 TB pre-filter + project keeps that tractable
-    (or use approx quantile on the rank fraction instead)."""
+    ranked_head plans orderBy+limit as TakeOrderedAndProject
+    (per-partition top-k heads, driver merge) instead of funneling the
+    filtered projection through one task's global sort — same rows,
+    same ranks, no single-reducer stage (round 10)."""
+    from ..operators.rank import ranked_head
+
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderdate", "o_orderkey")
-    return (
-        o.filter(F.col("o_orderstatus") == "O")
-        .select("o_orderkey", "o_orderdate")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 100)
-    )
+    return ranked_head(
+        o.filter(F.col("o_orderstatus") == "O").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        100,
+        ["o_orderdate", "o_orderkey"],
+        rank_name="rn",
+    ).filter(F.col("rn") == 100)
 
 
 @register(

@@ -1849,11 +1849,11 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the sharded JVM fit (per-partition partial int64 sums, one
     # items-sized combine per round) — bit-identical strengths,
     # property-gated on an S>3e4 universe in tests/test_properties.py.
+    from ..operators.rank import ranked_head
+
     fit = bt_strengths(pairs, rounds=3)
-    wr = Window.orderBy(F.desc("p"), F.asc("i"))
     return (
-        fit.withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= 10)
+        ranked_head(fit, 10, [F.desc("p"), F.asc("i")])
         .select(
             "rnk",
             F.col("i").alias("suppkey"),

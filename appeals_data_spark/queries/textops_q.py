@@ -539,12 +539,10 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sym")
         .agg(F.sum("n").alias("occurrences"))
     )
-    from pyspark.sql.window import Window
+    from ..operators.rank import ranked_head
 
-    w = Window.orderBy(F.desc("occurrences"), F.asc("sym"))
     return (
-        vocab.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
+        ranked_head(vocab, 20, [F.desc("occurrences"), F.asc("sym")])
         .select("rnk", "sym", "occurrences")
         .orderBy("rnk")
     )
@@ -749,10 +747,10 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    from ..operators.rank import ranked_head
+
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 50)
+        ranked_head(counts, 50, [F.col("n").desc(), F.col("token")])
         .select("rnk", "token", "n")
         .orderBy("rnk")
     )
@@ -1032,12 +1030,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_bm25_doc_scores`` (shared with ``text_hybrid_rrf_topk``)."""
     from pyspark.sql.window import Window
 
+    from ..operators.rank import ranked_head
+
     d = load_table(spark, sf_dir, "documents")
     scored = _bm25_doc_scores(d, _BM25_TERMS)
-    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
+        ranked_head(scored, 10, [F.desc("bm25"), F.asc("doc_id")])
         .select("rnk", "doc_id", "bm25")
         .orderBy("rnk")
     )
@@ -1108,13 +1106,14 @@ def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    wlex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    lexk = (
-        _bm25_doc_scores(d, _BM25_TERMS)
-        .withColumn("lex_rnk", F.row_number().over(wlex))
-        .filter(F.col("lex_rnk") <= 20)
-        .select("doc_id", "lex_rnk")
-    )
+    from ..operators.rank import ranked_head
+
+    lexk = ranked_head(
+        _bm25_doc_scores(d, _BM25_TERMS),
+        20,
+        [F.desc("bm25"), F.asc("doc_id")],
+        rank_name="lex_rnk",
+    ).select("doc_id", "lex_rnk")
     densek = brute_force_topk(
         emb, emb.filter(F.col("vec_id") == 0), k=20
     ).select(F.col("corpus_id").alias("doc_id"), F.col("rank").alias("dense_rnk"))
@@ -1225,8 +1224,14 @@ def pipe_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("lp").cast("double") / F.count("*")).alias("score"),
         )
     )
-    banded = per_doc.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("score", "doc_id"))
+    # exact NTILE without the single-reducer global sort (the bare
+    # window funnels the whole per-doc frame through one task — the
+    # w15 probe measured that shape at 108x on 100x data); the helper
+    # is the two-phase distributed rank, bit-identical tiles
+    from ..operators.rank import global_ntile
+
+    banded = global_ntile(
+        per_doc, 10, ["score", "doc_id"], tile_name="decile"
     )
     return (
         banded.groupBy("decile")

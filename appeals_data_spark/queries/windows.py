@@ -677,55 +677,17 @@ def w15_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel; the only single-task work is the ≤nparts-row offset
     cumulation. Same answer, no global sort bottleneck — measured
     41.6 -> ~4s at sf10."""
+    from ..operators.rank import global_ntile
+
     o = load_table(spark, sf_dir, "orders")
-    nparts = 32
-    part = o.select("o_totalprice", "o_orderkey").repartitionByRange(
-        nparts, "o_totalprice", "o_orderkey"
+    banded = global_ntile(
+        o.select("o_totalprice", "o_orderkey"),
+        10,
+        ["o_totalprice", "o_orderkey"],
+        tile_name="decile",
     )
-    loc = part.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
-        ),
-    )
-    sizes = loc.groupBy("_pid").agg(F.count("*").alias("_c"))
-    # range partitions are ordered by _pid, so the exclusive running
-    # sum over the <=nparts-row size table is each partition's global
-    # offset; the single-partition window here sorts <=nparts rows.
-    offs = sizes.select(
-        "_pid",
-        F.coalesce(
-            F.sum("_c").over(
-                Window.orderBy("_pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ).alias("_off"),
-        F.sum("_c").over(
-            Window.orderBy("_pid").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("_n"),
-    )
-    ranked = loc.join(F.broadcast(offs), "_pid").select(
-        "o_totalprice",
-        (F.col("_off") + F.col("_rn") - 1).alias("_rank0"),
-        F.col("_n"),
-    )
-    # NTILE(10) front-loaded remainder on the exact global rank: the
-    # first N%10 tiles hold ceil(N/10) rows, the rest floor(N/10).
-    ceil_sz = F.floor((F.col("_n") + 9) / 10)
-    floor_sz = F.greatest(F.floor(F.col("_n") / 10), F.lit(1))
-    rem = F.col("_n") % 10
-    big = rem * ceil_sz
-    decile = (
-        F.when(F.col("_rank0") < big, F.floor(F.col("_rank0") / ceil_sz))
-        .otherwise(rem + F.floor((F.col("_rank0") - big) / floor_sz))
-        + 1
-    ).cast("int")
     return (
-        ranked.select("o_totalprice", decile.alias("decile"))
+        banded.select("o_totalprice", "decile")
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),
