@@ -94,6 +94,20 @@ def literal_dim(spark: SparkSession, rows, schema: str) -> DataFrame:
     )
 
 
+def input_split_count(df: DataFrame) -> int:
+    """Input file count as the split proxy (0 when unknowable).
+
+    ``df.rdd.getNumPartitions()`` would force a plan->RDD conversion
+    per call (driver-side latency on every query); the file listing is
+    already cached on the plan's FileIndex and answers the same
+    question — a scan can't have more initial splits than files when
+    files are small."""
+    try:
+        return len(df.inputFiles())
+    except Exception:
+        return 0
+
+
 def sized_for_compute(df: DataFrame) -> DataFrame:
     """Size partitions to the COMPUTE, not the bytes.
 
@@ -101,20 +115,11 @@ def sized_for_compute(df: DataFrame) -> DataFrame:
     downstream compute-heavy stage (Arrow/Python passes, per-row hash
     folds) single-threaded. The repartition is a cheap narrow shuffle
     relative to per-row compute cost; at 100 TB the export is already
-    many splits and this is a no-op.
+    many splits and this is a no-op (when it has at least ``target``
+    files the repartition is skipped).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    # df.rdd.getNumPartitions() would force a plan->RDD conversion per
-    # call (driver-side latency on every query); the file listing is
-    # already cached on the plan's FileIndex and answers the same
-    # question — a scan can't have more initial splits than files when
-    # files are small, and when it has at least `target` files the
-    # repartition is a no-op anyway.
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        n_files = 0
-    return df.repartition(target) if n_files < target else df
+    return df.repartition(target) if input_split_count(df) < target else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -148,9 +148,12 @@ def ratio_dec(n: Column, d: Column, scale: int = 12, int_digits: int = 2) -> Col
     in tests/test_portable_rounding.py).
 
     OUT of the declared domain (n/d >= 10^int_digits) both engines
-    yield NULL: Spark's decimal cast overflows to NULL (non-ANSI) and
-    the DuckDB twin uses TRY_CAST to match — one detectable failure
-    mode instead of a NULL-vs-exception asymmetry."""
+    yield NULL: the narrowing casts are try_cast on the Spark side
+    (the engine's sessions run ANSI mode, where a plain decimal cast
+    THROWS on overflow) and TRY_CAST in the DuckDB twin — one uniform,
+    detectable failure mode instead of a NULL-vs-exception asymmetry
+    (round-10 review fix: the first attempt made only the oracle
+    lenient)."""
     s_pow = 10**scale
     prec = scale + int_digits
     num = (
@@ -160,8 +163,8 @@ def ratio_dec(n: Column, d: Column, scale: int = 12, int_digits: int = 2) -> Col
     den = d.cast("decimal(20,0)") * F.lit(2).cast("decimal(1,0)")
     q = (num - num % den) / den  # exactly divisible -> exact at scale 6
     return (
-        q.cast(f"decimal({prec},0)") * F.lit(_Dec(1).scaleb(-scale))
-    ).cast(f"decimal({prec},{scale})")
+        q.try_cast(f"decimal({prec},0)") * F.lit(_Dec(1).scaleb(-scale))
+    ).try_cast(f"decimal({prec},{scale})")
 
 
 def sql_ratio_dec(n: str, d: str, scale: int = 12, int_digits: int = 2) -> str:
@@ -182,11 +185,13 @@ def sql_ratio_dec(n: str, d: str, scale: int = 12, int_digits: int = 2) -> str:
 
 
 def pin_dec(x: Column, scale: int = 6, prec: int = 18) -> Column:
-    """Bit-portable double->DECIMAL pin: floor(x·10^scale + 0.5)."""
+    """Bit-portable double->DECIMAL pin: floor(x·10^scale + 0.5).
+    Narrowing via try_cast — NULL (both engines) on domain breach, see
+    ratio_dec."""
     pinned = F.floor(x * F.lit(float(10**scale)) + F.lit(0.5))
     return (
-        pinned.cast(f"decimal({prec},0)") * F.lit(_Dec(1).scaleb(-scale))
-    ).cast(f"decimal({prec},{scale})")
+        pinned.try_cast(f"decimal({prec},0)") * F.lit(_Dec(1).scaleb(-scale))
+    ).try_cast(f"decimal({prec},{scale})")
 
 
 def sql_pin_dec(expr: str, scale: int = 6, prec: int = 18) -> str:

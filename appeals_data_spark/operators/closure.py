@@ -52,9 +52,9 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .localCheckpoint()
     )
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    from ..session import aqe_disabled
+
+    with aqe_disabled(spark):
         # loop-invariant edge frame: placed on the per-round join key
         # and sorted ONCE; the checkpoint records partitioning+ordering
         # (AQE off), so every round's join streams it exchange-free
@@ -93,5 +93,3 @@ def connected_components(
             if changed == 0:
                 break
         return labels
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)

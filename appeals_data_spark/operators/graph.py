@@ -88,9 +88,9 @@ def pagerank(
     # Iterative loops get nothing from AQE anyway (every round is
     # re-planned from a materialized checkpoint), so disable it for the
     # loop and restore after.
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    from ..session import aqe_disabled
+
+    with aqe_disabled(spark):
         # every frame below is explicitly hash-partitioned on its
         # per-round join key BEFORE its checkpoint, so the recorded
         # LogicalRDD partitioning lets Catalyst plan the loop joins
@@ -174,5 +174,3 @@ def pagerank(
                 .localCheckpoint()
             )
         return ranks
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)

@@ -334,7 +334,16 @@ def assign_to_centroids(
     of vec_ivf_topk at sf10 (~20s of 21s after the pair scorer moved).
     Null vectors keep the fold semantics: rank 1 -> NULL label;
     rank_max>1 -> the first rank_max labels in label order (what the
-    comparator's all-NULL-cos no-op sort sliced)."""
+    comparator's all-NULL-cos no-op sort sliced).
+
+    Degenerate-NaN caveat (the pair_scores_arrow class): a zero-norm
+    centroid or NaN-bearing vector produces NaN cosines — the HOF
+    reference either THROWS under ANSI mode (zero-norm: 0/0 division;
+    the engine's sessions run ANSI) or ranks NaN largest (Spark's
+    NaN-ordering for an input NaN), while this path never selects a
+    NaN score (IEEE strict > is false). No engine corpus carries zero
+    or NaN embeddings; never-select is the saner behavior if one ever
+    appears."""
     import numpy as np
     import pandas as pd
 

@@ -1087,6 +1087,70 @@ _DSIR_B = 256  # hashed-feature buckets (fixed: the model is B-sized)
 _DSIR_TARGET = ("src0", "src1", "src2", "src3")  # 'curated' exemplar
 
 
+def _dsir_report(spark: SparkSession, sf_dir: str, bucket_fn) -> DataFrame:
+    """Shared DSIR pipeline body for the portable/production twins:
+    everything except the feature hash (``bucket_fn``: bigram Column ->
+    bucket Column in [0, _DSIR_B)) is identical by construction, so a
+    formula or schema fix lands in both queries at once (round-10
+    review: the decimal->double final-cast fix had to be hand-applied
+    twice before this factoring)."""
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.trim(F.col("text")))
+    bg = d.select(
+        "doc_id",
+        "source",
+        F.explode(shingles(low, 2)).alias("g"),
+    ).select("doc_id", "source", bucket_fn(F.col("g")).alias("b"))
+    raw_c = bg.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt_c = (
+        bg.filter(F.col("source").isin(*_DSIR_TARGET))
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot = bg.agg(
+        F.count("*").cast("double").alias("nr"),
+        F.sum(F.col("source").isin(*_DSIR_TARGET).cast("int"))
+        .cast("double")
+        .alias("nt"),
+    )
+    lr = (
+        raw_c.join(tgt_c, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            pin_dec(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nt") + F.lit(float(_DSIR_B)))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("nr") + F.lit(float(_DSIR_B)))
+                )
+            ).alias("lr"),
+        )
+        .localCheckpoint()
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "source", "b")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg((F.sum(F.col("cnt") * F.col("lr"))).cast("decimal(28,6)").alias("w"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w").cast("decimal(38,6)").cast("double").alias("sum_weight"),
+            F.min("w").cast("decimal(28,6)").cast("double").alias("min_weight"),
+            F.max("w").cast("decimal(28,6)").cast("double").alias("max_weight"),
+            F.sum((F.col("w") > 0).cast("int")).cast("long").alias("n_target_like"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "pipe_dsir_importance",
     oracle=f"""
@@ -1159,64 +1223,10 @@ def pipe_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm-boundary op, pinned by ``pin_dec`` (bit-identical IEEE
     floor(x*1e6 + 0.5) on both engines — hardened after the round-8
     driver hash flip; see functions/scalars.py pin rationale)."""
-    d = load_table(spark, sf_dir, "documents")
-    low = F.lower(F.trim(F.col("text")))
-    bg = d.select(
-        "doc_id",
-        "source",
-        F.explode(shingles(low, 2)).alias("g"),
-    ).select(
-        "doc_id",
-        "source",
-        F.pmod(portable_hash48(F.col("g"), "dsir"), F.lit(_DSIR_B)).alias("b"),
-    )
-    raw_c = bg.groupBy("b").agg(F.count("*").alias("cr"))
-    tgt_c = (
-        bg.filter(F.col("source").isin(*_DSIR_TARGET))
-        .groupBy("b")
-        .agg(F.count("*").alias("ct"))
-    )
-    tot = bg.agg(
-        F.count("*").cast("double").alias("nr"),
-        F.sum(F.col("source").isin(*_DSIR_TARGET).cast("int"))
-        .cast("double")
-        .alias("nt"),
-    )
-    lr = (
-        raw_c.join(tgt_c, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            pin_dec(
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("nt") + F.lit(float(_DSIR_B)))
-                )
-                - F.log(
-                    (F.col("cr") + F.lit(1.0))
-                    / (F.col("nr") + F.lit(float(_DSIR_B)))
-                )
-            ).alias("lr"),
-        )
-        .localCheckpoint()
-    )
-    per_doc = (
-        bg.groupBy("doc_id", "source", "b")
-        .agg(F.count("*").alias("cnt"))
-        .join(F.broadcast(lr), "b")
-        .groupBy("doc_id", "source")
-        .agg((F.sum(F.col("cnt") * F.col("lr"))).cast("decimal(28,6)").alias("w"))
-    )
-    return (
-        per_doc.groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("w").cast("decimal(38,6)").cast("double").alias("sum_weight"),
-            F.min("w").cast("decimal(28,6)").cast("double").alias("min_weight"),
-            F.max("w").cast("decimal(28,6)").cast("double").alias("max_weight"),
-            F.sum((F.col("w") > 0).cast("int")).cast("long").alias("n_target_like"),
-        )
-        .orderBy("source")
+    return _dsir_report(
+        spark,
+        sf_dir,
+        lambda g: F.pmod(portable_hash48(g, "dsir"), F.lit(_DSIR_B)),
     )
 
 
@@ -1241,62 +1251,10 @@ def pipe_dsir_importance_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     different hash partitions bigrams into different buckets — but
     n_docs per source and the two linear passes are identical), so the
     rows-only check still pins row count and schema."""
-    d = load_table(spark, sf_dir, "documents")
-    low = F.lower(F.trim(F.col("text")))
-    bg = d.select(
-        "doc_id",
-        "source",
-        F.explode(shingles(low, 2)).alias("g"),
-    ).select(
-        "doc_id",
-        "source",
-        F.pmod(F.xxhash64(F.col("g"), F.lit("dsir")), F.lit(_DSIR_B)).alias("b"),
+    return _dsir_report(
+        spark,
+        sf_dir,
+        lambda g: F.pmod(F.xxhash64(g, F.lit("dsir")), F.lit(_DSIR_B)),
     )
-    raw_c = bg.groupBy("b").agg(F.count("*").alias("cr"))
-    tgt_c = (
-        bg.filter(F.col("source").isin(*_DSIR_TARGET))
-        .groupBy("b")
-        .agg(F.count("*").alias("ct"))
-    )
-    tot = bg.agg(
-        F.count("*").cast("double").alias("nr"),
-        F.sum(F.col("source").isin(*_DSIR_TARGET).cast("int"))
-        .cast("double")
-        .alias("nt"),
-    )
-    lr = (
-        raw_c.join(tgt_c, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            pin_dec(
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("nt") + F.lit(float(_DSIR_B)))
-                )
-                - F.log(
-                    (F.col("cr") + F.lit(1.0))
-                    / (F.col("nr") + F.lit(float(_DSIR_B)))
-                )
-            ).alias("lr"),
-        )
-        .localCheckpoint()
-    )
-    per_doc = (
-        bg.groupBy("doc_id", "source", "b")
-        .agg(F.count("*").alias("cnt"))
-        .join(F.broadcast(lr), "b")
-        .groupBy("doc_id", "source")
-        .agg((F.sum(F.col("cnt") * F.col("lr"))).cast("decimal(28,6)").alias("w"))
-    )
-    return (
-        per_doc.groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("w").cast("decimal(38,6)").cast("double").alias("sum_weight"),
-            F.min("w").cast("decimal(28,6)").cast("double").alias("min_weight"),
-            F.max("w").cast("decimal(28,6)").cast("double").alias("max_weight"),
-            F.sum((F.col("w") > 0).cast("int")).cast("long").alias("n_target_like"),
-        )
-        .orderBy("source")
-    )
+
+

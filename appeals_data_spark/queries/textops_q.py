@@ -740,7 +740,6 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition top-k before the final ordering; the synthetic vocab
     is small enough to rank directly."""
     d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window
 
     counts = (
         d.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
@@ -1028,7 +1027,6 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with real document-length normalization (unlike text_tfidf_topk's
     per-source keyword view). Scoring contract and scale shape live in
     ``_bm25_doc_scores`` (shared with ``text_hybrid_rrf_topk``)."""
-    from pyspark.sql.window import Window
 
     from ..operators.rank import ranked_head
 
@@ -1209,7 +1207,6 @@ def pipe_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank or approx-quantile band edges (the w15_ntile_deciles
     trade documented there)."""
     from pyspark.sql.functions import broadcast
-    from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
@@ -1342,14 +1339,11 @@ def pipe_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-op)."""
     from pyspark import StorageLevel
 
-    from ..catalog import sized_for_compute
+    from ..catalog import input_split_count, sized_for_compute
     from ..ml.svm import pegasos_linear_svm
 
     d = load_table(spark, sf_dir, "documents")
-    try:
-        n_splits = len(d.inputFiles())
-    except Exception:
-        n_splits = 0
+    n_splits = input_split_count(d)
     d = sized_for_compute(d)
     ntok = token_count("text")
     swr = stopword_ratio("text")

@@ -90,3 +90,45 @@ def get_spark(
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# -- scoped AQE toggle for iterative loops -------------------------------------
+#
+# Checkpoints taken under AQE record UnknownPartitioning (the round-10
+# loop-discipline finding, operators/graph.py), so the iterative
+# operators disable AQE for their loop and restore it after. The conf
+# is SESSION-GLOBAL: a naive save/set/restore pair is not reentrant —
+# two interleaved loops on the same session could each save the
+# other's "false" and leave AQE off for every later query. This
+# context manager refcounts per session id: only the OUTERMOST enter
+# saves the ambient value and only the matching outermost exit
+# restores it. (Queries planned by OTHER threads while a loop holds
+# the toggle still plan without AQE — unavoidable for a session-wide
+# conf; the engine's harnesses run queries sequentially.)
+
+import threading as _threading
+from contextlib import contextmanager as _contextmanager
+
+_AQE_LOCK = _threading.Lock()
+_AQE_STATE: dict[str, tuple[int, str]] = {}  # session id -> (depth, saved)
+
+
+@_contextmanager
+def aqe_disabled(spark: SparkSession):
+    key = spark.sparkContext.applicationId
+    with _AQE_LOCK:
+        depth, saved = _AQE_STATE.get(key, (0, "true"))
+        if depth == 0:
+            saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        _AQE_STATE[key] = (depth + 1, saved)
+    try:
+        yield
+    finally:
+        with _AQE_LOCK:
+            depth, saved = _AQE_STATE[key]
+            if depth == 1:
+                spark.conf.set("spark.sql.adaptive.enabled", saved)
+                del _AQE_STATE[key]
+            else:
+                _AQE_STATE[key] = (depth - 1, saved)

@@ -52,9 +52,10 @@ def merge_into(
     insert-or-update shape of flag_flip.R's OTHDOCS branch. ``updates``
     must carry the target's full schema (construct the updated row as
     the reference scripts do). With ``partition_cols`` the rewrite is
-    scoped to the partitions present in ``updates`` via dynamic
-    partition overwrite; files of untouched partitions are not
-    rewritten.
+    scoped — via dynamic partition overwrite — to the partitions the
+    updates land in plus any partition currently holding a matched key
+    (so a moved row deletes its stale copy); files of all other
+    partitions are not rewritten.
     """
     target = spark.read.parquet(path)
     missing = [c for c in target.columns if c not in updates.columns]
@@ -64,17 +65,23 @@ def merge_into(
         )
     updates = updates.select(*target.columns)  # align column order
     if partition_cols:
-        bad = [c for c in partition_cols if c in keys]
-        if bad:
-            # a key that is also a partition column is fine semantically,
-            # but a MOVED row (same key, new partition value) would leave
-            # the stale copy in the old partition untouched — refuse
-            # rather than silently duplicate.
-            raise ValueError(
-                "merge_into: partition columns cannot overlap merge keys "
-                f"({bad}): a re-partitioned row would strand its old copy"
-            )
-        parts = updates.select(*partition_cols).distinct()
+        # Affected partitions = the partitions the updates LAND in,
+        # UNION the partitions currently HOLDING a matched key: an
+        # update row whose partition value changed (a moved row) must
+        # delete its stale copy from the old partition, or the table
+        # silently carries two rows for one key (round-10 review fix —
+        # the first version only rewrote the landing partitions, and
+        # guarded the one configuration where a move is impossible).
+        # The old-copy lookup is a read-only key semi-join over the
+        # table; when every key column is also a partition column the
+        # two sets coincide and the union dedups away.
+        upd_parts = updates.select(*partition_cols).distinct()
+        old_parts = (
+            target.join(F.broadcast(updates.select(*keys).distinct()), keys, "left_semi")
+            .select(*partition_cols)
+            .distinct()
+        )
+        parts = upd_parts.unionByName(old_parts).distinct()
         affected = target.join(F.broadcast(parts), partition_cols, "left_semi")
         merged = affected.join(
             F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"

@@ -55,23 +55,26 @@ EXPECTED = {
     "queries/events_q.py": 4,
     "queries/joins.py": 7,
     # +2 in round 8b: pipe_dsir_importance (1-row totals scalar, 256-row
-    # fixed-B log-ratio model).
-    # +2 in round 10: pipe_dsir_importance_prod, the xxhash64 twin —
-    # the same 1-row totals scalar and 256-row model.
-    "queries/pipeline_q.py": 11,
+    # fixed-B log-ratio model). Round 10 factored the portable/prod
+    # twins onto one shared _dsir_report body, so those two sites are
+    # counted once.
+    "queries/pipeline_q.py": 9,
     "queries/setops.py": 1,
     "queries/skew_q.py": 1,
     "queries/sources_q.py": 1,
     # round 10: merge_into — the updates side is repair-sized by
     # contract (the reference scripts loop over dozens of keys): the
-    # touched-partition filter, and the key anti-joins on both the
-    # partitioned and unpartitioned arms.
-    "sources/merge.py": 3,
+    # affected-partition filter, the moved-row old-partition lookup
+    # semi-join, and the key anti-joins on both the partitioned and
+    # unpartitioned arms.
+    "sources/merge.py": 4,
     "queries/survival_q.py": 3,
     "queries/textops_q.py": 5,
     "queries/vector_q.py": 7,
     # +1 in round 8b: w15's <=nparts-row partition-offset table.
-    "queries/windows.py": 1,
+    # round 10: w15's offset broadcast moved into the shared
+    # two-phase-rank helper (<=nparts-row partition-offset table)
+    "operators/rank.py": 1,
     
     "streaming/doc_stream.py": 1,
     "streaming/vec_stream.py": 1,

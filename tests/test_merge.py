@@ -108,20 +108,48 @@ def test_merge_composite_key(spark, tmp_path):
     assert got == {(10, 1): "P", (10, 2): "P", (11, 1): "P"}
 
 
-def test_merge_refuses_key_overlapping_partition(spark, tmp_path):
+def test_merge_moved_row_deletes_stale_partition_copy(spark, tmp_path):
+    """An update whose partition value CHANGED must remove the old
+    copy from its previous partition — the silent-duplicate hazard the
+    round-10 review reproduced (key 2 living in both yr=1996 and its
+    new partition)."""
     path = str(tmp_path / "t")
     _seed(spark, path)
-    with pytest.raises(ValueError, match="partition columns cannot overlap"):
-        merge_into(
-            spark,
-            path,
-            spark.createDataFrame(
-                [(9, 1996, "ADV", 0.0)],
-                "bfkey long, yr int, status string, amt double",
-            ),
-            keys=["bfkey", "yr"],
-            partition_cols=["yr"],
-        )
+    # bfkey=2 moves from yr=1996 to yr=1997
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(2, 1997, "ACT", 22.0)],
+            "bfkey long, yr int, status string, amt double",
+        ),
+        keys=["bfkey"],
+        partition_cols=["yr"],
+    )
+    rows = spark.read.parquet(path).collect()
+    got = {r["bfkey"]: (r["yr"], r["status"], r["amt"]) for r in rows}
+    assert len(rows) == 4  # no duplicate for bfkey=2
+    assert got[2] == (1997, "ACT", 22.0)
+    assert got[1] == (1996, "ADV", 10.0)  # old partition's other row kept
+
+
+def test_merge_key_overlapping_partition_ok(spark, tmp_path):
+    # keys covering the partition column is the SAFE configuration (a
+    # key match implies same partition) — must work, not be refused
+    path = str(tmp_path / "t2k")
+    _seed(spark, path)
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(9, 1996, "ADV", 0.5)],
+            "bfkey long, yr int, status string, amt double",
+        ),
+        keys=["bfkey", "yr"],
+        partition_cols=["yr"],
+    )
+    got = {r["bfkey"] for r in spark.read.parquet(path).collect()}
+    assert got == {1, 2, 3, 4, 9}
 
 
 def test_merge_refuses_schema_mismatch(spark, tmp_path):
