@@ -77,12 +77,13 @@ def pair_scores_arrow(
     are dropped (no Arrow back-transfer of payload arrays).
 
     Null semantics match the HOF fold: a NULL on either side yields a
-    NULL score. Degenerate zero-norm cosine (0/0): the HOF fold THROWS
-    under ANSI mode (the engine's sessions — Spark 4 default), while
-    this path yields NULL (the computed NaN crosses the Arrow boundary
-    as null, Spark's pandas-NaN-is-missing convention) — lenient and
-    sorts last in a desc top-k window; no corpus here carries zero
-    embeddings. Gated in tests/test_ann_recall.py.
+    NULL score. Degenerate zero-norm cosine (0/0): the HOF fold's
+    double division follows IEEE and yields NaN (ANSI divide-by-zero
+    errors apply to integral/decimal operands only), while this path
+    yields NULL (the computed NaN crosses the Arrow boundary as null,
+    Spark's pandas-NaN-is-missing convention) — NaN-vs-NULL differ in
+    desc-sort position, but no corpus here carries zero embeddings.
+    Gated in tests/test_ann_recall.py.
     """
     import numpy as np
     import pandas as pd

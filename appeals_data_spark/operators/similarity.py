@@ -338,11 +338,12 @@ def assign_to_centroids(
 
     Degenerate-NaN caveat (the pair_scores_arrow class): a zero-norm
     centroid or NaN-bearing vector produces NaN cosines — the HOF
-    reference either THROWS under ANSI mode (zero-norm: 0/0 division;
-    the engine's sessions run ANSI) or ranks NaN largest (Spark's
-    NaN-ordering for an input NaN), while this path never selects a
-    NaN score (IEEE strict > is false). No engine corpus carries zero
-    or NaN embeddings; never-select is the saner behavior if one ever
+    reference yields NaN for the zero-norm 0/0 (double division
+    follows IEEE even under ANSI; divide-by-zero errors apply to
+    integral/decimal operands only) and ranks NaN largest (Spark's
+    NaN-ordering), while this path never selects a NaN score (IEEE
+    strict > is false). No engine corpus carries zero or NaN
+    embeddings; never-select is the saner behavior if one ever
     appears."""
     import numpy as np
     import pandas as pd

@@ -2083,11 +2083,12 @@ def x3_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("ties").cast("double") / (n_d * (n_d - F.lit(1.0)))
     )
     # degenerate all-tied group: the tie correction zeroes the
-    # variance — Spark's 0.0/0.0 THROWS under ANSI mode (the engine's
-    # sessions; it would be NaN with ANSI off) while DuckDB returns
-    # NULL — so guard BOTH engines with the identical var > 0
-    # predicate (same IEEE double expression, so the branch taken is
-    # engine-identical and the division is never evaluated on it)
+    # variance — Spark's double 0.0/0.0 follows IEEE and yields NaN
+    # (ANSI divide-by-zero errors apply to integral/decimal operands
+    # only) while DuckDB returns NULL — a hash asymmetry, so guard
+    # BOTH engines with the identical var > 0 predicate (same IEEE
+    # double expression, so the branch taken is engine-identical and
+    # the division is never evaluated on it)
     z = F.when(var > F.lit(0.0),
                (u.cast("double") - na_d * nb_d / F.lit(2.0)) / F.sqrt(var))
     return a.select(

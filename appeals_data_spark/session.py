@@ -100,22 +100,30 @@ def get_spark(
 # is SESSION-GLOBAL: a naive save/set/restore pair is not reentrant —
 # two interleaved loops on the same session could each save the
 # other's "false" and leave AQE off for every later query. This
-# context manager refcounts per session id: only the OUTERMOST enter
-# saves the ambient value and only the matching outermost exit
-# restores it. (Queries planned by OTHER threads while a loop holds
-# the toggle still plan without AQE — unavoidable for a session-wide
-# conf; the engine's harnesses run queries sequentially.)
+# context manager refcounts per SparkSession OBJECT (id(spark), not
+# applicationId: the conf is per-session while applicationId is
+# per-CONTEXT, so two sessions sharing one context — newSession() —
+# would otherwise share a depth counter while setting separate confs,
+# and one session's restore could be skipped or applied to the wrong
+# session). Entries are created on the outermost enter and deleted on
+# the matching outermost exit (the contextmanager's ``finally``
+# guarantees it), so a recycled id() can never see a stale entry.
+# Only the OUTERMOST enter saves the ambient value and only the
+# matching outermost exit restores it. (Queries planned by OTHER
+# threads on the SAME session while a loop holds the toggle still
+# plan without AQE — unavoidable for a session-wide conf; the
+# engine's harnesses run queries sequentially.)
 
 import threading as _threading
 from contextlib import contextmanager as _contextmanager
 
 _AQE_LOCK = _threading.Lock()
-_AQE_STATE: dict[str, tuple[int, str]] = {}  # session id -> (depth, saved)
+_AQE_STATE: dict[int, tuple[int, str]] = {}  # id(session) -> (depth, saved)
 
 
 @_contextmanager
 def aqe_disabled(spark: SparkSession):
-    key = spark.sparkContext.applicationId
+    key = id(spark)
     with _AQE_LOCK:
         depth, saved = _AQE_STATE.get(key, (0, "true"))
         if depth == 0:

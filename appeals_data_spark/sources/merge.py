@@ -64,6 +64,23 @@ def merge_into(
             f"merge_into: updates frame lacks target columns {missing}"
         )
     updates = updates.select(*target.columns)  # align column order
+    # MERGE semantics require each target row to match AT MOST ONE
+    # source row; duplicate keys in ``updates`` would silently insert
+    # twice (the anti-join removes the one matched target row but the
+    # union appends every update row). Delta/Iceberg raise here; so do
+    # we. The updates frame is repair-sized, so the two counts are a
+    # broadcast-scale job, and ``updates`` is cached first so the
+    # validation pass and the merge read one computation.
+    updates = updates.cache()
+    n_rows = updates.count()
+    n_keys = updates.select(*keys).distinct().count()
+    if n_rows != n_keys:
+        updates.unpersist()
+        raise ValueError(
+            f"merge_into: updates has {n_rows} rows but only {n_keys} "
+            f"distinct keys {keys}; MERGE requires at most one source "
+            "row per key (deduplicate the updates frame first)"
+        )
     if partition_cols:
         # Affected partitions = the partitions the updates LAND in,
         # UNION the partitions currently HOLDING a matched key: an
@@ -88,6 +105,19 @@ def merge_into(
         ).unionByName(updates)
         # materialize BEFORE overwriting the files the plan reads from
         merged = merged.localCheckpoint()
+        # A moved row can EMPTY its source partition: merged then has
+        # zero rows for that partition, and dynamic partition overwrite
+        # only rewrites partitions PRESENT in the output — the stale
+        # directory would survive untouched (round-11 review fix).
+        # Diff the affected-partition set against merged's partitions
+        # and delete the emptied directories explicitly. Both sets are
+        # repair-sized (bounded by the updates frame), so the collect
+        # is a few rows, never data-scale.
+        emptied = parts.join(
+            merged.select(*partition_cols).distinct(),
+            partition_cols,
+            "left_anti",
+        ).collect()
         (
             merged.repartition(*[merged[c] for c in partition_cols])
             .write.mode("overwrite")
@@ -95,9 +125,25 @@ def merge_into(
             .partitionBy(*partition_cols)
             .parquet(path)
         )
+        if emptied:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            HPath = jvm.org.apache.hadoop.fs.Path
+            fs = HPath(path).getFileSystem(hconf)
+            for row in emptied:
+                # Hive-style dir layout: k1=v1/k2=v2. Values here come
+                # from the table's own partition columns read back, so
+                # str() matches the directory encoding for the scalar
+                # types parquet partitioning produces (int/str/date).
+                sub = "/".join(f"{c}={row[c]}" for c in partition_cols)
+                p = HPath(f"{path.rstrip('/')}/{sub}")
+                if fs.exists(p):
+                    fs.delete(p, True)
+        updates.unpersist()
     else:
         merged = target.join(
             F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
         ).unionByName(updates)
         merged = merged.localCheckpoint()
         merged.write.mode("overwrite").parquet(path)
+        updates.unpersist()

@@ -152,6 +152,57 @@ def test_merge_key_overlapping_partition_ok(spark, tmp_path):
     assert got == {1, 2, 3, 4, 9}
 
 
+def test_merge_moved_row_empties_source_partition(spark, tmp_path):
+    """The round-11 review repro: the moved row is the ONLY row in its
+    source partition. The merged frame then has zero rows for that
+    partition, and dynamic partition overwrite never rewrites a
+    partition absent from the output — the stale directory must be
+    deleted explicitly or the table silently holds two rows for one
+    key."""
+    path = str(tmp_path / "t3")
+    spark.createDataFrame(
+        [(1, 1996, "ADV", 10.0), (3, 1997, "ACT", 30.0)],
+        "bfkey long, yr int, status string, amt double",
+    ).repartition("yr").write.partitionBy("yr").parquet(path)
+    # bfkey=1 is yr=1996's ONLY row; move it to yr=1998
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, 1998, "HIS", 11.0)],
+            "bfkey long, yr int, status string, amt double",
+        ),
+        keys=["bfkey"],
+        partition_cols=["yr"],
+    )
+    rows = spark.read.parquet(path).collect()
+    got = {r["bfkey"]: (r["yr"], r["status"], r["amt"]) for r in rows}
+    assert len(rows) == 2  # no stale yr=1996 copy of bfkey=1
+    assert got == {1: (1998, "HIS", 11.0), 3: (1997, "ACT", 30.0)}
+    assert not os.path.isdir(os.path.join(path, "yr=1996"))
+
+
+def test_merge_refuses_duplicate_update_keys(spark, tmp_path):
+    """MERGE requires at most one source row per key — duplicate keys
+    in updates would silently insert twice (Delta/Iceberg raise; so do
+    we)."""
+    path = str(tmp_path / "t4")
+    _seed(spark, path)
+    with pytest.raises(ValueError, match="distinct keys"):
+        merge_into(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(2, 1996, "ACT", 21.0), (2, 1996, "HIS", 22.0)],
+                "bfkey long, yr int, status string, amt double",
+            ),
+            keys=["bfkey"],
+            partition_cols=["yr"],
+        )
+    # table unchanged
+    assert spark.read.parquet(path).count() == 4
+
+
 def test_merge_refuses_schema_mismatch(spark, tmp_path):
     path = str(tmp_path / "t2")
     _seed(spark, path)
