@@ -552,7 +552,7 @@ def _block_slices(
     )
 
 
-def pq_encode(
+def pq_encode_hof(
     corpus: DataFrame,
     codebooks: DataFrame,
     m: int = 8,
@@ -561,12 +561,14 @@ def pq_encode(
     vec_col: str = "embedding",
     round_dp: int = 6,
 ) -> DataFrame:
-    """Encode every vector as ``m`` one-byte-ish codes: per block, the
-    sub-centroid with the least squared distance (ties to the lowest
-    code). Output (id, block, code) — the compressed index. At 100 TB
-    this is THE storage win of PQ: m small ints per vector instead of
-    4·dim bytes, built in one broadcast-join pass over the corpus with
-    no shuffle wider than the code table itself."""
+    """Reference (expression-level) PQ encoder — the spec for
+    ``pq_encode`` and its differential gate; see pq_encode for the
+    semantics and the hot path. Kept JVM-side: explode blocks,
+    broadcast-join the codebooks, ROUND(l2sq, dp), (d, code)
+    struct-min argmin. Spark does not codegen HOF lambdas, so the
+    |corpus|·m·|codes| interpreted l2sq folds made this the vec
+    family's dominant remaining constant at 100× (round-10 verdict:
+    adc 23.8s vs ivf 4.65s)."""
     from ..functions.vectors import l2sq
 
     blocks = _block_slices(corpus, id_col, m, sub, id_col, vec_col)
@@ -586,6 +588,134 @@ def pq_encode(
         scored.groupBy(id_col, "block")
         .agg(F.min(F.struct("d", "code")).alias("_s"))
         .select(id_col, "block", F.col("_s.code").alias("code"))
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Encode every vector as ``m`` one-byte-ish codes: per block, the
+    sub-centroid with the least ROUND(l2sq, round_dp) (ties to the
+    lowest code). Output (id, block, code) — the compressed index. At
+    100 TB this is THE storage win of PQ: m small ints per vector
+    instead of 4·dim bytes, built in ONE narrow pass over the corpus
+    (no join, no shuffle) against the broadcast-small codebook.
+
+    Round 11 moved the hot path from the interpreted HOF fold
+    (``pq_encode_hof``, kept as the reference implementation) to an
+    Arrow ``mapInPandas`` encoder — the assign_to_centroids recipe:
+
+    * the codebook (m·|codes| rows — model-sized by construction) is
+      collected code-sorted to the driver;
+    * each Arrow batch computes every (row, block, code) squared
+      distance by dimension-major float64 accumulation — term for
+      term the HOF left fold's operation order, so raw distances are
+      bit-identical;
+    * the argmin replays the (ROUND(d, dp) ASC, code ASC) struct-min
+      EXACTLY: np.argmin picks the lowest-code raw minimum, and any
+      candidate within 10^-dp (+slack) of the raw minimum — the only
+      ones a half-ulp decimal rounding could promote — is re-judged
+      with the exact Spark rounding (BigDecimal-of-shortest-repr,
+      HALF_UP == Decimal(repr(x)).quantize(HALF_UP); both runtimes
+      derive the shortest round-trip decimal). Everything farther
+      than one decimal ulp can never flip, so the slow exact path
+      runs on near-ties only (typically zero rows).
+
+    Bit-equality vs pq_encode_hof is differential-gated in
+    tests/test_ann_recall.py; all three PQ consumers' oracle hashes
+    are unchanged (driver window r11). A NULL vector takes the
+    fold's all-NULL-d path: every candidate compares equal, so the
+    lowest code per block is emitted."""
+    import numpy as np
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cb_rows = codebooks.select("block", "code", "subvec").collect()
+    code_type = dict(codebooks.dtypes)["code"]
+    id_type = dict(corpus.dtypes)[id_col]
+    per_block: dict[int, tuple[list, "np.ndarray"]] = {}
+    for b in sorted({r["block"] for r in cb_rows}):
+        rows_b = sorted(
+            (r for r in cb_rows if r["block"] == b), key=lambda r: r["code"]
+        )
+        per_block[b] = (
+            [r["code"] for r in rows_b],
+            np.stack([np.asarray(r["subvec"], dtype=np.float64) for r in rows_b]),
+        )
+    quantum = Decimal(1).scaleb(-round_dp)
+    # one decimal ulp + double-representation slack: a candidate
+    # farther above the raw minimum cannot round below the minimum's
+    # rounded value (each rounding moves a value by <= half an ulp)
+    slack = float(quantum) * (1.0 + 1e-9)
+
+    def _spark_round(x: float) -> Decimal:
+        # Spark ROUND(double, dp): BigDecimal(shortest-repr).setScale(
+        # dp, HALF_UP). Python repr is the same shortest round-trip
+        # decimal, so this is the identical decimal quantization.
+        return Decimal(repr(x)).quantize(quantum, rounding=ROUND_HALF_UP)
+
+    def gen(batches):
+        for pdf in batches:
+            n_in = len(pdf)
+            if n_in == 0:
+                res = pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "block": pd.Series([], dtype=np.int32),
+                        "code": pd.Series([], dtype=object),
+                    }
+                )
+                yield res
+                continue
+            vv = pdf[vec_col].values
+            ids = pdf[id_col].values
+            mask = np.array([v is not None for v in vv])
+            X = (
+                np.stack(vv[mask]).astype(np.float64)
+                if mask.any()
+                else np.empty((0, m * sub))
+            )
+            out_ids, out_blocks, out_codes = [], [], []
+            for b, (codes_b, C) in per_block.items():
+                Xb = X[:, b * sub : (b + 1) * sub]
+                nc = C.shape[0]
+                D = np.zeros((X.shape[0], nc))
+                for k in range(sub):  # dimension-major = HOF fold order
+                    diff = Xb[:, k][:, None] - C[:, k][None, :]
+                    D += diff * diff
+                jmin = np.argmin(D, axis=1) if nc else np.array([], dtype=int)
+                if nc:
+                    dmin = D[np.arange(D.shape[0]), jmin]
+                    near = D <= (dmin[:, None] + slack)
+                    for i in np.nonzero(near.sum(axis=1) > 1)[0]:
+                        cand = np.nonzero(near[i])[0]
+                        jmin[i] = min(
+                            cand,
+                            key=lambda j: (_spark_round(D[i, j]), codes_b[j]),
+                        )
+                winners = iter(jmin)
+                for row_i in range(n_in):
+                    out_ids.append(ids[row_i])
+                    out_blocks.append(b)
+                    out_codes.append(
+                        codes_b[next(winners)] if mask[row_i] else codes_b[0]
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    "block": np.asarray(out_blocks, dtype=np.int32),
+                    "code": out_codes,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, block int, code {code_type}"
     )
 
 

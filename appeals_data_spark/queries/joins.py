@@ -518,6 +518,124 @@ def x1_derived_count_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x1_rr_hearing_postrem",
+    oracle="""
+    WITH flags AS (
+      SELECT o.o_orderkey,
+             CASE WHEN COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) > 0
+                  THEN 'Y' ELSE 'N' END AS rr_hearing,
+             CASE WHEN COUNT(CASE WHEN l.l_linestatus = 'F'
+                                   AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                             THEN 1 END) > 0
+                  THEN 'Y' ELSE 'N' END AS hearing_held_postrem
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey
+    ), pending AS (
+      SELECT o.o_custkey, o.o_orderstatus
+      FROM orders o LEFT JOIN flags f ON f.o_orderkey = o.o_orderkey
+      WHERE (o.o_orderstatus = 'O'
+             AND o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         OR (o.o_orderstatus = 'P'
+             AND (o.o_orderdate >= TIMESTAMP '1995-01-01'
+                  OR COALESCE(f.rr_hearing, 'N') = 'Y')
+             AND COALESCE(f.hearing_held_postrem, 'N') <> 'Y')
+    )
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_pending,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_advance,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_remand
+    FROM pending p
+    JOIN customer c ON p.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+    tags=("X1", "J6", "J7"),
+)
+def x1_rr_hearing_postrem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last two stored functions on the X1 list:
+    ``vacols.rr_hearing(BFKEY)`` and
+    ``vacols.hearing_held_postrem(BFKEY, BFDDEC)`` as used by the
+    pending-hearings cascade (reference scratch/hearings/by-ro.R:39-53:
+    REM cases are pending iff a hearing is requested/record-ready AND
+    no hearing was HELD after the remand decision date). Both are
+    per-case scalars derived from the child hearing table — the
+    classic X1 rewrite: ONE equi-join + grouped conditional counts
+    (the decision-date comparison rides the join as a residual
+    predicate, J6 shape), left-joined back as scalar columns (J7),
+    then the reference's two-arm pending filter and a per-office
+    (nation analog) rollup.
+
+    Scale: orders joins lineitem on the orderkey (SMJ, both sides
+    hash-partitioned on the key — no BNLJ; the 90-day comparison is a
+    residual inside the conditional count, never a join condition on
+    its own), one groupBy on the same key (no extra Exchange under
+    the join's partitioning), and the flags frame joins back to
+    orders on that key again. The nation dim broadcasts."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    flags = (
+        o.select("o_orderkey", "o_orderdate")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.when(
+                F.count(F.when(F.col("l_returnflag") == "R", 1)) > 0, "Y"
+            )
+            .otherwise("N")
+            .alias("rr_hearing"),
+            F.when(
+                F.count(
+                    F.when(
+                        (F.col("l_linestatus") == "F")
+                        & (
+                            F.col("l_shipdate")
+                            > F.timestamp_add("DAY", F.lit(90), F.col("o_orderdate"))
+                        ),
+                        1,
+                    )
+                )
+                > 0,
+                "Y",
+            )
+            .otherwise("N")
+            .alias("hearing_held_postrem"),
+        )
+    )
+    pending = (
+        o.join(flags, "o_orderkey", "left")
+        .where(
+            (
+                (F.col("o_orderstatus") == "O")
+                & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            )
+            | (
+                (F.col("o_orderstatus") == "P")
+                & (
+                    (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                    | (F.coalesce("rr_hearing", F.lit("N")) == "Y")
+                )
+                & (F.coalesce("hearing_held_postrem", F.lit("N")) != "Y")
+            )
+        )
+        .select("o_custkey", "o_orderstatus")
+    )
+    return (
+        pending.join(c, pending.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_pending"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_advance"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_remand"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
     "j20_rule_cascade_parent",
     oracle="""
     WITH seq AS (

@@ -83,97 +83,98 @@ def register(
 # valuable first. Cross-round driver union r1|r2|r3|r4|r5 covers ALL
 # registered queries.
 #
-# Round-10 rotation (EXECUTED this round): lead with the SIX queries
-# whose scale>=6 DECIMAL final columns tripped the driver's typed
-# hasher in r8/r9 (rows+schema green, values judge-verified
-# byte-identical; root cause was the OUTPUT TYPE CLASS, not the
-# arithmetic). All six now cast their final projections to DOUBLE on
-# both engines (functions/scalars.py ratio_dbl/pin_dbl + sql twins)
-# and tools/check.py gained a typed-Decimal comparison plus a lint
-# that FAILS any registered query whose final schema carries a
-# decimal with scale >= 2 — the class can't ship again. Their fresh
-# hash verdicts are the round's primary evidence. Then the TWELVE
-# r5-tier deferrals promised by the round-9 plan, then 32 of the 44
-# r6-latest-tier entries. TWELVE r6-tier queries defer to round 11,
+# Round-11 rotation (EXECUTED this round): lead with the two queries
+# that have NEVER held a driver verdict — pipe_dsir_importance_prod
+# (the round-10 rows-only scale twin; a window slot buys its
+# rows+schema verdict, the strongest check a rows-only entry can get)
+# and x1_rr_hearing_postrem (round-11 addition closing the X1
+# stored-function list). Then the PQ-encode consumers
+# vec_pq_adc_topk / vec_pq_rerank_topk, whose encode path moved off
+# the interpreted HOF this round (bit-identity pytest-gated, but a
+# changed plan deserves a fresh driver hash verdict; vec_ivfpq_topk,
+# the third consumer, rides in the r7 tier below). Then the TWELVE
+# r6-tier deferrals promised by the round-10 plan, then 34 of the 46
+# r7-latest-tier entries. TWELVE r7-tier queries defer to round 12,
 # each with continuous non-driver evidence in the meantime:
-#   a1_pricing_summary, j10_fuzzy_asof_match, j17_pit_backlog,
-#     u1_union_event_log — bench.py HEADLINE every round (j10/j17
-#     additionally golden-gated in tests/test_operators_golden.py);
-#   j2_left_join_order_counts — the J family holds ELEVEN fresh rows
-#     in this window (j3-j9, j12, j13, j15, j18, j20);
-#   p4_range_in_between — P family holds p7/p9/p11/p13/p14 rows;
-#   w1_lead_lag_gaps — W family holds w4/w5/w6/w7/w9 rows;
-#   o1_multikey_sort_head — o4 holds the O-family row;
-#   u2_union_dedup — u3 holds the U-family row; the dedup semantics
-#     are also exercised by the dedup_* window rows;
-#   r1_unpivot_measures — R family holds r2/r3/r4 rows;
-#   f3_date_arithmetic — F family holds f5/f9/f11 rows, and date
-#     arithmetic runs inside a12/o4/w-family window entries;
-#   a24_freq_items_bound — sketch-bound family gated in
-#     tests/test_approx_scale_paths.py; a22/a23 got fresh r9 rows.
+#   stream_tumbling_counts, stream_session_stats, stream_user_totals,
+#     stream_doc_curation, stream_centroid_occupancy, stream_lm_gate —
+#     availableNow==batch parity + restart/exactly-once gates in
+#     tests/test_streaming.py run every round;
+#   dedup_incremental_delta — streaming-parity gated likewise;
+#   vec_ann_recall_report, vec_kmeans_lloyd-adjacent recall paths —
+#     recall/bit-identity gates in tests/test_ann_recall.py
+#     (vec_kmeans_lloyd itself KEEPS its slot — its loop touches
+#     aqe_disabled, changed this round);
+#   mm_feature_rollup, mm_phash_near_dedup — codec+plumbing gates in
+#     tests/test_multimodal.py;
+#   skew_salted_agg — skew_salted_join twin swept r8; salting gates
+#     in tests/test_skew.py;
+#   s5_csv_dim_broadcast_join — CSV source gates in
+#     tests/test_sources.py.
 # The three rows-only sketches (dedup_minhash_lsh,
-# dedup_simhash_hamming, vec_lsh_topk) and the round-10 rows-only
-# addition pipe_dsir_importance_prod stay out of the window: a window
-# slot buys no hash verdict for them.
-# Round-11 plan: any round-10 additions/fixes lead, then the TWELVE
-# deferred r6 entries above, then the r7-latest tier (46, fills the
-# window). Simulate with
+# dedup_simhash_hamming, vec_lsh_topk) stay out of the window: each
+# has a full-oracle *_portable twin IN this window, and a slot buys
+# no hash verdict for the xxhash variants themselves.
+# Round-12 plan: any round-11 additions/fixes lead, then the twelve
+# deferred r7 entries above, then the oldest of the r8-latest tier
+# (48) to fill the window. Simulate with
 # `python tools/check.py --window 50 --vanilla` before shipping.
 _SWEEP_FIRST = [
-    # round-10 decimal-output fixes — fresh hash verdicts are the
-    # round's primary evidence
-    "text_cdc_chunks",
-    "text_cdc_cross_source",
-    "pipe_dsir_importance",
-    "x4_markov_stationary",
-    "j22_binned_range_join",
-    "text_zipf_fit",
-    # the twelve r5-tier deferrals promised by the round-9 plan
-    "a12_monthly_rollup",
-    "j1_revenue_by_nation",
-    "graph_pagerank_handoff",
-    "mm_decode_audio",
-    "pipe_source_caps",
-    "x6_holt_linear",
-    "x3_ab_welch_ttest",
-    "x3_mad_outliers",
-    "x6_logistic_glmm",
-    "x4_trace_regex",
-    "surv_cuminc",
-    "u7_event_endstates",
-    # r6-latest tier (32 of 44; deferrals justified above)
-    "dedup_paragraph_retention",
-    "f11_json_extract",
-    "f5_string_functions",
-    "f9_math_functions",
-    "j12_cross_source_join",
-    "j13_right_join_fillna",
-    "j15_anti_semi_join",
-    "j16_window_similarity_count",
-    "j18_cross_join_grid",
-    "j20_rule_cascade_parent",
-    "j3_composite_key_join",
-    "j4_wildcard_hierarchy_join",
-    "j5_concat_key_join",
-    "j6_nonequi_temporal_join",
-    "j8_argmax_latest_order",
-    "j9_self_join_pairs",
-    "o4_complete_weeks_only",
-    "p11_coalesce_least_greatest",
-    "p13_deterministic_topn",
-    "p14_complete_cases",
-    "p7_like_rlike",
-    "p9_case_when_derive",
-    "pipe_pii_blocklist_scrub",
-    "r2_pivot_event_matrix",
-    "r3_flags_long_confusion",
-    "r4_fixed_width_split",
-    "u3_array_intersect_sources",
-    "w4_topk_per_group",
-    "w5_variable_distance_lead",
-    "w6_cumulative_condition_flags",
-    "w7_dense_rank_group_index",
-    "w9_lead_offset_series",
+    # never-swept: the rows-only DSIR scale twin + the round-11
+    # X1 stored-function closure
+    "pipe_dsir_importance_prod",
+    "x1_rr_hearing_postrem",
+    # PQ-encode consumers changed this round
+    "vec_pq_adc_topk",
+    "vec_pq_rerank_topk",
+    # the twelve r6-tier deferrals promised by the round-10 plan
+    "a1_pricing_summary",
+    "j10_fuzzy_asof_match",
+    "j17_pit_backlog",
+    "u1_union_event_log",
+    "j2_left_join_order_counts",
+    "p4_range_in_between",
+    "w1_lead_lag_gaps",
+    "o1_multikey_sort_head",
+    "u2_union_dedup",
+    "r1_unpivot_measures",
+    "f3_date_arithmetic",
+    "a24_freq_items_bound",
+    # r7-latest tier (34 of 46; deferrals justified above)
+    "a6_rate_vs_group_total",
+    "a15_interval_overlap_months",
+    "a25_countmin_bound",
+    "x1_derived_count_scalars",
+    "s6_claims_ingest_report",
+    "mm_audio_fingerprint_dedup",
+    "mm_video_shingle_dedup",
+    "comp_time_to_first_ship",
+    "comp_outcome_rates",
+    "comp_backlog_reconstruction",
+    "comp_docket_projection",
+    "comp_exp_gap_fit",
+    "comp_decision_locs",
+    "comp_priorloc_parsers",
+    "surv_km_curve",
+    "closure_components",
+    "x3_linear_svm_eval",
+    "dedup_exact_summary",
+    "dedup_ngram_jaccard_adjacent",
+    "dedup_embedding_cosine",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "dedup_fuzzy_entity_names",
+    "text_gopher_filters",
+    "pipe_classifier_filter",
+    "vec_label_centroid_assign",
+    "vec_ivfpq_topk",
+    "vec_ivf_topk",
+    "vec_kmeans_lloyd",
+    "pipe_diverse_cluster_quota",
+    "pipe_contamination_overlap",
+    "pipe_curation_funnel",
+    "pipe_pack_sequences",
+    "pipe_decontam_bloom",
 ]
 
 

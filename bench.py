@@ -83,6 +83,47 @@ SECONDARY = [
 ]
 
 
+def _cpu_stat():
+    """Sample /proc/stat: (total_jiffies, steal_jiffies, ctxt, t).
+    Returns None on non-Linux — the fields then emit as null."""
+    try:
+        total = steal = ctxt = None
+        with open("/proc/stat") as f:
+            for line in f:
+                parts = line.split()
+                if parts[0] == "cpu":
+                    vals = [int(x) for x in parts[1:]]
+                    total = sum(vals)
+                    steal = vals[7] if len(vals) > 7 else 0
+                elif parts[0] == "ctxt":
+                    ctxt = int(parts[1])
+        if total is None or ctxt is None:
+            return None
+        return (total, steal, ctxt, time.time())
+    except OSError:
+        return None
+
+
+def _env_sample(before, after):
+    """steal% and context-switch rate over the timed region — the
+    self-adjudication record (round-11 verdict item: BENCH_r10's
+    secondary +87% was hypervisor steal, but the artifact carried no
+    steal field, so a driver-side reader needed a judge re-measure to
+    dismiss it). Dismissibility rule in BASELINE.md."""
+    if before is None or after is None:
+        return {"steal_pct": None, "ctxt_per_s": None}
+    dt_total = after[0] - before[0]
+    dt_wall = after[3] - before[3]
+    return {
+        "steal_pct": round(100.0 * (after[1] - before[1]) / dt_total, 2)
+        if dt_total > 0
+        else None,
+        "ctxt_per_s": round((after[2] - before[2]) / dt_wall)
+        if dt_wall > 0
+        else None,
+    }
+
+
 def _time_suite(spark, qs, sf_dir):
     """Two timed runs per query, returns (min-timings, first-run
     timings) — the headline suite's exact discipline."""
@@ -153,8 +194,11 @@ def main() -> None:
     # best-of-two. "value"/agg=min stays the headline (steady-state,
     # robust to one-off GC/compile stalls on a shared JVM); "first"
     # is the run-1-comparable single-pass number.
+    stat0 = _cpu_stat()
     timings, firsts = _time_suite(spark, qs, sf_dir)
+    stat_mid = _cpu_stat()
     sec_timings, sec_firsts = _time_suite(spark, sec_qs, sf_dir)
+    stat1 = _cpu_stat()
     total = round(sum(timings.values()), 3)
     try:
         load_avg = round(os.getloadavg()[0], 2)
@@ -170,9 +214,13 @@ def main() -> None:
         spark.stop()
     except Exception:
         pass
+    env_head = _env_sample(stat0, stat_mid)
+    env_sec = _env_sample(stat_mid, stat1)
     detail = {
         "metric": "headline_suite_seconds",
         "load_avg_1m": load_avg,
+        "steal_pct": env_head["steal_pct"],
+        "ctxt_per_s": env_head["ctxt_per_s"],
         "value": total,
         "runs_per_query": 2,
         "agg": "min",
@@ -182,6 +230,8 @@ def main() -> None:
         "first_run_queries": firsts,
         "secondary": {
             "value": round(sum(sec_timings.values()), 3),
+            "steal_pct": env_sec["steal_pct"],
+            "ctxt_per_s": env_sec["ctxt_per_s"],
             "queries": sec_timings,
             "first_run_value": round(sum(sec_firsts.values()), 3),
             "first_run_queries": sec_firsts,
@@ -204,6 +254,8 @@ def main() -> None:
     compact["secondary"] = {
         "value": detail["secondary"]["value"],
         "first_run_value": detail["secondary"]["first_run_value"],
+        "steal_pct": detail["secondary"]["steal_pct"],
+        "ctxt_per_s": detail["secondary"]["ctxt_per_s"],
     }
     line = json.dumps(compact)
     if len(line) > 1500:  # never regress past the capture window again

@@ -419,3 +419,60 @@ def test_assign_to_centroids_arrow_bit_equals_hof_fold(spark):
         ).collect()
     }
     assert got3 == want3 and len(got3) == 900
+
+
+def test_pq_encode_arrow_bit_equals_hof(spark):
+    """The Arrow PQ encoder must reproduce the HOF reference's codes
+    bit-for-bit: the (ROUND(d, 6) ASC, code ASC) struct-min winner per
+    (vector, block) — including the fixture corpus AND crafted
+    near-ties that force the exact decimal-rounding branch."""
+    from appeals_data_spark.operators.similarity import pq_encode_hof
+
+    # 1. fixture corpus, both production settings
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    for m, sub in ((16, 4), (32, 2)):
+        cb = pq_codebooks(emb, sub=sub).localCheckpoint()
+        want = {
+            (r.vec_id, r.block): r.code
+            for r in pq_encode_hof(emb, cb, m=m, sub=sub).collect()
+        }
+        got = {
+            (r.vec_id, r.block): r.code
+            for r in pq_encode(emb, cb, m=m, sub=sub).collect()
+        }
+        assert got == want and len(got) == emb.count() * m
+
+    # 2. crafted ties: codes 3 and 7 exactly equidistant from the
+    # vector (raw doubles equal) -> rounding can't separate them, the
+    # code tiebreak must pick 3; plus a sub-1e-6 near-tie where the
+    # rounded values DO decide (forces the Decimal re-judge path)
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0]),      # equidistant between (0.5,2.0) and (1.5,2.0)
+            (1, [1.0, 2.0 + 4e-7]),  # near-tie, decided at the 6th dp
+            (2, None),            # NULL vector -> lowest code per block
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cb2 = spark.createDataFrame(
+        [
+            (0, 3, [0.5, 2.0]),
+            (0, 7, [1.5, 2.0]),
+            (0, 9, [9.0, 9.0]),
+        ],
+        "block int, code int, subvec array<double>",
+    )
+    want2 = {
+        (r.vec_id, r.block): r.code
+        for r in pq_encode_hof(
+            corpus.filter("embedding IS NOT NULL"), cb2, m=1, sub=2
+        ).collect()
+    }
+    got2 = {
+        (r.vec_id, r.block): r.code
+        for r in pq_encode(corpus, cb2, m=1, sub=2).collect()
+    }
+    assert want2[(0, 0)] == 3  # exact tie -> lowest code
+    for k, v in want2.items():
+        assert got2[k] == v, (k, got2[k], v)
+    assert got2[(2, 0)] == 3  # NULL vector: all-NULL d -> lowest code
