@@ -22,6 +22,8 @@ from ..functions.scalars import (
     dsum,
     fiscal_year,
     month_trunc,
+    ratio_dbl,
+    sql_ratio_dbl,
 )
 from ..registry import register
 
@@ -793,14 +795,14 @@ def a23_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a24_freq_items_bound",
-    oracle="""
+    oracle=f"""
     WITH hh AS (
       SELECT o_orderpriority AS priority, COUNT(*) AS n,
              SUM(COUNT(*)) OVER () AS t
       FROM orders GROUP BY 1
     )
     SELECT priority, n,
-           ROUND(n * 1.0 / t, 6) AS share,
+           {sql_ratio_dbl("n", "t")} AS share,
            TRUE AS in_sketch
     FROM hh WHERE n > 0.15 * t ORDER BY priority
     """,
@@ -839,7 +841,10 @@ def a24_freq_items_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "priority",
             "n",
-            F.round(F.col("n") * 1.0 / F.col("t"), 6).alias("share"),
+            # ratio-of-integer-counts: the measured ROUND(double, s)
+            # tie-flip class (BASELINE.md round 9) — exact decimal
+            # half-up, double final projection (round-11 migration)
+            ratio_dbl(F.col("n"), F.col("t")).alias("share"),
             F.array_contains(F.col("p_freqItems"), F.col("priority")).alias(
                 "in_sketch"
             ),

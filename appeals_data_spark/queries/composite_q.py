@@ -12,7 +12,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.scalars import fiscal_year
+from ..functions.scalars import (
+    fiscal_year,
+    pin_dbl,
+    ratio_dbl,
+    sql_pin_dbl,
+    sql_ratio_dbl,
+)
 from ..registry import register
 
 
@@ -84,7 +90,7 @@ def comp_time_to_first_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "comp_outcome_rates",
-    oracle="""
+    oracle=f"""
     WITH lagg AS (
       SELECT l_orderkey,
              MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS had_return
@@ -102,10 +108,12 @@ def comp_time_to_first_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT fy, nation,
            COUNT(*) AS n_orders,
            CAST(SUM(had_return) AS BIGINT) AS n_with_return,
-           ROUND(CAST(SUM(had_return * finished) AS DOUBLE)
-                 / NULLIF(SUM(had_return), 0), 6) AS finish_rate_with_return,
-           ROUND(CAST(SUM((1 - had_return) * finished) AS DOUBLE)
-                 / NULLIF(SUM(1 - had_return), 0), 6) AS finish_rate_no_return
+           {sql_ratio_dbl("SUM(had_return * finished)",
+                          "NULLIF(SUM(had_return), 0)")}
+             AS finish_rate_with_return,
+           {sql_ratio_dbl("SUM((1 - had_return) * finished)",
+                          "NULLIF(SUM(1 - had_return), 0)")}
+             AS finish_rate_no_return
     FROM base
     GROUP BY fy, nation
     ORDER BY fy, nation
@@ -146,15 +154,15 @@ def comp_outcome_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.sum("had_return").alias("n_with_return"),
-            F.round(
-                F.sum(F.col("had_return") * F.col("finished")).cast("double")
-                / F.nullif(F.sum("had_return"), F.lit(0)),
-                6,
+            # count ratios: the ROUND(double, s) tie-flip class —
+            # exact decimal half-up, double final (round-11 migration)
+            ratio_dbl(
+                F.sum(F.col("had_return") * F.col("finished")),
+                F.nullif(F.sum("had_return"), F.lit(0)),
             ).alias("finish_rate_with_return"),
-            F.round(
-                F.sum((1 - F.col("had_return")) * F.col("finished")).cast("double")
-                / F.nullif(F.sum(1 - F.col("had_return")), F.lit(0)),
-                6,
+            ratio_dbl(
+                F.sum((1 - F.col("had_return")) * F.col("finished")),
+                F.nullif(F.sum(1 - F.col("had_return")), F.lit(0)),
             ).alias("finish_rate_no_return"),
         )
         .orderBy("fy", "nation")
@@ -306,7 +314,7 @@ def comp_docket_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "comp_exp_gap_fit",
-    oracle="""
+    oracle=f"""
     WITH gaps AS (
       SELECT date_diff('second', ts,
                LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
@@ -321,8 +329,8 @@ def comp_docket_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                / SUM(n) OVER () AS s
       FROM buckets
     )
-    SELECT ROUND(regr_slope(LN(s), t), 6) AS neg_lambda,
-           ROUND(regr_r2(LN(s), t), 6) AS r2,
+    SELECT {sql_pin_dbl("regr_slope(LN(s), t)")} AS neg_lambda,
+           {sql_pin_dbl("regr_r2(LN(s), t)")} AS r2,
            COUNT(*) AS n_points
     FROM surv WHERE t BETWEEN 1 AND 30 AND s > 0
     """,
@@ -363,8 +371,11 @@ def comp_exp_gap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
     )
     return agg.select(
-        F.round(F.col("sxy") / F.col("sxx"), 6).alias("neg_lambda"),
-        F.round(F.col("r") * F.col("r"), 6).alias("r2"),
+        # OLS ratios of double moments: the ROUND(double, s) tie-flip
+        # class — pinned via floor(x*1e6+0.5) (identical IEEE ops both
+        # engines), double final projection (round-11 migration)
+        pin_dbl(F.col("sxy") / F.col("sxx")).alias("neg_lambda"),
+        pin_dbl(F.col("r") * F.col("r")).alias("r2"),
         "n_points",
     )
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import literal_dim, load_table
-from ..functions.scalars import ratio_dec, sql_ratio_dec
+from ..functions.scalars import ratio_dbl, ratio_dec, sql_ratio_dbl, sql_ratio_dec
 from ..operators.pit import date_grid, pit_backlog
 from ..registry import REGISTRY, materialize_ctes, register
 
@@ -200,18 +200,21 @@ def x4_trace_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x4_transition_matrix",
-    oracle="""
+    oracle=f"""
     WITH seq AS (
       SELECT event_type,
              LEAD(event_type) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS next_type
       FROM events
+    ), counts AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
     )
-    SELECT event_type, next_type, COUNT(*) AS n,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS p
-    FROM seq WHERE next_type IS NOT NULL
-    GROUP BY event_type, next_type
+    SELECT event_type, next_type, n,
+           {sql_ratio_dbl("n", "SUM(n) OVER (PARTITION BY event_type)")}
+             AS p
+    FROM counts
     ORDER BY event_type, next_type
     """,
     tags=("X4", "W1", "A6"),
@@ -232,10 +235,10 @@ def x4_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "next_type",
         "n",
-        F.round(
-            F.col("n").cast("double")
-            / F.sum("n").over(Window.partitionBy("event_type")),
-            6,
+        # count ratio: the ROUND(double, s) tie-flip class — exact
+        # decimal half-up, double final (round-11 migration)
+        ratio_dbl(
+            F.col("n"), F.sum("n").over(Window.partitionBy("event_type"))
         ).alias("p"),
     ).orderBy("event_type", "next_type")
 

@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.scalars import fiscal_year
+from ..functions.scalars import (
+    fiscal_year,
+    pin_dbl,
+    ratio_dbl,
+    sql_pin_dbl,
+    sql_ratio_dbl,
+)
 from ..operators.survival import kaplan_meier, km_counts
 from ..registry import materialize_ctes, register
 
@@ -67,7 +73,7 @@ def surv_km_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "surv_km_curve",
-    oracle="""
+    oracle=f"""
     WITH rec AS (
       SELECT o_orderpriority AS stratum,
              CAST(30 + o_orderkey % 300 AS INT) AS duration,
@@ -94,8 +100,8 @@ def surv_km_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_risk AS BIGINT) AS n_risk,
            CAST(n_event AS BIGINT) AS n_event,
            CAST(n_censored AS BIGINT) AS n_censored,
-           ROUND(CASE WHEN MIN(f) OVER cum <= 0 THEN 0.0
-                 ELSE EXP(SUM(LN(GREATEST(f, 1e-300))) OVER cum) END, 6)
+           {sql_pin_dbl('''CASE WHEN MIN(f) OVER cum <= 0 THEN 0.0
+                 ELSE EXP(SUM(LN(GREATEST(f, 1e-300))) OVER cum) END''')}
              AS survival
     FROM frac
     WINDOW cum AS (PARTITION BY stratum ORDER BY t
@@ -113,7 +119,10 @@ def surv_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     km = kaplan_meier(
         _records(spark, sf_dir), "duration", "event", strata=["stratum"]
     )
-    return km.withColumn("survival", F.round("survival", 6))
+    # KM product (exp-of-log-sum double): the ROUND(double, s)
+    # tie-flip class — pinned via floor(x*1e6+0.5), identical IEEE
+    # ops in both engines (round-11 migration)
+    return km.withColumn("survival", pin_dbl(F.col("survival")))
 
 
 @register(
@@ -1573,7 +1582,7 @@ def _svm_oracle(lam: float = 0.05, iters: int = 10) -> str:
       FROM d CROSS JOIN it{iters}
     )
     SELECT (SELECT n FROM nn) AS n, tp, fp, tn, fn,
-           ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 6) AS accuracy,
+           {sql_ratio_dbl("tp + tn", "tp + fp + tn + fn")} AS accuracy,
            ROUND(w0, 5) AS w0, ROUND(w1, 5) AS w1, ROUND(w2, 5) AS w2
     FROM ev CROSS JOIN it{iters}""")
     return "".join(parts)
@@ -1672,10 +1681,11 @@ def x3_linear_svm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         "tn",
         "fn",
-        F.round(
-            (F.col("tp") + F.col("tn")).cast("double")
-            / (F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn")),
-            6,
+        # count ratio: the ROUND(double, s) tie-flip class — exact
+        # decimal half-up, double final (round-11 migration)
+        ratio_dbl(
+            F.col("tp") + F.col("tn"),
+            F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn"),
         ).alias("accuracy"),
         F.round("_w0", 5).alias("w0"),
         F.round("_w1", 5).alias("w1"),

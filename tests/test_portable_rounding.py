@@ -256,3 +256,44 @@ def test_mann_whitney_degenerate_all_tied_is_null_both_engines(spark):
         want = {s: z for s, _, _, _, z in con.sql(q.oracle).fetchall()}
         assert want["T"] is None
         assert got["H"] == want["H"]
+
+
+def test_a24_share_end_to_end_on_exact_tie_data(spark, tmp_path):
+    """Round-11 migration gate: a24_freq_items_bound's share moved
+    from ROUND(n*1.0/t, 6) — the measured engine-dependent tie class —
+    to ratio_dbl/sql_ratio_dbl. Crafted corpus: t = 8192 = 2^13 rows,
+    so any ODD heavy-hitter count n puts n·10^12/t on an EXACT
+    half-integer (10^12 carries exactly 2^12): the input where the
+    old formulation is engine-dependent and the pin must agree with
+    decimal half-up."""
+    import os
+
+    from appeals_data_spark.registry import all_queries
+
+    tmp = str(tmp_path)
+    t = 8192
+    n_heavy = 2457  # odd, share ~0.2999; 2·n·10^12 % t == 0, n·10^12 % t != 0
+    assert (2 * n_heavy * 10**12) % t == 0 and (n_heavy * 10**12) % t != 0
+    rows = [(i, "1-URGENT") for i in range(n_heavy)]
+    rows += [(n_heavy + i, "5-LOW") for i in range(t - n_heavy)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string"
+    ).coalesce(1).write.parquet(os.path.join(tmp, "orders.parquet"))
+
+    q = all_queries()["a24_freq_items_bound"]
+    got = {r["priority"]: r["share"] for r in q.builder(spark, tmp).collect()}
+    exp_heavy = float(
+        (Decimal(n_heavy) * Decimal(10) ** 12 / Decimal(t)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        )
+        / Decimal(10) ** 12
+    )
+    assert got["1-URGENT"] == exp_heavy
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp}/orders.parquet/*.parquet')"
+    )
+    want = {p: s for p, _, s, _ in con.sql(q.oracle).fetchall()}
+    assert got == want
