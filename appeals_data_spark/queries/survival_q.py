@@ -1755,31 +1755,24 @@ def _bt_oracle(iters: int = 3) -> str:
     return "".join(parts)
 
 
-def bt_pair_stats(li: DataFrame) -> DataFrame:
-    """Bradley-Terry pair statistics (sa < sb, #comparisons n, #wins w)
-    from lineitem — the distributed half of pref_bradley_terry, shared
-    with the size gate in tests/test_properties.py.
+def _bt_unit(li: DataFrame) -> DataFrame:
+    return li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("u"))
 
-    Ordered-pair generation: per-part supplier arrays sorted by
-    suppkey, then posexplode x slice(i+2..) emits exactly the
-    sk_a < sk_b half. sort_array orders struct(sk, u) by sk (unique
-    within part), so the a/b orientation matches the oracle's
-    a.sk < b.sk join predicate.
 
-    Single-Arrow-group bound: the result is item-pairs-sized — the
-    groupBy(sa, sb) caps it at C(S,2) rows for S distinct suppliers
-    REGARDLESS of fact-table size (32 bytes/row: ~1.6GB at 5e7 pair
-    rows, the applyInPandas comfort ceiling — crossed near S~1e4 at
-    full pair density, ~3*10^4 at the sparse densities real corpora
-    show). Beyond that bound ml/bt.py's bt_strengths switches to the
-    sharded JVM fit (implemented round 8, bit-identity property-gated);
-    the C(S,2) property gate asserts the bound holds on real data."""
-    unit = (
-        li.groupBy(
-            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-        )
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("u"))
-    )
+def bt_pair_stats_exploded(li: DataFrame) -> DataFrame:
+    """Reference (expression-level) pair generator — the spec for
+    bt_pair_stats and its differential gate (tests/test_properties.py).
+    Per-part supplier arrays sorted by suppkey, posexplode x
+    slice(i+2..) emits exactly the sk_a < sk_b half, then a full
+    groupBy(sa, sb) over the HALF-PAIR ROW STREAM. Correct, but the
+    Σ C(n_p, 2) pair rows (8.7M at sf0.1 -> 8.7B at sf100) hit the
+    exchange as struct-payload rows, and the partial hash aggregate
+    falls back to sort-based spilling when the per-partition distinct
+    key set outgrows memory — the measured >58 GB disk cost that made
+    sf100 the registry's only 1000x DNF (round-10 verdict)."""
+    unit = _bt_unit(li)
     grouped = unit.groupBy("pk").agg(
         F.sort_array(F.collect_list(F.struct("sk", "u"))).alias("xs")
     )
@@ -1799,7 +1792,126 @@ def bt_pair_stats(li: DataFrame) -> DataFrame:
             .cast("long")
             .alias("w"),
         )
-        .localCheckpoint()  # the fact-scale explosion runs exactly once
+        .localCheckpoint()
+    )
+
+
+def bt_pair_stats(li: DataFrame) -> DataFrame:
+    """Bradley-Terry pair statistics (sa < sb, #comparisons n, #wins w)
+    from lineitem — the distributed half of pref_bradley_terry, shared
+    with the size gate in tests/test_properties.py.
+
+    Round-11 scale shape (fixes the sf100 DNF): the half-pair table is
+    NEVER materialized as a row stream. ``unit`` (one row per
+    (part, supplier), fact-agg'd once) is RANGE-partitioned by part
+    key and sorted (pk, sk) within partitions; an Arrow ``mapInPandas``
+    pass then expands each part's C(n_p, 2) ordered pairs IN NUMPY
+    (size-class batched triu indices — suppliers sorted ascending per
+    part, so column i < column j gives sa < sb exactly like the
+    reference's a.sk < b.sk) and pre-aggregates them into per-chunk
+    (sa, sb, n, w) partials with a bounded accumulator (flushed above
+    ~4M distinct keys — downstream re-aggregation keeps flushes
+    correct). The exchange therefore carries compact int64 partials
+    bounded by the per-partition DISTINCT pair count, not the pair-row
+    count, and nothing ever sort-spills: at sf100 that is ~500M
+    partial rows instead of 8.7B struct rows (the 17x collapse is
+    what range partitioning buys — numerically adjacent part keys
+    share supplier universes, in the probe layout as in any
+    time-ordered real lake). A final groupBy(sa, sb) sums partials
+    into the item-pairs-sized table (C(S,2) cap, 500k at sf0.1).
+
+    Determinism: u doubles cross Arrow bit-exactly, the comparisons
+    (u_a != u_b, u_a < u_b) are the reference's, and n/w are integer
+    sums — partial flushing commutes. Bit-identity vs the exploded
+    reference is property-gated (tests/test_properties.py).
+
+    Single-Arrow-group bound (unchanged): the RESULT is item-pairs-
+    sized; ml/bt.py's bt_strengths switches to the sharded JVM fit
+    beyond 5e7 pair rows."""
+    import numpy as np
+    import pandas as pd
+
+    unit = _bt_unit(li)
+    FLUSH = 4_000_000
+
+    def gen(batches):
+        carry = None  # trailing (possibly incomplete) pk group
+        acc: list[pd.DataFrame] = []
+        acc_rows = 0
+
+        def expand(pk, sk, u):
+            # pairs for COMPLETE parts, vectorized per size-class
+            out = []
+            pks, starts, counts = np.unique(
+                pk, return_index=True, return_counts=True
+            )
+            for s in np.unique(counts):
+                if s < 2:
+                    continue
+                sel = starts[counts == s]
+                idx = sel[:, None] + np.arange(s)[None, :]
+                SK = sk[idx]
+                U = u[idx]
+                iu, ju = np.triu_indices(int(s), 1)
+                sa = SK[:, iu].ravel()
+                sb = SK[:, ju].ravel()
+                ua = U[:, iu].ravel()
+                ub = U[:, ju].ravel()
+                m = ua != ub
+                if not m.any():
+                    continue
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "sa": sa[m],
+                            "sb": sb[m],
+                            "n": np.ones(int(m.sum()), dtype=np.int64),
+                            "w": (ua[m] < ub[m]).astype(np.int64),
+                        }
+                    )
+                )
+            return out
+
+        def combined(frames):
+            df = pd.concat(frames, ignore_index=True)
+            g = df.groupby(["sa", "sb"], sort=False, as_index=False).sum()
+            return g
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pk = pdf["pk"].values
+            sk = pdf["sk"].values.astype(np.int64)
+            u = pdf["u"].values.astype(np.float64)
+            if carry is not None:
+                pk = np.concatenate([carry[0], pk])
+                sk = np.concatenate([carry[1], sk])
+                u = np.concatenate([carry[2], u])
+            # hold back the trailing pk group — it may continue in the
+            # next batch (rows are sorted by pk within the partition)
+            cut = np.searchsorted(pk, pk[-1], side="left")
+            carry = (pk[cut:], sk[cut:], u[cut:])
+            if cut == 0:
+                continue
+            acc.extend(expand(pk[:cut], sk[:cut], u[:cut]))
+            acc_rows = sum(len(a) for a in acc)
+            if acc_rows >= FLUSH:
+                yield combined(acc)
+                acc, acc_rows = [], 0
+        if carry is not None and len(carry[0]):
+            acc.extend(expand(*carry))
+        if acc:
+            yield combined(acc)
+
+    partials = (
+        unit.repartitionByRange("pk")
+        .sortWithinPartitions("pk", "sk")
+        .mapInPandas(gen, schema="sa long, sb long, n long, w long")
+    )
+    return (
+        partials.groupBy("sa", "sb")
+        .agg(F.sum("n").alias("n"), F.sum("w").alias("w"))
+        .localCheckpoint()  # the fact-scale expansion runs exactly once
     )
 
 

@@ -555,6 +555,33 @@ def test_bt_pair_stats_is_item_pairs_sized(spark):
     assert n_pairs < li.count(), n_pairs
 
 
+def test_bt_pair_stats_chunked_equals_exploded_reference(spark):
+    """The round-11 chunk-aggregated pair generator (range partition +
+    numpy triu expansion + bounded partial flush) must reproduce the
+    exploded reference's (sa, sb, n, w) table EXACTLY — the partial
+    flushing and size-class batching change only where integer sums
+    happen, never their values. Run at two SFs so the multi-batch
+    carry path (Arrow batches split mid-part) is exercised."""
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.queries.survival_q import (
+        bt_pair_stats,
+        bt_pair_stats_exploded,
+    )
+
+    from conftest import SF_CORRECT, SF_SMOKE
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        li = load_table(spark, sf, "lineitem")
+        got = {
+            (r.sa, r.sb): (r.n, r.w) for r in bt_pair_stats(li).collect()
+        }
+        want = {
+            (r.sa, r.sb): (r.n, r.w)
+            for r in bt_pair_stats_exploded(li).collect()
+        }
+        assert got == want and len(got) > 0, sf
+
+
 def test_bt_sharded_fit_bit_identical_beyond_arrow_bound(spark):
     """The sharded MM fit (ml/bt.py, round 8) must return bit-identical
     strengths to the single-Arrow-group numpy fit — exercised on a
