@@ -1908,10 +1908,20 @@ def bt_pair_stats(li: DataFrame) -> DataFrame:
         .sortWithinPartitions("pk", "sk")
         .mapInPandas(gen, schema="sa long, sb long, n long, w long")
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # DISK_ONLY checkpoint: the pair table is re-scanned (count probe +
+    # one pass per MM round) but can reach 10s of GB at 1000x — caching
+    # it MEMORY_AND_DISK competes with the final aggregation's hash
+    # maps for executor heap (the round-11 sf100 probe OOM'd exactly
+    # here at 48g). Disk blocks ride the OS page cache on re-scan; at
+    # bench SFs (500k rows) the difference is noise.
     return (
         partials.groupBy("sa", "sb")
         .agg(F.sum("n").alias("n"), F.sum("w").alias("w"))
-        .localCheckpoint()  # the fact-scale expansion runs exactly once
+        .localCheckpoint(  # the fact-scale expansion runs exactly once
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
     )
 
 
