@@ -31,13 +31,24 @@ def test_queries_and_oracles_aligned(spark):
 def test_sweep_window_invariants():
     """The driver sweeps the first ~50 registry entries; those rows are
     the round's correctness evidence. Keep the window exactly 50 and
-    fully oracle-backed (a rows-only member would spend a driver slot
-    on a weaker check) — rotation edits that break either should fail
-    here, not in the round verdict."""
+    oracle-backed except for EXPLICIT exceptions (a rows-only member
+    spends a driver slot on a weaker rows+schema check, so each one
+    must be a deliberate decision, not rotation drift) — rotation
+    edits that break these should fail here, not in the round
+    verdict."""
     from appeals_data_spark.registry import _SWEEP_FIRST, all_queries
+
+    # Round-11 verdict item #1: pipe_dsir_importance_prod is the only
+    # never-swept registry entry; rows-only by design (xxhash64 scale
+    # twin), its rows+schema verdict is the strongest check a driver
+    # slot can buy for it. Drop from this list once it holds a row.
+    ROWS_ONLY_ALLOWED = {"pipe_dsir_importance_prod"}
 
     qs = all_queries()
     assert len(_SWEEP_FIRST) == 50, len(_SWEEP_FIRST)
     assert list(qs)[:50] == _SWEEP_FIRST
-    rows_only = [n for n in _SWEEP_FIRST if qs[n].oracle is None]
-    assert not rows_only, f"rows-only queries in the driver window: {rows_only}"
+    rows_only = {n for n in _SWEEP_FIRST if qs[n].oracle is None}
+    assert rows_only <= ROWS_ONLY_ALLOWED, (
+        f"undeclared rows-only queries in the driver window: "
+        f"{rows_only - ROWS_ONLY_ALLOWED}"
+    )

@@ -53,7 +53,8 @@ EXPECTED = {
     "queries/dedup_q.py": 1,
     # +1 in round 8b: x4_markov_stationary's 1-row state-count scalar.
     "queries/events_q.py": 4,
-    "queries/joins.py": 7,
+    # +1 in round 11: x1_rr_hearing_postrem's 25-row nation dim.
+    "queries/joins.py": 8,
     # +2 in round 8b: pipe_dsir_importance (1-row totals scalar, 256-row
     # fixed-B log-ratio model). Round 10 factored the portable/prod
     # twins onto one shared _dsir_report body, so those two sites are
