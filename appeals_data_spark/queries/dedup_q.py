@@ -609,46 +609,82 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("src"))
         .select("src", F.col("doc_id").alias("dst"))
     )
-    # Near edges by inverted-index intersection counting (round 8).
-    # The r2-r7 form joined base to itself on blk and evaluated
-    # jaccard(a.ws, b.ws) per pair — each candidate pair shipped TWO
-    # full word arrays through the join. Candidate pairs are quadratic
-    # in block size, and the 100x probe measured the blowup: 33k pairs
-    # at sf0.1 -> 108M at sf10 (max block 28 -> 1336 docs), ~21.6G
-    # word-slots through the Jaccard filter — the query ran >25min
-    # (BASELINE.md). This form computes the SAME exact Jaccard from
-    # word-level rows: explode the distinct word set once, equi-join on
-    # (blk, word), count shared words per ordered pair (map-side
-    # combinable), and J = inter / (na + nb - inter) — set algebra,
-    # value-identical to size(intersect)/size(union), oracle unchanged.
-    # Emitted rows = sum-over-(blk,word) C(occ,2): 1.43G narrow rows at
-    # sf10 (~15x less data than the array form) streamed through one
-    # partial aggregation; pairs sharing ONLY the blocking token cost
-    # one row instead of two materialized arrays.
+    # Near edges by PREFIX-FILTERED exact similarity join (round 11 —
+    # the ppjoin/AllPairs recipe, Chaudhuri et al. 2006 / Xiao et al.
+    # 2008). History: the r2-r7 per-pair array join shipped two full
+    # word arrays per candidate (>25min at 100x); the r8 inverted-
+    # index form (explode + (blk, word) equi-join + pair agg) cut that
+    # ~15x but still emits sum-over-(blk,word) C(occ,2) rows — 1.43G
+    # at sf10 and ~100x that at sf100 (block occupancy grows with
+    # corpus, so the pair stream is quadratic in replicas): the r11
+    # sf100 probe filled the box's 58 GB scratch in that exchange.
+    #
+    # This form makes the candidate stream SUB-quadratic while keeping
+    # the final edge set provably identical:
+    # * size filter — J >= 0.5 forces max(na, nb) <= 2·min(na, nb)
+    #   (J <= min/max), a residual join predicate;
+    # * prefix filter — under ANY global word order, two sets with
+    #   overlap >= alpha share a word within the first n - alpha + 1
+    #   words of EACH set; J >= 0.5 with the size bound gives
+    #   alpha = ceil(nw/2), i.e. prefix length floor(nw/2) + 1.
+    #   Ordering words by ASCENDING GLOBAL FREQUENCY (ties by word)
+    #   puts each doc's RAREST words in its prefix, so high-occupancy
+    #   (blk, word) keys — the C(occ,2) explosion — never pair docs
+    #   unless a doc is mostly common words. Candidates collapse to
+    #   near-duplicate pairs plus noise.
+    # Surviving (src, dst) candidates are verified EXACTLY: fetch both
+    # distinct-word arrays (equi-joins on doc id — candidates-sized,
+    # never corpus-sized) and test size(intersect)/size(union) >= 0.5,
+    # the identical set algebra as before — oracle unchanged, and
+    # candidates ⊇ qualifying pairs is property-gated
+    # (tests/test_pipeline.py::test_canonical_prefix_filter_is_lossless).
     wsx = base.select(
         "doc_id", "blk", F.size("ws").alias("nw"), F.explode("ws").alias("w")
     )
-    inter = (
-        wsx.alias("a")
+    freq = wsx.groupBy("w").agg(F.count("*").alias("wf"))
+    prefix = (
+        wsx.join(freq, "w")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("wf", "w")
+            ),
+        )
+        .filter(F.col("r") <= F.floor(F.col("nw") / 2) + 1)
+        .select("doc_id", "blk", "nw", "w")
+    )
+    cand = (
+        prefix.alias("a")
         .join(
-            wsx.alias("b"),
+            prefix.alias("b"),
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.nw") <= 2 * F.col("b.nw"))
+            & (F.col("b.nw") <= 2 * F.col("a.nw")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("src"),
-            F.col("b.doc_id").alias("dst"),
-            F.col("a.nw").alias("na"),
-            F.col("b.nw").alias("nb"),
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
         )
-        .agg(F.count("*").alias("ninter"))
+        .distinct()
     )
-    near_e = inter.filter(
-        F.col("ninter").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("ninter"))
-        >= 0.5
-    ).select("src", "dst")
+    near_e = (
+        cand.join(
+            base.select(F.col("doc_id").alias("src"), F.col("ws").alias("ws_a")),
+            "src",
+        )
+        .join(
+            base.select(F.col("doc_id").alias("dst"), F.col("ws").alias("ws_b")),
+            "dst",
+        )
+        .withColumn("ninter", F.size(F.array_intersect("ws_a", "ws_b")))
+        .filter(
+            F.col("ninter").cast("double")
+            / (F.size("ws_a") + F.size("ws_b") - F.col("ninter"))
+            >= 0.5
+        )
+        .select("src", "dst")
+    )
     comp = connected_components(exact_e.unionByName(near_e).distinct())
     dropped = (
         d.select("doc_id", "source")

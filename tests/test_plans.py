@@ -230,7 +230,15 @@ ITERATIVE_SEGMENTS = {
     # (5, 22) -> (6, 12) in round 10: inherits the closure loop's
     # AQE-off co-partitioned rounds (connected_components is its
     # clustering stage).
-    "dedup_canonical_corpus": (6, 12),
+    # (6, 12) -> (6, 18) in round 11: the near-edge stage moved to the
+    # prefix-filtered exact similarity join (AllPairs/ppjoin) — the 6
+    # extra exchange NODES are the word-frequency agg + join, the
+    # per-doc rarity-rank window, the candidate distinct, and the two
+    # candidates-sized verification joins. All are corpus-WORDS- or
+    # candidates-sized; what they buy is removing the sum C(occ,2)
+    # pair stream that grew quadratically with block occupancy and
+    # filled 58 GB scratch at sf100 (the r11 probe DNF).
+    "dedup_canonical_corpus": (6, 18),
     # (10, 41) -> (12, 18) in round 10: the loop now checkpoints under
     # a scoped AQE-off so LogicalRDD keeps hash partitioning/ordering —
     # the loop-invariant edge frame is placed on src once (two new
