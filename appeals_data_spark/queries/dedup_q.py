@@ -651,8 +651,15 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("r") <= F.floor(F.col("nw") / 2) + 1)
-        .select("doc_id", "blk", "nw", "w")
+        .select("doc_id", "blk", "nw", "w", "r")
     )
+    # ppjoin positional filter as a join residual: for the pair's
+    # FIRST shared word (rarity order), every other shared word sits
+    # after rank r in BOTH docs, so overlap <= 1 + min(na-ra, nb-rb);
+    # J >= 0.5 needs overlap >= ceil((na+nb)/3). A pair is dropped
+    # only if ALL its shared-prefix-word rows fail, and the first-
+    # shared-word row carries the true bound — sound. Prunes the
+    # candidate stream BEFORE the distinct's exchange.
     cand = (
         prefix.alias("a")
         .join(
@@ -661,7 +668,17 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.w") == F.col("b.w"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.nw") <= 2 * F.col("b.nw"))
-            & (F.col("b.nw") <= 2 * F.col("a.nw")),
+            & (F.col("b.nw") <= 2 * F.col("a.nw"))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.nw") - F.col("a.r"),
+                    F.col("b.nw") - F.col("b.r"),
+                )
+                >= F.floor(
+                    (F.col("a.nw") + F.col("b.nw") + F.lit(2)) / F.lit(3.0)
+                )
+            ),
         )
         .select(
             F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
