@@ -681,26 +681,55 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select(
-            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+            F.col("a.blk").alias("blk"),
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
         )
         .distinct()
     )
+    # Verification WITHOUT shipping arrays per pair (round-11 second
+    # fix): a plain candidates⋈ws equi-join attaches BOTH word arrays
+    # to every candidate row — ~700 B x 100s of millions of pairs at
+    # 1000x (~350 GB through two exchanges; the second sf100 DNF).
+    # Both docs of a candidate share its block, so a COGROUP on the
+    # block key co-locates each block's candidate pairs with each
+    # block's word sets: arrays ship ONCE PER DOC, pairs ship as two
+    # int64s, and the exact Jaccard (same set algebra: |A∩B| /
+    # |A∪B| >= 0.5, integer sizes, IEEE double divide) runs as python
+    # set intersection per pair. A salt on hash(src, dst) bounds the
+    # biggest merged block's pair group (the docs side replicates
+    # K_SALT x — docs-sized, cheap); candidates land in exactly one
+    # salt group so no pair is verified twice.
+    K_SALT = 8
+    cand_s = cand.withColumn(
+        "salt", F.pmod(F.xxhash64("src", "dst"), F.lit(K_SALT)).cast("int")
+    )
+    docs_rep = (
+        base.select("blk", "doc_id", "ws")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(K_SALT - 1))))
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+
+    def _verify(left, right):
+        import pandas as pd
+
+        if len(left) == 0:
+            return pd.DataFrame({"src": [], "dst": []}).astype("int64")
+        sets = dict(zip(right["doc_id"], (set(w) for w in right["ws"])))
+        out_s, out_d = [], []
+        for s, t in zip(left["src"], left["dst"]):
+            a = sets[s]
+            b = sets[t]
+            ninter = len(a & b)
+            if ninter and ninter / (len(a) + len(b) - ninter) >= 0.5:
+                out_s.append(s)
+                out_d.append(t)
+        return pd.DataFrame({"src": out_s, "dst": out_d}, dtype="int64")
+
     near_e = (
-        cand.join(
-            base.select(F.col("doc_id").alias("src"), F.col("ws").alias("ws_a")),
-            "src",
-        )
-        .join(
-            base.select(F.col("doc_id").alias("dst"), F.col("ws").alias("ws_b")),
-            "dst",
-        )
-        .withColumn("ninter", F.size(F.array_intersect("ws_a", "ws_b")))
-        .filter(
-            F.col("ninter").cast("double")
-            / (F.size("ws_a") + F.size("ws_b") - F.col("ninter"))
-            >= 0.5
-        )
-        .select("src", "dst")
+        cand_s.groupBy("blk", "salt")
+        .cogroup(docs_rep.groupBy("blk", "salt"))
+        .applyInPandas(_verify, schema="src long, dst long")
     )
     comp = connected_components(exact_e.unionByName(near_e).distinct())
     dropped = (
