@@ -230,15 +230,17 @@ ITERATIVE_SEGMENTS = {
     # (5, 22) -> (6, 12) in round 10: inherits the closure loop's
     # AQE-off co-partitioned rounds (connected_components is its
     # clustering stage).
-    # (6, 12) -> (6, 18) in round 11: the near-edge stage moved to the
-    # prefix-filtered exact similarity join (AllPairs/ppjoin) — the 6
-    # extra exchange NODES are the word-frequency agg + join, the
-    # per-doc rarity-rank window, the candidate distinct, and the two
-    # candidates-sized verification joins. All are corpus-WORDS- or
-    # candidates-sized; what they buy is removing the sum C(occ,2)
-    # pair stream that grew quadratically with block occupancy and
-    # filled 58 GB scratch at sf100 (the r11 probe DNF).
-    "dedup_canonical_corpus": (6, 18),
+    # (6, 12) -> (6, 22) in round 11: the near-edge stage moved to the
+    # prefix-filtered exact similarity join (AllPairs/ppjoin mid-
+    # prefix + positional filter) with salted per-block COGROUP
+    # verification — the extra exchange NODES are the word-frequency
+    # agg + join, the per-doc rarity-rank window, the candidate
+    # distinct, and the cogroup's two (blk, salt) exchanges. All are
+    # corpus-WORDS-, docs-, or candidates-sized; what they buy is
+    # removing BOTH the sum C(occ,2) pair stream (quadratic in block
+    # occupancy) and the per-pair array-shipping verify joins
+    # (~350 GB at 1000x) — the two sf100 DNFs. sf100 now 422s.
+    "dedup_canonical_corpus": (6, 22),
     # (10, 41) -> (12, 18) in round 10: the loop now checkpoints under
     # a scoped AQE-off so LogicalRDD keeps hash partitioning/ordering —
     # the loop-invariant edge frame is placed on src once (two new
