@@ -464,7 +464,7 @@ def comp_decision_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "comp_ep_classifier_eval",
-    oracle="""
+    oracle=f"""
     WITH issue_flags AS (
       SELECT l_orderkey,
              MAX(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS f_bigqty,
@@ -513,10 +513,12 @@ def comp_decision_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN v = 1 AND prediction = 'RO' AND actual = 'AMC'
                          THEN 1 ELSE 0 END) AS BIGINT) AS type1_error,
            CASE WHEN SUM(v) > 0
-                THEN ROUND(SUM(CASE WHEN v = 1 AND prediction = 'RO'
-                                         AND actual = 'AMC'
-                                    THEN 1 ELSE 0 END)
-                           / CAST(SUM(v) AS DOUBLE), 6) END AS err_rate
+                THEN {sql_ratio_dbl(
+                    "SUM(CASE WHEN v = 1 AND prediction = 'RO' "
+                    "AND actual = 'AMC' THEN 1 ELSE 0 END)",
+                    "SUM(v)",
+                    6,
+                )} END AS err_rate
     FROM long GROUP BY flag ORDER BY flag
     """,
     tags=("COMPOSITE", "A2", "J8", "A8", "R3"),
@@ -629,11 +631,7 @@ def comp_ep_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type1_error",
             F.when(
                 F.col("positive") > 0,
-                F.round(
-                    F.col("type1_error").cast("double")
-                    / F.col("positive").cast("double"),
-                    6,
-                ),
+                ratio_dbl(F.col("type1_error"), F.col("positive"), 6),
             ).alias("err_rate"),
         )
         .orderBy("flag")

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.scalars import pin_dec, sql_pin_dec
+from ..functions.scalars import pin_dbl, pin_dec, sql_pin_dbl, sql_pin_dec
 from ..functions.text import shingles, tokens
 from ..operators.dedup import portable_hash48, sql_portable_hash48
 from ..registry import register
@@ -145,7 +145,7 @@ def _target_share() -> F.Column:
       SELECT MIN(tokens / target_share) AS b FROM tok
     )
     SELECT source, tokens, target_share,
-           ROUND(b * target_share / tokens, 6) AS keep_prob,
+           {sql_pin_dbl("b * target_share / tokens", 6)} AS keep_prob,
            CAST(FLOOR(b * target_share) AS BIGINT) AS budget_tokens
     FROM tok CROSS JOIN budget
     ORDER BY source
@@ -176,8 +176,9 @@ def pipe_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "tokens",
             "target_share",
-            F.round(F.col("b") * F.col("target_share") / F.col("tokens"), 6)
-            .alias("keep_prob"),
+            pin_dbl(
+                F.col("b") * F.col("target_share") / F.col("tokens"), 6
+            ).alias("keep_prob"),
             F.floor(F.col("b") * F.col("target_share"))
             .cast("long")
             .alias("budget_tokens"),
@@ -188,7 +189,7 @@ def pipe_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipe_temperature_mixture",
-    oracle=r"""
+    oracle=rf"""
     WITH tok AS (
       SELECT source,
              CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
@@ -205,10 +206,9 @@ def pipe_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, tokens, n_total, wgt, SUM(wgt) OVER () AS zsum FROM w
     )
     SELECT source, tokens,
-           ROUND(CAST(tokens AS DOUBLE) / n_total, 6) AS natural_share,
-           ROUND(CAST(wgt AS DOUBLE) / CAST(zsum AS DOUBLE), 6) AS temp_share,
-           ROUND((CAST(wgt AS DOUBLE) / CAST(zsum AS DOUBLE))
-                 / (CAST(tokens AS DOUBLE) / n_total), 6) AS upsample_factor,
+           {sql_pin_dbl("CAST(tokens AS DOUBLE) / n_total", 6)} AS natural_share,
+           {sql_pin_dbl("CAST(wgt AS DOUBLE) / CAST(zsum AS DOUBLE)", 6)} AS temp_share,
+           {sql_pin_dbl("(CAST(wgt AS DOUBLE) / CAST(zsum AS DOUBLE)) / (CAST(tokens AS DOUBLE) / n_total)", 6)} AS upsample_factor,
            CAST(FLOOR(n_total * (CAST(wgt AS DOUBLE) / CAST(zsum AS DOUBLE)))
                 AS BIGINT) AS epoch_tokens
     FROM z ORDER BY source
@@ -254,9 +254,9 @@ def pipe_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.select(
         "source",
         "tokens",
-        F.round(nat_share, 6).alias("natural_share"),
-        F.round(temp_share, 6).alias("temp_share"),
-        F.round(temp_share / nat_share, 6).alias("upsample_factor"),
+        pin_dbl(nat_share, 6).alias("natural_share"),
+        pin_dbl(temp_share, 6).alias("temp_share"),
+        pin_dbl(temp_share / nat_share, 6).alias("upsample_factor"),
         F.floor(F.col("n_total") * temp_share).cast("long").alias("epoch_tokens"),
     ).orderBy("source")
 
@@ -381,7 +381,7 @@ def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), thr AS (
       SELECT source,
              CAST(FLOOR(b * ts / stok * 1000000) AS BIGINT) AS t,
-             ROUND(b * ts / stok, 6) AS keep_prob
+             {sql_pin_dbl("b * ts / stok", 6)} AS keep_prob
       FROM mix CROSS JOIN budget WHERE stok > 0
     ), final AS (
       SELECT f.*, COALESCE(t.t, 0) AS t, t.keep_prob,
@@ -521,7 +521,7 @@ def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("b") * F.col("ts") / F.col("stok") * 1000000)
             .cast("long")
             .alias("t"),
-            F.round(F.col("b") * F.col("ts") / F.col("stok"), 6).alias(
+            pin_dbl(F.col("b") * F.col("ts") / F.col("stok"), 6).alias(
                 "keep_prob"
             ),
         )

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.scalars import dec
+from ..functions.scalars import dec, ratio_dbl, sql_ratio_dbl
 from ..registry import register
 
 
@@ -201,7 +201,7 @@ def r3_flags_long_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r6_paired_field_changes",
-    oracle="""
+    oracle=f"""
     WITH forms AS (
       SELECT o_orderkey,
              o_orderpriority AS final_priority,
@@ -228,8 +228,9 @@ def r3_flags_long_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_forms,
            CAST(SUM(CASE WHEN i <> f THEN 1 ELSE 0 END) AS BIGINT)
              AS n_changed,
-           ROUND(SUM(CASE WHEN i <> f THEN 1 ELSE 0 END)
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS change_rate
+           {sql_ratio_dbl(
+               "SUM(CASE WHEN i <> f THEN 1 ELSE 0 END)", "COUNT(*)", 6
+           )} AS change_rate
     FROM long GROUP BY field ORDER BY field
     """,
     tags=("R1", "R2", "COMPOSITE"),
@@ -293,10 +294,9 @@ def r6_paired_field_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "field",
             "n_forms",
             "n_changed",
-            F.round(
-                F.col("n_changed").cast("double") / F.col("n_forms").cast("double"),
-                6,
-            ).alias("change_rate"),
+            ratio_dbl(F.col("n_changed"), F.col("n_forms"), 6).alias(
+                "change_rate"
+            ),
         )
         .orderBy("field")
     )

@@ -874,8 +874,8 @@ def _mixed_oracle(iters: int = 4) -> str:
     )""")
     parts.append(f"""
     SELECT grp, n,
-           CASE WHEN n0 > 0 THEN ROUND(CAST(k0 AS DOUBLE) / n0, 6) END AS raw_control,
-           CASE WHEN n1 > 0 THEN ROUND(CAST(k1 AS DOUBLE) / n1, 6) END AS raw_treated,
+           CASE WHEN n0 > 0 THEN {sql_ratio_dbl("k0", "n0", 6)} END AS raw_control,
+           CASE WHEN n1 > 0 THEN {sql_ratio_dbl("k1", "n1", 6)} END AS raw_treated,
            ROUND(p_adj, 6) AS p_adj,
            ROUND((tau2 / (tau2 + s2)) * (p_adj - mu), 6) AS u,
            ROUND(beta, 6) AS beta,
@@ -983,12 +983,10 @@ def x6_mixed_treatment_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp",
         "n",
         F.when(
-            F.col("n0") > 0,
-            F.round(F.col("k0").cast("double") / F.col("n0"), 6),
+            F.col("n0") > 0, ratio_dbl(F.col("k0"), F.col("n0"), 6)
         ).alias("raw_control"),
         F.when(
-            F.col("n1") > 0,
-            F.round(F.col("k1").cast("double") / F.col("n1"), 6),
+            F.col("n1") > 0, ratio_dbl(F.col("k1"), F.col("n1"), 6)
         ).alias("raw_treated"),
         F.round("p_adj", 6).alias("p_adj"),
         F.round(b * (F.col("p_adj") - F.col("mu")), 6).alias("u"),
@@ -1358,8 +1356,8 @@ def _glmm_oracle(iters: int = 3) -> str:
     )""")
     parts.append(f"""
     SELECT grp, n0 + n1 AS n,
-           CASE WHEN n0 > 0 THEN ROUND(CAST(k0 AS DOUBLE)/n0, 6) END AS raw_control,
-           CASE WHEN n1 > 0 THEN ROUND(CAST(k1 AS DOUBLE)/n1, 6) END AS raw_treated,
+           CASE WHEN n0 > 0 THEN {sql_ratio_dbl("k0", "n0", 6)} END AS raw_control,
+           CASE WHEN n1 > 0 THEN {sql_ratio_dbl("k1", "n1", 6)} END AS raw_treated,
            ROUND(u, 6) AS u, ROUND(b0, 6) AS b0,
            ROUND(beta, 6) AS beta, ROUND(tau2, 6) AS tau2
     FROM st{iters} ORDER BY grp""")
@@ -1516,10 +1514,10 @@ def x6_logistic_glmm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp",
         (F.col("n0") + F.col("n1")).alias("n"),
         F.when(
-            F.col("n0") > 0, F.round(F.col("k0").cast("double") / F.col("n0"), 6)
+            F.col("n0") > 0, ratio_dbl(F.col("k0"), F.col("n0"), 6)
         ).alias("raw_control"),
         F.when(
-            F.col("n1") > 0, F.round(F.col("k1").cast("double") / F.col("n1"), 6)
+            F.col("n1") > 0, ratio_dbl(F.col("k1"), F.col("n1"), 6)
         ).alias("raw_treated"),
         F.round("u", 6).alias("u"),
         F.round("b0", 6).alias("b0"),

@@ -120,61 +120,63 @@ def register(
 # (48) to fill the window. Simulate with
 # `python tools/check.py --window 50 --vanilla` before shipping.
 _SWEEP_FIRST = [
-    # never-swept: the rows-only DSIR scale twin + the round-11
-    # X1 stored-function closure
-    "pipe_dsir_importance_prod",
-    "x1_rr_hearing_postrem",
-    # PQ-encode consumers changed this round
-    "vec_pq_adc_topk",
-    "vec_pq_rerank_topk",
-    # the twelve r6-tier deferrals promised by the round-10 plan
-    "a1_pricing_summary",
-    "j10_fuzzy_asof_match",
-    "j17_pit_backlog",
-    "u1_union_event_log",
-    "j2_left_join_order_counts",
-    "p4_range_in_between",
-    "w1_lead_lag_gaps",
-    "o1_multikey_sort_head",
-    "u2_union_dedup",
-    "r1_unpivot_measures",
-    "f3_date_arithmetic",
-    "a24_freq_items_bound",
-    # r7-latest tier (34 of 46; deferrals justified above)
-    "a6_rate_vs_group_total",
-    "a15_interval_overlap_months",
-    "a25_countmin_bound",
-    "x1_derived_count_scalars",
-    "s6_claims_ingest_report",
-    "mm_audio_fingerprint_dedup",
-    "mm_video_shingle_dedup",
-    "comp_time_to_first_ship",
-    "comp_outcome_rates",
-    "comp_backlog_reconstruction",
-    "comp_docket_projection",
-    "comp_exp_gap_fit",
-    "comp_decision_locs",
-    "comp_priorloc_parsers",
-    "surv_km_curve",
-    "closure_components",
-    "x3_linear_svm_eval",
-    "dedup_exact_summary",
-    "dedup_ngram_jaccard_adjacent",
-    "dedup_embedding_cosine",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "dedup_fuzzy_entity_names",
-    "text_gopher_filters",
-    "pipe_classifier_filter",
-    "vec_label_centroid_assign",
-    "vec_ivfpq_topk",
-    "vec_ivf_topk",
-    "vec_kmeans_lloyd",
-    "pipe_diverse_cluster_quota",
-    "pipe_contamination_overlap",
+    # -- changed this round (the ratio-legacy -> ratio_dbl/pin_dbl
+    # migration, round-12 verdict item #1) — lead the window
+    "r6_paired_field_changes",
+    "comp_ep_classifier_eval",
+    "pipe_mixture_weights",
+    "pipe_temperature_mixture",
     "pipe_curation_funnel",
-    "pipe_pack_sequences",
-    "pipe_decontam_bloom",
+    "x6_mixed_treatment_em",
+    "x6_logistic_glmm",
+    # -- also changed this round: the two small-SF steady recoveries
+    # (BT size dispatch, canonical-corpus trim) + kgram-novelty probe
+    "pref_bradley_terry",
+    "dedup_canonical_corpus",
+    "text_kgram_novelty",
+    # -- latest verdict predates r8 (rotation honesty, verdict #7);
+    # the three rows-only members each carry an oracled portable twin
+    "dedup_minhash_lsh",
+    "dedup_simhash_hamming",
+    "vec_lsh_topk",
+    "s5_csv_dim_broadcast_join",
+    "stream_tumbling_counts",
+    "stream_session_stats",
+    "stream_user_totals",
+    "stream_doc_curation",
+    "stream_centroid_occupancy",
+    "stream_lm_gate",
+    "mm_feature_rollup",
+    "mm_phash_near_dedup",
+    "dedup_incremental_delta",
+    "vec_ann_recall_report",
+    "skew_salted_agg",
+    # -- r8-latest tier, oldest-first rotation fill
+    "a16_cube_rollup",
+    "a26_hll_setops_bound",
+    "w3_session_segmentation",
+    "w11_rolling_mean",
+    "u5_event_where_hook",
+    "s9_partition_pruned_rollup",
+    "s1_portable_sql_rollup",
+    "x4_trace_coverage",
+    "u6_event_funnel",
+    "x3_linreg_closed_form",
+    "surv_weibull_fit",
+    "x6_grouped_glm",
+    "x6_partial_pooling",
+    "text_token_stats",
+    "text_quality_flags",
+    "text_char_classes",
+    "text_lang_confusion",
+    "text_fingerprint_md5",
+    "text_subword_tokens",
+    "text_bpe_vocab",
+    "text_unigram_logprob",
+    "text_token_entropy",
+    "text_vocab_topk",
+    "text_top2gram_repetition",
+    "text_tfidf_topk",
 ]
 
 

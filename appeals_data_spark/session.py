@@ -100,14 +100,19 @@ def get_spark(
 # is SESSION-GLOBAL: a naive save/set/restore pair is not reentrant —
 # two interleaved loops on the same session could each save the
 # other's "false" and leave AQE off for every later query. This
-# context manager refcounts per SparkSession OBJECT (id(spark), not
-# applicationId: the conf is per-session while applicationId is
-# per-CONTEXT, so two sessions sharing one context — newSession() —
-# would otherwise share a depth counter while setting separate confs,
-# and one session's restore could be skipped or applied to the wrong
-# session). Entries are created on the outermost enter and deleted on
-# the matching outermost exit (the contextmanager's ``finally``
-# guarantees it), so a recycled id() can never see a stale entry.
+# context manager refcounts per UNDERLYING SQL SESSION (the JVM
+# SparkSession's identity hash, not applicationId: the conf is
+# per-session while applicationId is per-CONTEXT, so two sessions
+# sharing one context — newSession() — would otherwise share a depth
+# counter while setting separate confs; and not id(spark): two Python
+# wrappers around the SAME JVM session — re-wrapping via
+# SparkSession(sc, jsparkSession) or mixed getActiveSession paths —
+# must share one counter over the one session-global conf, or the
+# save/restore race the refcount guards against comes back,
+# round-12 review fix). Entries are created on the outermost enter
+# and deleted on the matching outermost exit (the contextmanager's
+# ``finally`` guarantees it), so a recycled key can never see a
+# stale entry.
 # Only the OUTERMOST enter saves the ambient value and only the
 # matching outermost exit restores it. (Queries planned by OTHER
 # threads on the SAME session while a loop holds the toggle still
@@ -118,12 +123,27 @@ import threading as _threading
 from contextlib import contextmanager as _contextmanager
 
 _AQE_LOCK = _threading.Lock()
-_AQE_STATE: dict[int, tuple[int, str]] = {}  # id(session) -> (depth, saved)
+_AQE_STATE: dict[int, tuple[int, str]] = {}  # session key -> (depth, saved)
+
+
+def _aqe_key(spark: SparkSession) -> int:
+    """Identity of the underlying SQL session, stable across re-wrapping.
+
+    The JVM ``SparkSession`` does not override ``hashCode``, so this is
+    the JVM identity hash of the one object that actually owns the
+    conf; every Python wrapper of it maps to the same counter. Falls
+    back to ``id(spark)`` only if the JVM handle is unreachable (mock
+    sessions in unit tests).
+    """
+    try:
+        return int(spark._jsparkSession.hashCode())
+    except Exception:
+        return id(spark)
 
 
 @_contextmanager
 def aqe_disabled(spark: SparkSession):
-    key = id(spark)
+    key = _aqe_key(spark)
     with _AQE_LOCK:
         depth, saved = _AQE_STATE.get(key, (0, "true"))
         if depth == 0:

@@ -34,6 +34,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -72,10 +74,26 @@ def merge_into(
     # broadcast-scale job, and ``updates`` is cached first so the
     # validation pass and the merge read one computation.
     updates = updates.cache()
+    # Everything after the cache runs under try/finally so a failed
+    # partition collect / checkpoint / write cannot leak the cached
+    # updates frame across repeated failed merges (round-12 review fix).
+    try:
+        _merge_cached(spark, path, target, updates, keys, partition_cols)
+    finally:
+        updates.unpersist()
+
+
+def _merge_cached(
+    spark: SparkSession,
+    path: str,
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    partition_cols: list[str] | None,
+) -> None:
     n_rows = updates.count()
     n_keys = updates.select(*keys).distinct().count()
     if n_rows != n_keys:
-        updates.unpersist()
         raise ValueError(
             f"merge_into: updates has {n_rows} rows but only {n_keys} "
             f"distinct keys {keys}; MERGE requires at most one source "
@@ -130,20 +148,39 @@ def merge_into(
             hconf = spark._jsc.hadoopConfiguration()
             HPath = jvm.org.apache.hadoop.fs.Path
             fs = HPath(path).getFileSystem(hconf)
+            # Hive-style dir layout: k1=v1/k2=v2 — built with Spark's
+            # own escapePathName so values containing characters Spark
+            # escapes in path names (':', '%', control chars) resolve
+            # to the directory actually on disk, and NULL partition
+            # values map to __HIVE_DEFAULT_PARTITION__ exactly as the
+            # writer spelled them (round-12 review fix: raw str(value)
+            # silently missed escaped/NULL dirs, resurrecting the
+            # stale-duplicate bug this cleanup exists to prevent).
+            esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             for row in emptied:
-                # Hive-style dir layout: k1=v1/k2=v2. Values here come
-                # from the table's own partition columns read back, so
-                # str() matches the directory encoding for the scalar
-                # types parquet partitioning produces (int/str/date).
-                sub = "/".join(f"{c}={row[c]}" for c in partition_cols)
+                parts_enc = []
+                for c in partition_cols:
+                    v = row[c]
+                    enc = (
+                        "__HIVE_DEFAULT_PARTITION__"
+                        if v is None
+                        else esc.escapePathName(str(v))
+                    )
+                    parts_enc.append(f"{c}={enc}")
+                sub = "/".join(parts_enc)
                 p = HPath(f"{path.rstrip('/')}/{sub}")
                 if fs.exists(p):
                     fs.delete(p, True)
-        updates.unpersist()
+                else:
+                    warnings.warn(
+                        f"merge_into: expected emptied partition dir "
+                        f"{sub!r} not found under {path}; a stale copy "
+                        "of moved rows may survive",
+                        stacklevel=2,
+                    )
     else:
         merged = target.join(
             F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
         ).unionByName(updates)
         merged = merged.localCheckpoint()
         merged.write.mode("overwrite").parquet(path)
-        updates.unpersist()

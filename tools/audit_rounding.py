@@ -96,11 +96,11 @@ CATEGORY_REASONS = {
         "doubles, same density argument as transcendental"
     ),
     "ratio-legacy": (
-        "legacy count-ratio at s=6 — the flip CLASS, tie density "
-        "~|divisor structure|/10^6 per value (far below the measured "
-        "s=12 sites); swept clean r1-r11 on regenerated fixtures each "
-        "round; queued for ratio_dbl migration as windows permit "
-        "(rounds 12+). New sites of this shape are banned (ratio-int)."
+        "RETIRED round 12 — every legacy count-ratio ROUND (the "
+        "measured r8/r9 flip class) was migrated to ratio_dbl/pin_dbl "
+        "with matched oracle twins; the enumerating rule now BANS the "
+        "shape outright (ratio-int), so a reappearing site fails CI "
+        "instead of re-entering the whitelist."
     ),
     "grid-exact": (
         "value provably on a <= 6-dp decimal grid (money medians, "
@@ -157,13 +157,15 @@ RULES: list[tuple[str, str]] = [
         r"|F\.avg\(|AVG\(|F\.mean\(|sxy|sxx|\bsx\b|\bsy\b",
         "moment",
     ),
-    # legacy count-ratio sites (enumerated; new ones are banned by the
-    # unclassified gate since these patterns are deliberately narrow)
+    # count-ratio shapes (the retired ratio-legacy enumeration): every
+    # site was migrated to ratio_dbl/pin_dbl in round 12; a ROUND
+    # matching these patterns again is the banned flip class and
+    # fails CI (ratio-int), not a whitelist re-entry.
     (
         r"keep_prob|natural_share|temp_share|upsample_factor"
         r"|raw_control|raw_treated|k0|k1|had_return|n_total|/ ntok"
         r"|CAST\(COUNT\(\*\) AS DOUBLE\)|confusion|<> f THEN|i <> f",
-        "ratio-legacy",
+        "ratio-int",
     ),
 ]
 
@@ -196,20 +198,6 @@ OVERRIDES: dict[str, list[tuple[str, str, str]]] = {
             "cuminc builder twin of the survival_q oracle terms: KM "
             "survival (exp-of-log-sum) factor keeps the product "
             "full-mantissa",
-        ),
-    ],
-    "queries/composite_q.py": [
-        (
-            r"prediction = 'RO'|type1_error",
-            "ratio-legacy",
-            "classifier-eval error rates (counts ratio at s=6)",
-        ),
-    ],
-    "queries/reshape.py": [
-        (
-            r"n_changed.*n_forms",
-            "ratio-legacy",
-            "field-change rate (counts ratio at s=6)",
         ),
     ],
 }
