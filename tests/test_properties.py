@@ -561,10 +561,14 @@ def test_bt_pair_stats_chunked_equals_exploded_reference(spark):
     exploded reference's (sa, sb, n, w) table EXACTLY — the partial
     flushing and size-class batching change only where integer sums
     happen, never their values. Run at two SFs so the multi-batch
-    carry path (Arrow batches split mid-part) is exercised."""
+    carry path (Arrow batches split mid-part) is exercised.
+
+    Compares bt_pair_stats_chunked DIRECTLY (not the bt_pair_stats
+    dispatcher, which routes small inputs to the exploded path and
+    would make this check vacuous at test SFs)."""
     from appeals_data_spark.catalog import load_table
     from appeals_data_spark.queries.survival_q import (
-        bt_pair_stats,
+        bt_pair_stats_chunked,
         bt_pair_stats_exploded,
     )
 
@@ -573,13 +577,41 @@ def test_bt_pair_stats_chunked_equals_exploded_reference(spark):
     for sf in (SF_SMOKE, SF_CORRECT):
         li = load_table(spark, sf, "lineitem")
         got = {
-            (r.sa, r.sb): (r.n, r.w) for r in bt_pair_stats(li).collect()
+            (r.sa, r.sb): (r.n, r.w)
+            for r in bt_pair_stats_chunked(li).collect()
         }
         want = {
             (r.sa, r.sb): (r.n, r.w)
             for r in bt_pair_stats_exploded(li).collect()
         }
         assert got == want and len(got) > 0, sf
+
+
+def test_bt_pair_stats_dispatch(spark):
+    """The size dispatcher must route small scans to the exploded JVM
+    generator (no Python boundary in the plan) and treat unknown input
+    size as LARGE. Dispatch can only ever change the plan, never the
+    result (the equality gate above), so this pins the routing rule
+    itself: test-SF parquet is far below BT_EXPLODED_MAX_BYTES, and a
+    non-scan frame (no inputFiles) must fall to the chunked path."""
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.queries.survival_q import (
+        BT_EXPLODED_MAX_BYTES,
+        _input_bytes,
+    )
+
+    from conftest import SF_CORRECT
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    nbytes = _input_bytes(li)
+    assert nbytes is not None and 0 < nbytes <= BT_EXPLODED_MAX_BYTES
+    # a derived frame with no file scan reports unknown -> LARGE
+    synthetic = spark.range(10).selectExpr(
+        "id AS l_partkey", "id AS l_suppkey",
+        "CAST(1 AS double) AS l_extendedprice",
+        "CAST(1 AS double) AS l_quantity",
+    )
+    assert _input_bytes(synthetic) is None
 
 
 def test_bt_sharded_fit_bit_identical_beyond_arrow_bound(spark):
