@@ -52,14 +52,29 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .localCheckpoint()
     )
-    from ..session import aqe_disabled
+    from ..session import aqe_disabled, scoped_shuffle_partitions
 
-    with aqe_disabled(spark):
+    # Size the loop's shuffle count from the materialized edge frame
+    # (round 12): with AQE off nothing coalesces the conf's partition
+    # count down to the data, so a duplicate graph of a few thousand
+    # edges paid conf-many task launches per round — the dominant
+    # small-corpus cost of every closure-consuming query. The count is
+    # free (sym is checkpointed); ~1M two-int64 rows per task keeps
+    # partitions a few tens of MB, and large graphs keep the ambient
+    # conf (the cluster-tuned value) untouched.
+    n_edges = sym.count()
+    try:
+        ambient = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        ambient = 200
+    n_part = max(1, min(ambient, -(-n_edges // 1_000_000)))
+
+    with aqe_disabled(spark), scoped_shuffle_partitions(spark, n_part):
         # loop-invariant edge frame: placed on the per-round join key
         # and sorted ONCE; the checkpoint records partitioning+ordering
         # (AQE off), so every round's join streams it exchange-free
         sym = (
-            sym.repartition("b")
+            sym.repartition(n_part, "b")
             .sortWithinPartitions("b")
             .localCheckpoint()
         )

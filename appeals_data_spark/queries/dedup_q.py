@@ -697,18 +697,45 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int64s, and the exact Jaccard (same set algebra: |A∩B| /
     # |A∪B| >= 0.5, integer sizes, IEEE double divide) runs as python
     # set intersection per pair. A salt on hash(src, dst) bounds the
-    # biggest merged block's pair group (the docs side replicates
-    # K_SALT x — docs-sized, cheap); candidates land in exactly one
-    # salt group so no pair is verified twice.
+    # biggest merged block's pair group; candidates land in exactly
+    # one salt group so no pair is verified twice.
+    #
+    # Round-12 docs side (verdict #4): the r11 shape replicated EVERY
+    # corpus doc K_SALT x into the cogroup exchange even though most
+    # (blk, salt) groups hold zero candidates, and a skewed block
+    # (common first token) shipped its whole doc set into all eight
+    # salt groups — the unbounded per-group dict flagged as the r11
+    # watch item. The candidate stream is checkpointed (pairs-sized;
+    # reusing it for the endpoint set must not re-run the ppjoin) and
+    # the docs side becomes the JOIN of ws against the exact
+    # (blk, salt, endpoint) set the verifier will look up: arrays
+    # ship once per REFERENCED doc per salt group, the per-group dict
+    # is capped at that group's own endpoints, and blocks with no
+    # candidates never enter the exchange at all.
     K_SALT = 8
     cand_s = cand.withColumn(
         "salt", F.pmod(F.xxhash64("src", "dst"), F.lit(K_SALT)).cast("int")
+    ).localCheckpoint()
+    # fresh aliases (dblk/dsalt): both cogroup sides derive from
+    # cand_s, and reusing its attribute ids trips the ambiguous-
+    # self-join analyzer check; cogroup matches grouping keys by
+    # position, so the names need not agree across sides
+    need = (
+        cand_s.select(
+            F.col("blk").alias("dblk"),
+            F.col("salt").alias("dsalt"),
+            F.col("src").alias("doc_id"),
+        )
+        .unionByName(
+            cand_s.select(
+                F.col("blk").alias("dblk"),
+                F.col("salt").alias("dsalt"),
+                F.col("dst").alias("doc_id"),
+            )
+        )
+        .distinct()
     )
-    docs_rep = (
-        base.select("blk", "doc_id", "ws")
-        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(K_SALT - 1))))
-        .withColumn("salt", F.col("salt").cast("int"))
-    )
+    docs_rep = need.join(base.select("doc_id", "ws"), "doc_id")
 
     def _verify(left, right):
         import pandas as pd
@@ -728,7 +755,7 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     near_e = (
         cand_s.groupBy("blk", "salt")
-        .cogroup(docs_rep.groupBy("blk", "salt"))
+        .cogroup(docs_rep.groupBy("dblk", "dsalt"))
         .applyInPandas(_verify, schema="src long, dst long")
     )
     comp = connected_components(exact_e.unionByName(near_e).distinct())

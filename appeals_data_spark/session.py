@@ -142,6 +142,33 @@ def _aqe_key(spark: SparkSession) -> int:
 
 
 @_contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily pin ``spark.sql.shuffle.partitions`` to ``n``.
+
+    For iterative loops that run under :func:`aqe_disabled`: with AQE
+    off nothing coalesces the conf's partition count down to the data,
+    so a tiny loop frame pays conf-many task launches per round. The
+    loop sizes ``n`` from the MATERIALIZED frame it is about to
+    iterate over (doing by hand exactly what AQE would have done) and
+    scopes the conf so every in-loop shuffle — repartition, distinct,
+    the per-round min-agg — lands on the same count and the
+    checkpointed partitionings stay aligned round to round.
+
+    Plain LIFO save/restore: unlike the AQE toggle this is typically
+    nested at most once per loop, and each scope restores the exact
+    value it observed, so interleaved scopes on one session unwind
+    correctly as long as they unwind in stack order (guaranteed by
+    ``with``)."""
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, saved)
+
+
+@_contextmanager
 def aqe_disabled(spark: SparkSession):
     key = _aqe_key(spark)
     with _AQE_LOCK:

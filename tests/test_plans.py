@@ -220,7 +220,15 @@ ITERATIVE_SEGMENTS = {
     # the per-round label-propagation join now plans exchange-free on
     # the edge side; the convergence count also moved onto the
     # checkpointed frame, halving per-round execution.
-    "closure_components": (4, 7),
+    # (4, 7) -> (4, 5) in round 12: the loop sizes its shuffle count
+    # from the materialized edge frame (scoped_shuffle_partitions) —
+    # at the sf0.001 fixture that is ONE partition, and a single-
+    # partition child satisfies every clustered distribution, so the
+    # per-round min-agg exchanges vanish from the smoke plan. At
+    # scale n_part grows back to the ambient conf and the exchanges
+    # return — the frozen number is for the fixed sf0.001 fixture, as
+    # stated above.
+    "closure_components": (4, 5),
     # (5, 18) -> (5, 22) in round 8: the near-dup stage moved from a
     # per-pair array-shipping block join to inverted-index
     # intersection counting (explode + (blk, word) equi-join + one
@@ -240,7 +248,14 @@ ITERATIVE_SEGMENTS = {
     # removing BOTH the sum C(occ,2) pair stream (quadratic in block
     # occupancy) and the per-pair array-shipping verify joins
     # (~350 GB at 1000x) — the two sf100 DNFs. sf100 now 422s.
-    "dedup_canonical_corpus": (6, 22),
+    # (6, 22) -> (7, 20) in round 12: the candidate stream is
+    # checkpointed (one new segment) so the docs side of the cogroup
+    # verify can semi-join down to the exact (blk, salt, endpoint)
+    # set — the blind K_SALT x corpus replication is gone. Net -2
+    # exchanges at the fixture: the endpoint distinct + docs join add
+    # two, the closure loop's single-partition smoke rounds (see
+    # closure_components) drop four.
+    "dedup_canonical_corpus": (7, 20),
     # (10, 41) -> (12, 18) in round 10: the loop now checkpoints under
     # a scoped AQE-off so LogicalRDD keeps hash partitioning/ordering —
     # the loop-invariant edge frame is placed on src once (two new
