@@ -108,6 +108,36 @@ def input_split_count(df: DataFrame) -> int:
         return 0
 
 
+def scan_input_bytes(df: DataFrame) -> int | None:
+    """Total bytes of the scan files under ``df``, or None if unknown.
+
+    Driver-side metadata only (no job): ``inputFiles`` comes from the
+    plan's cached file index and sizes from the FileSystem. None (or a
+    huge file count) means "can't tell cheaply" — callers doing size
+    dispatch must treat that as LARGE, the scale-safe default. Shared
+    by the size-dispatched operators (Bradley-Terry pair stats, kgram
+    novelty): each pairs a small-input plan whose constants win below
+    a threshold with the only shape that survives 1000x above it."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > 512:
+        return None
+    try:
+        spark = df.sparkSession
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            fs = p.getFileSystem(hconf)
+            total += fs.getFileStatus(p).getLen()
+        return int(total)
+    except Exception:
+        return None
+
+
 def sized_for_compute(df: DataFrame) -> DataFrame:
     """Size partitions to the COMPUTE, not the bytes.
 

@@ -57,6 +57,78 @@ def shingles(col: str | Column, k: int = 3) -> Column:
     return F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)]))
 
 
+def shingle_stream(df, text_col: str, k: int, carry_cols, distinct=True):
+    """Exploded word k-shingle stream as an Arrow ``mapInPandas`` pass:
+    one output row per (doc, gram), carrying ``carry_cols`` alongside
+    the gram string ``g``.
+
+    Exists because :func:`shingles`'s ``transform`` lambda — like every
+    array higher-order function — is CodegenFallback: the per-gram
+    ``concat_ws`` evaluates INTERPRETED, and a corpus-scale
+    ``explode(array_distinct(shingles(...)))`` spends ~18s per pass at
+    the 100x probe building 25M gram strings one interpreted eval at a
+    time (round-12 profile; the same diagnosis as the round-11 PQ
+    encode fix, similarity.py pq_encode). Plain Python string slicing
+    over Arrow batches is ~4x faster, and the pass stays narrow — no
+    shuffle, no join, partition-parallel.
+
+    BIT-EQUALITY CONTRACT: the output row multiset must equal
+    ``df.select(*carry_cols, explode(array_distinct(shingles(lower(
+    trim(text_col)), k))))`` exactly — pinned by
+    tests/test_operators_golden.py::test_shingle_stream_matches_hof_spec.
+    The Python reimplementation mirrors the JVM semantics precisely:
+    ``trim`` strips ASCII space 0x20 only (Spark StringTrim's default),
+    ``lower`` is applied between the two trims, Java ``\\s`` is the
+    ASCII class [ \\t\\n\\x0B\\f\\r] (NOT Python's unicode-aware
+    ``\\s``), and ``array_distinct`` keeps first occurrence order.
+    """
+    import re
+
+    ws_re = re.compile("[ \t\n\x0b\f\r]+")
+    carry_cols = list(carry_cols)
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in carry_cols
+    ) + ", g string"
+
+    # Cap yielded frames: one input batch of ~10k docs fans out to
+    # ~500k gram rows, and a single huge pandas->Arrow frame per
+    # yield spikes netty direct buffers and JVM heap on a 32-worker
+    # box (the sf100 probe's GC-thrash failure mode). ~128k rows per
+    # frame keeps each transfer a few MB without measurable loop cost.
+    FLUSH_ROWS = 131_072
+
+    def gen(batches):
+        for pdf in batches:
+            texts = pdf[text_col]
+            carry = pdf[carry_cols]
+            out_idx: list[int] = []
+            out_g: list[str] = []
+            for i, t in enumerate(texts):
+                if t is None:
+                    continue
+                low = t.strip(" ").lower().strip(" ")
+                toks = [w for w in ws_re.split(low) if w]
+                n = len(toks) - (k - 1)
+                if n <= 0:
+                    continue
+                grams = [" ".join(toks[j : j + k]) for j in range(n)]
+                if distinct:
+                    grams = list(dict.fromkeys(grams))
+                out_idx.extend([i] * len(grams))
+                out_g.extend(grams)
+                if len(out_idx) >= FLUSH_ROWS:
+                    res = carry.iloc[out_idx].reset_index(drop=True)
+                    res["g"] = out_g
+                    yield res
+                    out_idx, out_g = [], []
+            if out_idx:
+                res = carry.iloc[out_idx].reset_index(drop=True)
+                res["g"] = out_g
+                yield res
+
+    return df.select(*carry_cols, text_col).mapInPandas(gen, schema=out_schema)
+
+
 def rolling_fingerprint(col: str | Column) -> Column:
     """Deterministic 64-bit document fingerprint: xxhash64 of the
     normalized (lowercased, whitespace-collapsed) text."""

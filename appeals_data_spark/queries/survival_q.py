@@ -1805,30 +1805,11 @@ BT_EXPLODED_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _input_bytes(df: DataFrame) -> int | None:
-    """Total bytes of the scan files under ``df``, or None if unknown.
+    """Scan bytes under ``df`` (None = unknown = treat as LARGE);
+    shared implementation in catalog.scan_input_bytes."""
+    from ..catalog import scan_input_bytes
 
-    Driver-side metadata only (no job): ``inputFiles`` comes from the
-    file index and sizes from the FileSystem. None (or a huge file
-    count) means "can't tell cheaply" — callers must treat that as
-    LARGE, the scale-safe default."""
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return None
-    if not files or len(files) > 512:
-        return None
-    try:
-        spark = df.sparkSession
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        total = 0
-        for f in files:
-            p = jvm.org.apache.hadoop.fs.Path(f)
-            fs = p.getFileSystem(hconf)
-            total += fs.getFileStatus(p).getLen()
-        return int(total)
-    except Exception:
-        return None
+    return scan_input_bytes(df)
 
 
 def bt_pair_stats(li: DataFrame) -> DataFrame:

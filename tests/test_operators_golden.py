@@ -655,3 +655,61 @@ def test_nearest_centroid_fold_tiebreak(spark):
         nearest_centroid_struct(F.col("cents"), F.col("embedding")).alias("b")
     ).first()["b"]
     assert best["c_label"] == 1
+
+
+def test_shingle_stream_matches_hof_spec(spark):
+    """functions.text.shingle_stream's Arrow producer must emit the
+    EXACT row multiset of the HOF spec it replaces —
+    explode(array_distinct(shingles(lower(trim(text)), k))) — on real
+    testdata AND on edge-case rows exercising the JVM semantics the
+    Python port mirrors by hand: ASCII-space-only trim, tab/newline
+    separators that trim does NOT strip, repeated grams (distinct
+    keeps first occurrence), docs shorter than k, empty and NULL
+    text."""
+    import pyspark.sql.functions as F
+
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.functions.text import shingle_stream, shingles
+
+    from conftest import SF_CORRECT
+
+    def multiset(df):
+        out = {}
+        for r in df.collect():
+            key = tuple(r)
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    for k in (2, 5):
+        d = load_table(spark, SF_CORRECT, "documents")
+        got = multiset(shingle_stream(d, "text", k, ["doc_id", "source"]))
+        low = F.lower(F.trim(F.col("text")))
+        want = multiset(
+            d.select(
+                "doc_id",
+                "source",
+                F.explode(F.array_distinct(shingles(low, k))).alias("g"),
+            )
+        )
+        assert got == want and len(got) > 0, k
+
+    edge = spark.createDataFrame(
+        [
+            (1, "  A b\tc  B\n\nd a b  "),   # mixed seps, leading/trailing
+            (2, "x y x y x y"),              # repeated grams
+            (3, "one two"),                  # shorter than k=3
+            (4, ""),                         # empty
+            (5, None),                       # null
+            (6, "\tlead tab stays then more words here"),  # trim is space-only
+        ],
+        "doc_id long, text string",
+    )
+    got = multiset(shingle_stream(edge, "text", 3, ["doc_id"]))
+    low = F.lower(F.trim(F.col("text")))
+    want = multiset(
+        edge.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(low, 3))).alias("g"),
+        )
+    )
+    assert got == want and len(got) > 0
