@@ -248,14 +248,15 @@ ITERATIVE_SEGMENTS = {
     # removing BOTH the sum C(occ,2) pair stream (quadratic in block
     # occupancy) and the per-pair array-shipping verify joins
     # (~350 GB at 1000x) — the two sf100 DNFs. sf100 now 422s.
-    # (6, 22) -> (7, 20) in round 12: the candidate stream is
-    # checkpointed (one new segment) so the docs side of the cogroup
-    # verify can semi-join down to the exact (blk, salt, endpoint)
-    # set — the blind K_SALT x corpus replication is gone. Net -2
-    # exchanges at the fixture: the endpoint distinct + docs join add
-    # two, the closure loop's single-partition smoke rounds (see
-    # closure_components) drop four.
-    "dedup_canonical_corpus": (7, 20),
+    # (6, 22) -> (7, 18) in round 12: the candidate stream is
+    # checkpointed DISK_ONLY (one new segment) and the docs side of
+    # the cogroup verify is DATA-ADAPTIVE on the materialized
+    # candidate count — endpoint semi-join when pairs are sparse
+    # relative to docs, narrow K_SALT explode when dense. The fixture
+    # corpus is dense, so the frozen plan shows the explode branch
+    # (no endpoint distinct/join exchanges); -4 is the closure loop's
+    # single-partition smoke rounds (see closure_components).
+    "dedup_canonical_corpus": (7, 18),
     # (10, 41) -> (12, 18) in round 10: the loop now checkpoints under
     # a scoped AQE-off so LogicalRDD keeps hash partitioning/ordering —
     # the loop-invariant edge frame is placed on src once (two new
