@@ -583,6 +583,36 @@ def test_pagerank_empty_graph(spark):
     assert pagerank(edges).count() == 0
 
 
+def test_pagerank_local_matches_distributed(spark):
+    """The two dispatch arms (round 12: one-pass Arrow vs per-round
+    checkpointed loop) implement the identical recurrence and may
+    differ only in float summation order — pinned here to <1e-9 on the
+    real sf0.01 handoff graph, far tighter than the 6-dp rounding every
+    consumer applies. Also checks the node sets match exactly."""
+    from pyspark.sql import functions as F
+
+    from appeals_data_spark.operators.graph import (
+        _pagerank_local,
+        pagerank_distributed,
+    )
+    from appeals_data_spark.queries.survival_q import _handoff_edges
+
+    from conftest import SF_CORRECT
+
+    e = (
+        _handoff_edges(spark, SF_CORRECT)
+        .select(F.col("src"), F.col("dst"))
+        .localCheckpoint()
+    )
+    local = {r.node: r.rank for r in _pagerank_local(e, 0.85, 6).collect()}
+    dist = {
+        r.node: r.rank
+        for r in pagerank_distributed(e, e.count(), 0.85, 6).collect()
+    }
+    assert set(local) == set(dist) and len(local) > 0
+    assert max(abs(local[n] - dist[n]) for n in local) < 1e-9
+
+
 def test_morton_interleave_matches_python(spark):
     """The z-order SQL interleave (queries/sources_q._interleave_sql)
     agrees with a bit-twiddling Python reference on edge values."""

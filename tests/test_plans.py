@@ -264,7 +264,15 @@ ITERATIVE_SEGMENTS = {
     # re-layout) and each round's edge⋈rank join plans exchange-free
     # (5 -> 2 exchanges/round; the two left are the contrib agg and the
     # 1-row dangling agg). Same arithmetic, same oracle hash.
-    "graph_pagerank_handoff": (12, 18),
+    # (12, 18) -> (1, 2) in round 12: pagerank is size-dispatched —
+    # at or below PAGERANK_LOCAL_MAX_EDGES the 6 rounds run in ONE
+    # Arrow mapInPandas pass over the coalesced edge checkpoint (the
+    # Bradley-Terry in-one-applyInPandas move), so the smoke fixture
+    # shows only the edge-derivation segment (window + distinct
+    # exchanges). The distributed loop's per-round budget stays frozen
+    # in test_pagerank_per_round_exchanges_frozen, which now drives
+    # pagerank_distributed directly.
+    "graph_pagerank_handoff": (1, 2),
     # pipe_classifier_filter / x3_linear_svm_eval no longer appear:
     # pegasos moved to MLlib-style driver iteration (literal-spliced
     # coefficients, no per-round localCheckpoint) — each round is one
@@ -384,9 +392,34 @@ def test_pagerank_per_round_exchanges_frozen(spark):
     # the window + distinct), the node set (1), the 1-row N agg (1),
     # the out-degree agg (1), the sorted src re-layout of the edge
     # frame (1), and the rank init (0 — co-partitioned with nodes).
-    plan, segs = build_with_segments(
-        spark, all_queries()["graph_pagerank_handoff"].builder, SF_CORRECT
-    )
+    # Round 12: the registered query size-dispatches to the one-pass
+    # Arrow form at test SFs, so this gate drives the DISTRIBUTED loop
+    # directly (pagerank_distributed) — the path every large graph
+    # takes. The loop also sizes its shuffle count from the edge count
+    # now (scoped_shuffle_partitions): at the sf0.01 fixture that is
+    # ONE partition — the per-round contrib/dangling exchanges remain
+    # as plan NODES (HashPartitioning(k, 1) is not SinglePartition, so
+    # EnsureRequirements still inserts them) but each moves one
+    # partition, so the loop schedules 1-task stages instead of
+    # conf-many.
+    from appeals_data_spark.operators.graph import pagerank_distributed
+    from appeals_data_spark.queries.survival_q import _handoff_edges
+    from pyspark.sql import functions as F
+
+    def builder(spark, sf_dir):
+        e = (
+            _handoff_edges(spark, sf_dir)
+            .select(F.col("src"), F.col("dst"))
+            .localCheckpoint()
+        )
+        return pagerank_distributed(e, e.count(), 0.85, 6)
+
+    plan, segs = build_with_segments(spark, builder, SF_CORRECT)
     assert len(segs) == 12, len(segs)
-    assert [_ex(p) for p in segs[:6]] == [2, 1, 1, 1, 1, 0]
+    # Build-segment exchanges on the single-partition fixture: the
+    # node-set segment shows distinct + the explicit repartition (2 —
+    # they no longer collapse once the repartition pins its own
+    # count), the 1-row N agg plans exchange-free over the single
+    # partition (0), deg/edeg keep their one placement exchange each.
+    assert [_ex(p) for p in segs[:6]] == [2, 2, 0, 1, 1, 0]
     assert [_ex(p) for p in segs[6:]] == [2] * 6
