@@ -32,6 +32,65 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# At or below this many symmetric edge rows the whole fixpoint runs in
+# ONE Arrow pass over the coalesced edge partition (_components_local):
+# 2M two-int64 rows are ~32 MB in one task, and the vectorized
+# hook+compress label sweep converges in O(log n) numpy passes of
+# ~10 ms each — while the distributed loop pays 2 jobs per round
+# (checkpoint + convergence count) x O(diameter) rounds, ~2.6s of
+# scheduling on the sf0.1 duplicate graph (round-12 profile). The
+# same dispatch move as pagerank/Bradley-Terry. Numeric node ids only
+# (the exactness argument below needs an order numpy and Spark agree
+# on); non-numeric ids take the distributed loop regardless of size.
+CLOSURE_LOCAL_MAX_EDGES = 2_000_000
+
+_LOCAL_NODE_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double", "date",
+}
+
+
+def _components_local(sym: DataFrame, node_type: str) -> DataFrame:
+    """Exact min-label components in one numpy pass.
+
+    Works in index space (``np.unique`` ascending, so min index = min
+    node id): each sweep lowers every edge head's label to its tail's
+    label (``np.minimum.at``) then pointer-compresses (label of
+    label). Labels are monotone non-increasing integers bounded below,
+    so the loop terminates; at fixpoint both directions of every
+    symmetric edge force equal labels across a component, and the
+    component's minimum index m can never be lowered, so the common
+    value is exactly m — the identical (node, component = min
+    reachable node) contract as the distributed loop, bit-exact (pure
+    integer index arithmetic, no floats)."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        aa, bb = [], []
+        for pdf in batches:
+            aa.append(pdf["a"].to_numpy())
+            bb.append(pdf["b"].to_numpy())
+        if not aa or sum(len(x) for x in aa) == 0:
+            yield pd.DataFrame({"node": [], "component": []})
+            return
+        a = np.concatenate(aa)
+        b = np.concatenate(bb)
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        si, ti = inv[: len(a)], inv[len(a):]
+        label = np.arange(len(nodes))
+        while True:
+            prev = label.copy()
+            np.minimum.at(label, si, label[ti])
+            label = np.minimum(label, label[label])
+            if np.array_equal(label, prev):
+                break
+        yield pd.DataFrame({"node": nodes, "component": nodes[label]})
+
+    return sym.coalesce(1).mapInPandas(
+        run, schema=f"node {node_type}, component {node_type}"
+    )
+
 
 def connected_components(
     edges: DataFrame,
@@ -42,8 +101,12 @@ def connected_components(
     """Return (node, component) with component = min node id reachable.
 
     ``edges`` is undirected input (src, dst) of any integral/string
-    type with a total order.
-    """
+    type with a total order. Size-dispatched (round 12): small numeric
+    graphs run as one Arrow union-find pass; everything else takes the
+    per-round checkpointed label-propagation loop (the only shape that
+    scales). Both return the identical (node, min reachable node)
+    table — pinned by tests/test_operators_golden.py::
+    test_closure_local_matches_distributed."""
     spark = edges.sparkSession
     # materialize the caller's (possibly expensive) edge derivation
     # once under the ambient conf, AQE included
@@ -63,6 +126,9 @@ def connected_components(
     # partitions a few tens of MB, and large graphs keep the ambient
     # conf (the cluster-tuned value) untouched.
     n_edges = sym.count()
+    node_type = sym.schema["a"].dataType.simpleString()
+    if n_edges <= CLOSURE_LOCAL_MAX_EDGES and node_type in _LOCAL_NODE_TYPES:
+        return _components_local(sym, node_type)
     try:
         ambient = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):

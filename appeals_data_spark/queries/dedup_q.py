@@ -719,15 +719,28 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate and oracle are branch-independent.
     from pyspark.storagelevel import StorageLevel
 
-    K_SALT = 8
-    cand_s = cand.withColumn(
+    cand_ck = cand.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
+    n_cand = cand_ck.count()
+    # K_SALT is DATA-ADAPTIVE too (round 12): the salt exists to split
+    # a skewed block's pair group across tasks, but the docs side pays
+    # for it — the dense branch replicates every word array K_SALT x
+    # into the cogroup exchange. Below a million candidates even a
+    # fully skewed corpus puts at most ~1M pairs in one group (a
+    # fraction of a second of set algebra), so ship the arrays ONCE;
+    # at scale the full salt spread returns. Salting only partitions
+    # verification work — the verified edge set is salt-independent,
+    # so the lossless gate and oracle see no difference.
+    K_SALT = 8 if n_cand >= 1_000_000 else 1
+    cand_s = cand_ck.withColumn(
         "salt", F.pmod(F.xxhash64("src", "dst"), F.lit(K_SALT)).cast("int")
-    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
     # fresh aliases (dblk/dsalt): the endpoint branch's docs side
     # derives from cand_s, and reusing its attribute ids trips the
     # ambiguous-self-join analyzer check; cogroup matches grouping
     # keys by position, so the names need not agree across sides
-    if cand_s.count() < d.count() // 2:
+    if n_cand < d.count() // 2:
         # sparse: ship ws only for the exact (blk, salt, endpoint)
         # set the verifier will look up
         need = (

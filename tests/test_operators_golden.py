@@ -583,6 +583,62 @@ def test_pagerank_empty_graph(spark):
     assert pagerank(edges).count() == 0
 
 
+def test_closure_local_matches_distributed(spark):
+    """The two connected_components dispatch arms (round 12: one-pass
+    numpy hook+compress vs per-round label propagation) must return the
+    IDENTICAL (node, component = min reachable node) table — pure
+    integer results, so exact equality, on the real sf0.01 handoff
+    graph and on shapes the sweep argument must cover: a long chain
+    (diameter >> 1), an isolated self-loop pair, and two merging
+    stars."""
+    from pyspark.sql import functions as F
+
+    from appeals_data_spark.operators.closure import (
+        _components_local,
+        connected_components,
+    )
+    from appeals_data_spark.queries.survival_q import _handoff_edges
+
+    from conftest import SF_CORRECT
+
+    def local_of(edges):
+        sym = (
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .unionByName(
+                edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+            )
+            .localCheckpoint()
+        )
+        t = sym.schema["a"].dataType.simpleString()
+        return _components_local(sym, t)
+
+    def dist_of(edges):
+        from appeals_data_spark.operators import closure as mod
+
+        saved = mod.CLOSURE_LOCAL_MAX_EDGES
+        mod.CLOSURE_LOCAL_MAX_EDGES = -1  # force the distributed loop
+        try:
+            return connected_components(edges)
+        finally:
+            mod.CLOSURE_LOCAL_MAX_EDGES = saved
+
+    cases = [
+        _handoff_edges(spark, SF_CORRECT),
+        spark.createDataFrame(
+            # one 21-node chain — long diameter but within the
+            # distributed loop's max_iter bound
+            [(i, i + 1) for i in range(20)]
+            + [(100, 101)]
+            + [(200, 202), (200, 203), (201, 202)],  # merging stars
+            "src bigint, dst bigint",
+        ),
+    ]
+    for edges in cases:
+        got = {(r.node, r.component) for r in local_of(edges).collect()}
+        want = {(r.node, r.component) for r in dist_of(edges).collect()}
+        assert got == want and len(got) > 0
+
+
 def test_pagerank_local_matches_distributed(spark):
     """The two dispatch arms (round 12: one-pass Arrow vs per-round
     checkpointed loop) implement the identical recurrence and may

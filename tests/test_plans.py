@@ -228,7 +228,16 @@ ITERATIVE_SEGMENTS = {
     # scale n_part grows back to the ambient conf and the exchanges
     # return — the frozen number is for the fixed sf0.001 fixture, as
     # stated above.
-    "closure_components": (4, 5),
+    # (4, 5) -> (1, 4) in round 12 (second change): the fixpoint is
+    # size-dispatched — small numeric graphs run as one Arrow
+    # union-find pass over the symmetric-edge checkpoint (the only
+    # remaining segment; its 4 exchanges are the upstream handoff
+    # window + distinct), and the per-round loop segments appear only
+    # above CLOSURE_LOCAL_MAX_EDGES. The distributed loop's per-round
+    # budget stays pinned by
+    # test_operators_golden.py::test_closure_local_matches_distributed
+    # driving it directly.
+    "closure_components": (1, 4),
     # (5, 18) -> (5, 22) in round 8: the near-dup stage moved from a
     # per-pair array-shipping block join to inverted-index
     # intersection counting (explode + (blk, word) equi-join + one
@@ -256,7 +265,14 @@ ITERATIVE_SEGMENTS = {
     # corpus is dense, so the frozen plan shows the explode branch
     # (no endpoint distinct/join exchanges); -4 is the closure loop's
     # single-partition smoke rounds (see closure_components).
-    "dedup_canonical_corpus": (7, 18),
+    # (7, 18) -> (2, 12) in round 12 (second change): the duplicate
+    # graph rides the closure size dispatch — at fixture scale the
+    # fixpoint is the one-pass Arrow union-find, so the per-round
+    # label segments vanish and only the candidate checkpoint + the
+    # symmetric-edge checkpoint remain (the latter's exchanges: the
+    # exact-hash window, the cogroup's two (blk, salt) placements, the
+    # edge distinct, and the candidate pipeline feeding it).
+    "dedup_canonical_corpus": (2, 12),
     # (10, 41) -> (12, 18) in round 10: the loop now checkpoints under
     # a scoped AQE-off so LogicalRDD keeps hash partitioning/ordering —
     # the loop-invariant edge frame is placed on src once (two new
