@@ -35,6 +35,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# At or below this many scan bytes (and only with the exact scaled-
+# long fold on), all pegasos rounds run in ONE Arrow pass over the
+# coalesced feature partition instead of one aggregation job per
+# round: iters scheduler round-trips collapse to one (measured
+# pipe_classifier_filter 20 rounds 3.8s -> see OPTIMIZATION_r12.md).
+# The exact int64 violator sums make the fold order-independent, so
+# the single-task fit is BIT-IDENTICAL to the distributed per-round
+# aggregation — pinned by tests/test_ml.py::
+# test_pegasos_local_matches_distributed. Unknown size or a
+# non-exact (plain double) fold always takes the distributed loop:
+# double sums are merge-order-sensitive, so only the exact fold may
+# change execution shape without changing a bit. 256 MB of parquet is
+# ~15M projected rows — comfortably one task's memory.
+SVM_LOCAL_MAX_BYTES = 256 * 1024 * 1024
+# Row-count form of the same bound (for persisted inputs whose file
+# index is hidden): ~16M projected rows x (k+1) float64 columns is a
+# few hundred MB in the single fit task.
+SVM_LOCAL_MAX_ROWS = 16_000_000
+
 
 def pegasos_linear_svm(
     df: DataFrame,
@@ -45,6 +64,7 @@ def pegasos_linear_svm(
     pos_weight: float = 1.0,
     neg_weight: float = 1.0,
     exact_sum_decimals: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Fit y in {+1,-1} ~ sign(w0 + w1*x1 + ... + wk*xk); returns the
     1-row coefficient frame (w0..wk). ``y`` must evaluate to +-1.0.
@@ -93,6 +113,28 @@ def pegasos_linear_svm(
     # only the k+1-value model hop moved off the DAG. Arithmetic is
     # bit-identical: Python float ops are the same IEEE doubles the
     # broadcast column ops computed, in the same association.
+    if exact_sum_decimals is not None:
+        from ..catalog import scan_input_bytes
+
+        # Two size signals, either one routes small fits local: the
+        # scan bytes under a plain file-backed frame, or the caller's
+        # known row count (``n_rows``) for frames whose file index is
+        # hidden — ``persist()`` swaps in InMemoryRelation and empties
+        # ``inputFiles`` immediately, so a cached feature frame always
+        # reads as unknown-size without the hint. Unknown on both
+        # signals = LARGE, the scale-safe default.
+        nbytes = scan_input_bytes(df)
+        small = (nbytes is not None and nbytes <= SVM_LOCAL_MAX_BYTES) or (
+            n_rows is not None and n_rows <= SVM_LOCAL_MAX_ROWS
+        )
+        if small:
+            w = _fit_local(
+                d, k, lam, iters, pos_weight, neg_weight, exact_sum_decimals
+            )
+            return df.sparkSession.range(1).select(
+                *[F.lit(w[j]).alias(f"w{j}") for j in range(k + 1)]
+            )
+
     w = [0.0] * (k + 1)
     for i in range(1, iters + 1):
         wx = F.lit(w[0]) + sum(
@@ -140,3 +182,86 @@ def pegasos_linear_svm(
     return df.sparkSession.range(1).select(
         *[F.lit(w[j]).alias(f"w{j}") for j in range(k + 1)]
     )
+
+
+def _fit_local(
+    d: DataFrame,
+    k: int,
+    lam: float,
+    iters: int,
+    pos_weight: float,
+    neg_weight: float,
+    dec: int,
+) -> list[float]:
+    """All pegasos rounds in one Arrow pass; returns the fitted w.
+
+    Mirrors the distributed round's arithmetic OPERATION FOR OPERATION
+    so the result is bit-identical: the margin accumulates left-to-
+    right from 0.0 exactly as the Column ``sum`` generator does; each
+    violator contribution is ``(cw * y) * feat_j`` then
+    ``rint(contrib * scale)``; sums are masked int64 adds (exact,
+    order-free — the same reason the distributed fold is partitioning-
+    independent); NaN margins/contributions are excluded exactly where
+    the JVM's NULL propagation excludes them; and the driver-side w
+    update is the identical Python float expression. One job (the
+    bounded k+1-double collect) replaces ``iters`` aggregation jobs.
+    """
+    scale = 10 ** dec
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        ys, xs_ = [], []
+        for pdf in batches:
+            ys.append(pdf["_y"].to_numpy(dtype="float64", na_value=np.nan))
+            xs_.append(
+                [
+                    pdf[f"_x{j + 1}"].to_numpy(
+                        dtype="float64", na_value=np.nan
+                    )
+                    for j in range(k)
+                ]
+            )
+        if ys:
+            y = np.concatenate(ys)
+            X = [np.concatenate([b[j] for b in xs_]) for j in range(k)]
+        else:
+            y = np.zeros(0)
+            X = [np.zeros(0) for _ in range(k)]
+        n = len(y)
+        cw = np.where(y > 0, float(pos_weight), float(neg_weight))
+        cy = cw * y
+        w = [0.0] * (k + 1)
+        for i in range(1, iters + 1):
+            acc = np.zeros(n)
+            for j in range(k):
+                acc = acc + w[j + 1] * X[j]
+            wx = w[0] + acc
+            viol = (y * wx) < 1  # NaN compares False == NULL-excluded
+            svs = []
+            for j in range(k + 1):
+                contrib = cy if j == 0 else cy * X[j - 1]
+                scaled = np.rint(contrib * scale)
+                mask = viol & ~np.isnan(scaled)
+                svs.append(
+                    float(scaled[mask].astype("int64").sum()) / scale
+                )
+            keep = 1.0 - 1.0 / i
+            den = (lam * i) * n
+            w = [
+                keep * w[j] + (svs[j] / den if den else float("nan"))
+                for j in range(k + 1)
+            ]
+        yield pd.DataFrame({f"w{j}": [w[j]] for j in range(k + 1)})
+
+    schema = ", ".join(f"w{j} double" for j in range(k + 1))
+    # coalesce(1): the fit task reads every upstream partition itself
+    # (no shuffle — repartition(1) was measured slower: the keyless
+    # repartition's sort-before-repartition pass cost more than the
+    # serial read saves). Callers whose feature PROJECTION is
+    # expensive should persist AND materialize it first so the single
+    # fit task deserializes cached rows instead of recomputing the
+    # projection serially (pipe_classifier_filter does).
+    row = d.coalesce(1).mapInPandas(run, schema=schema).collect()[0]
+    return [row[f"w{j}"] for j in range(k + 1)]

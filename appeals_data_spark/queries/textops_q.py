@@ -1360,6 +1360,14 @@ def pipe_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(max(8, n_splits))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Materialize the cache with a parallel pass BEFORE the fit: the
+    # round-12 one-pass local fit reads its input coalesced into one
+    # task, and without this the tokenization-heavy projection would
+    # compute serially inside that task (measured +0.9s); after the
+    # count the fit task just deserializes cached feature rows. The
+    # count doubles as the fit's size hint — persist() hides the file
+    # index, so without it the dispatch would read unknown = LARGE.
+    n_feat = feat.count()
     # exact_sum_decimals: the violator folds accumulate 1e6-scaled
     # LONGs, so the 20-round fit is bit-identical under any
     # partitioning (tests/test_determinism.py covers this query).
@@ -1373,6 +1381,7 @@ def pipe_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         lam=0.02,
         iters=20,
         exact_sum_decimals=6,
+        n_rows=n_feat,
     )
     score = F.col("w0") + (F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2"))
     return (

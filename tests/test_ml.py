@@ -149,3 +149,50 @@ def test_pegasos_class_weights_shift_boundary(spark):
         return df.filter(score >= 0).count()
 
     assert npos(10.0) >= npos(1.0)
+
+
+def test_pegasos_local_matches_distributed(spark):
+    """The round-12 one-pass Arrow fit must be BIT-IDENTICAL to the
+    per-round distributed aggregation: with the exact scaled-long fold
+    the violator sums are order-free int64 adds and every other step
+    mirrors the JVM expression operation for operation, so equality is
+    exact (==, not approx) — on real sf0.001 lineitem features with
+    class weights, and on a frame containing a null feature row (NULL
+    exclusion must match NaN masking)."""
+    from pyspark.sql import functions as F
+
+    from appeals_data_spark.ml import svm as svm_mod
+    from appeals_data_spark.ml.svm import pegasos_linear_svm
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    xs = [
+        F.col("l_quantity").cast("double") / 50 - 0.5,
+        F.col("l_discount").cast("double") * 10 - 0.5,
+    ]
+    y = F.when(F.col("l_quantity") > 25, 1.0).otherwise(-1.0)
+
+    nulled = li.withColumn(
+        "l_discount",
+        F.when(F.col("l_orderkey") % 97 == 0, None).otherwise(
+            F.col("l_discount")
+        ),
+    )
+
+    for frame in (li, nulled):
+        kwargs = dict(
+            y=y,
+            xs=xs,
+            lam=0.05,
+            iters=7,
+            pos_weight=4.0,
+            neg_weight=1.0,
+            exact_sum_decimals=6,
+        )
+        local = pegasos_linear_svm(frame, **kwargs).collect()[0]
+        saved = svm_mod.SVM_LOCAL_MAX_BYTES
+        svm_mod.SVM_LOCAL_MAX_BYTES = -1  # force the distributed loop
+        try:
+            dist = pegasos_linear_svm(frame, **kwargs).collect()[0]
+        finally:
+            svm_mod.SVM_LOCAL_MAX_BYTES = saved
+        assert tuple(local) == tuple(dist)
