@@ -1101,21 +1101,26 @@ def _dsir_report(spark: SparkSession, sf_dir: str, bucket_fn) -> DataFrame:
         "source",
         F.explode(shingles(low, 2)).alias("g"),
     ).select("doc_id", "source", bucket_fn(F.col("g")).alias("b"))
-    raw_c = bg.groupBy("b").agg(F.count("*").alias("cr"))
-    tgt_c = (
-        bg.filter(F.col("source").isin(*_DSIR_TARGET))
-        .groupBy("b")
-        .agg(F.count("*").alias("ct"))
+    # ONE pass builds both B-row count tables (round 12): the bigram
+    # stream is expensive to produce (the shingles transform's
+    # per-gram concat evaluates interpreted — CodegenFallback — plus
+    # the feature hash), and the old raw_c/tgt_c/tot trio re-derived
+    # it three times; a single map-side-combinable agg carries the
+    # target count as a conditional sum, and the corpus totals are
+    # exact integer sums OVER the B-row table (nr = sum cr, nt =
+    # sum ct — identical values, bucket-count-sized input). The
+    # per-doc scoring pass below is the only other bg consumer, so
+    # the stream is now derived twice, not four times.
+    counts = bg.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.col("source").isin(*_DSIR_TARGET).cast("int")).alias("ct"),
     )
-    tot = bg.agg(
-        F.count("*").cast("double").alias("nr"),
-        F.sum(F.col("source").isin(*_DSIR_TARGET).cast("int"))
-        .cast("double")
-        .alias("nt"),
+    tot = counts.agg(
+        F.sum("cr").cast("double").alias("nr"),
+        F.sum("ct").cast("double").alias("nt"),
     )
     lr = (
-        raw_c.join(tgt_c, "b", "left")
-        .crossJoin(F.broadcast(tot))
+        counts.crossJoin(F.broadcast(tot))
         .select(
             "b",
             pin_dec(
