@@ -959,7 +959,19 @@ def pipe_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
         "doc_id", F.explode("gs").alias("g")
     )
-    n_grams = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    # Per-doc gram total straight off the array: size(gs) over the
+    # un-exploded frame equals count(*) over the exploded stream for
+    # every doc that survives the explode, and the size>0 filter
+    # reproduces the explode's drop of empty-gram docs (NULL text ->
+    # NULL array -> size -1, also dropped). Replaces a full
+    # gram-stream explode + groupBy(doc_id) — the branch now shuffles
+    # NOTHING at any corpus size instead of re-keying every distinct
+    # gram occurrence by doc_id (round 12, guide §2.4).
+    n_grams = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .select("doc_id", F.size("gs").alias("n_grams"))
+        .filter(F.col("n_grams") > 0)
+    )
     probe = corpus.select("doc_id", "g", *pos).crossJoin(F.broadcast(bloom))
     maybe = None
     for j in range(_BLOOM_K):
