@@ -398,7 +398,9 @@ def _pq_sql(m: int, sub: int, include_pairs: bool = True) -> str:
     """,
     tags=("VEC", "ANN", "PQ"),
 )
-def vec_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def vec_pq_adc_topk(
+    spark: SparkSession, sf_dir: str, *, _cb: DataFrame | None = None
+) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance scoring
     (Jégou et al. 2011): 64-dim embeddings split into 16 blocks of 4,
     one label-initialized sub-centroid codebook per block, every
@@ -414,7 +416,9 @@ def vec_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_adc_topk, pq_codebooks, pq_encode
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = pq_codebooks(emb, sub=4).localCheckpoint()
+    # _cb lets vec_pq_recall_report pass the one shared sub=4 codebook
+    # (identical deterministic build) instead of re-fitting it per arm.
+    cb = _cb if _cb is not None else pq_codebooks(emb, sub=4).localCheckpoint()
     codes = pq_encode(emb, cb, m=16, sub=4)
     queries = emb.filter(F.col("vec_id") < 8)
     return pq_adc_topk(codes, cb, queries, m=16, sub=4, k=5).select(
@@ -550,7 +554,9 @@ def vec_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("VEC", "ANN", "IVF", "PQ"),
 )
-def vec_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def vec_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, *, _cb: DataFrame | None = None
+) -> DataFrame:
     """IVF + PQ composed — the FAISS IVFADC shape that actually runs
     at 100 TB: the coarse quantizer prunes candidates to the nprobe=3
     probed cells (cost tracks cell occupancy, not |corpus|), and the
@@ -583,7 +589,9 @@ def vec_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("corpus_id") != F.col("query_id"))
         .select("query_id", "corpus_id")
     )
-    cb = pq_codebooks(emb, sub=4).localCheckpoint()
+    # Shared-codebook hook: identical to the adc arm's sub=4 build, so
+    # the recall report fits it once for both (see vec_pq_recall_report).
+    cb = _cb if _cb is not None else pq_codebooks(emb, sub=4).localCheckpoint()
     codes = pq_encode(emb, cb, m=16, sub=4).select(
         F.col("vec_id").alias("corpus_id"), "block", "code"
     )
@@ -1267,7 +1275,7 @@ def vec_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberate full scan (8 broadcast probes, WindowGroupLimit-bounded
     top-k); each PQ arm touches the raw embedding column only at
     encode/rerank time; the overlap joins are 40 rows a side."""
-    from ..operators.similarity import brute_force_topk
+    from ..operators.similarity import brute_force_topk, pq_codebooks
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
@@ -1277,10 +1285,16 @@ def vec_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "corpus_id")
         .localCheckpoint()
     )
+    # The ivfpq and pq_adc arms use the IDENTICAL sub=4 codebook
+    # config; fit it once and hand it to both (deterministic build, so
+    # each arm's rows are bit-identical to its standalone run — the
+    # registered arm queries still fit their own when called directly).
+    # The rerank arm's sub=2 codebook is a different model; not shared.
+    cb4 = pq_codebooks(emb, sub=4).localCheckpoint()
     out = None
     for arm, df in (
-        ("ivfpq", vec_ivfpq_topk(spark, sf_dir)),
-        ("pq_adc", vec_pq_adc_topk(spark, sf_dir)),
+        ("ivfpq", vec_ivfpq_topk(spark, sf_dir, _cb=cb4)),
+        ("pq_adc", vec_pq_adc_topk(spark, sf_dir, _cb=cb4)),
         ("pq_rerank", vec_pq_rerank_topk(spark, sf_dir)),
     ):
         hits = df.select("query_id", "corpus_id").withColumn("hit", F.lit(1))
