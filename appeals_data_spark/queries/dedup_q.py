@@ -723,16 +723,50 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True, storageLevel=StorageLevel.DISK_ONLY
     )
     n_cand = cand_ck.count()
-    # K_SALT is DATA-ADAPTIVE too (round 12): the salt exists to split
-    # a skewed block's pair group across tasks, but the docs side pays
-    # for it — the dense branch replicates every word array K_SALT x
-    # into the cogroup exchange. Below a million candidates even a
-    # fully skewed corpus puts at most ~1M pairs in one group (a
-    # fraction of a second of set algebra), so ship the arrays ONCE;
-    # at scale the full salt spread returns. Salting only partitions
-    # verification work — the verified edge set is salt-independent,
-    # so the lossless gate and oracle see no difference.
-    K_SALT = 8 if n_cand >= 1_000_000 else 1
+    if n_cand < 1_000_000:
+        # Small candidate set (round 12): verify in PURE JVM — attach
+        # both distinct-word arrays by doc-id equi-join and test
+        # size(intersect)/size(union) >= 0.5 in whole-stage codegen.
+        # This is exactly the per-pair array shape the cogroup replaced
+        # at 1000x (where pairs x arrays is hundreds of GB through two
+        # exchanges), but below a million pairs the shipped arrays are
+        # at most ~1 GB and the cogroup's costs dominate instead: a
+        # corpus-sized word-array exchange into (blk, salt) groups, two
+        # Python serialization hops, and per-group set building
+        # (measured 1.6s of the 4.8s sf0.1 query for 32k pairs whose
+        # actual set algebra is milliseconds). Same set semantics as
+        # the Python verifier — ws is array_distinct'd, so
+        # |A∪B| = na + nb - |A∩B| and the J >= 0.5 predicate is
+        # identical; the n_cand stat is already materialized (DISK
+        # checkpoint above), so the branch costs no extra job.
+        wsd = base.select("doc_id", "ws")
+        near_e = (
+            cand_ck.join(
+                wsd.select(
+                    F.col("doc_id").alias("src"), F.col("ws").alias("was")
+                ),
+                "src",
+            )
+            .join(
+                wsd.select(
+                    F.col("doc_id").alias("dst"), F.col("ws").alias("wbs")
+                ),
+                "dst",
+            )
+            .withColumn("ni", F.size(F.array_intersect("was", "wbs")))
+            .filter(
+                (F.col("ni") > 0)
+                & (
+                    F.col("ni").cast("double")
+                    / F.size(F.array_union("was", "wbs"))
+                    >= 0.5
+                )
+            )
+            .select("src", "dst")
+        )
+        comp = connected_components(exact_e.unionByName(near_e).distinct())
+        return _canonical_rollup(d, comp)
+    K_SALT = 8
     cand_s = cand_ck.withColumn(
         "salt", F.pmod(F.xxhash64("src", "dst"), F.lit(K_SALT)).cast("int")
     )
@@ -806,6 +840,12 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_verify, schema="src long, dst long")
     )
     comp = connected_components(exact_e.unionByName(near_e).distinct())
+    return _canonical_rollup(d, comp)
+
+
+def _canonical_rollup(d: DataFrame, comp: DataFrame) -> DataFrame:
+    """Per-source keep/drop accounting over the component labels —
+    shared tail of both verify branches of dedup_canonical_corpus."""
     dropped = (
         d.select("doc_id", "source")
         .join(comp, F.col("doc_id") == F.col("node"), "left")

@@ -272,7 +272,12 @@ ITERATIVE_SEGMENTS = {
     # symmetric-edge checkpoint remain (the latter's exchanges: the
     # exact-hash window, the cogroup's two (blk, salt) placements, the
     # edge distinct, and the candidate pipeline feeding it).
-    "dedup_canonical_corpus": (2, 12),
+    # (2, 12) -> (2, 8) in round 12 (third change): below 1M
+    # candidates the near-edge verify runs in pure JVM (two doc-id
+    # equi-joins + array_intersect/array_union Jaccard) instead of the
+    # (blk, salt) cogroup — the fixture takes that branch, dropping
+    # the cogroup's two group placements and the docs-side exchanges.
+    "dedup_canonical_corpus": (2, 8),
     # (10, 41) -> (12, 18) in round 10: the loop now checkpoints under
     # a scoped AQE-off so LogicalRDD keeps hash partitioning/ordering —
     # the loop-invariant edge frame is placed on src once (two new
@@ -342,10 +347,12 @@ ITERATIVE_SEGMENTS = {
     # exchanges); rep selection itself is now a max_by agg, not a
     # Window.partitionBy(c_label) full-member sort-shuffle
     "dedup_semantic_clusters": (1, 3),
-    # five checkpointed segments: the 40-row brute-force truth table +
-    # the arm models (ivfpq centroid + codebook, adc codebook, rerank
-    # codebook) — the report composes four full registered pipelines
-    "vec_pq_recall_report": (5, 10),
+    # (5, 10) -> (4, 8) in round 12: the ivfpq and pq_adc arms share
+    # ONE sub=4 codebook checkpoint fitted by the report (identical
+    # deterministic build), so a segment and its 2 codebook-fit
+    # exchanges drop out. Remaining segments: brute-force truth table,
+    # ivfpq centroids, shared sub=4 codebook, rerank sub=2 codebook.
+    "vec_pq_recall_report": (4, 8),
     # one checkpointed segment: the frozen-corpus label centroids (2
     # exchanges), the day-2 model both assignment folds broadcast
     "vec_ivf_delta_assign": (1, 2),
