@@ -932,6 +932,134 @@ _PARA_ORACLE = f"""
 """
 
 
+def _para_feature_rows_spec(d: DataFrame) -> DataFrame:
+    """Expression-level paragraph feature rows — the SPEC for the Arrow
+    producer below (golden-gated in tests/test_operators_golden.py::
+    test_para_feature_rows_match_expression_spec): one row per
+    paragraph with (doc_id, source, pidx, pmd5, sig, np) where
+    pmd5 = md5 of the space-joined paragraph, sig = concat_ws(',') of
+    the 8 per-seed portable_hash48 token minima, np = token count."""
+    from ..functions.text import tokens
+    from ..operators.dedup import portable_hash48
+
+    t = tokens("text")
+    nch = F.ceil(F.size(t) / F.lit(_PARA)).cast("int")
+    chunks = F.when(
+        F.size(t) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.slice(t, i * _PARA + 1, _PARA),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    paras = d.select(
+        "doc_id", "source", F.posexplode(chunks).alias("pidx", "pt")
+    )
+    sig = F.concat_ws(
+        ",",
+        *[
+            F.array_min(
+                F.transform(F.col("pt"), lambda x: portable_hash48(x, f"m{j}"))
+            ).cast("string")
+            for j in range(_PARA_SEEDS)
+        ],
+    )
+    return paras.select(
+        "doc_id",
+        "source",
+        "pidx",
+        F.md5(F.array_join(F.col("pt"), " ")).alias("pmd5"),
+        sig.alias("sig"),
+        F.size("pt").alias("np"),
+    )
+
+
+def _para_feature_rows(d: DataFrame) -> DataFrame:
+    """Arrow producer of the paragraph feature rows (round 12).
+
+    The expression spec evaluates INTERPRETED per token: the sig
+    column is 8 CodegenFallback ``transform`` lambdas, each invoking
+    the md5/conv chain of portable_hash48 — measured 2.1s of the 2.8s
+    sf0.1 query, and linear-in-tokens x 8 at any scale. This pass
+    mirrors it in Python (hashlib.md5 is the same function) with a
+    per-task vocabulary memo: each distinct token's 8 seed hashes are
+    computed ONCE per task instead of once per occurrence, which no
+    JVM expression can do. Bit-equality mirrors of the JVM semantics:
+    ``trim`` strips ASCII space 0x20 only, Java ``\\s`` is
+    [ \\t\\n\\x0B\\f\\r], md5 hex is lowercase in both engines, and
+    the 48-bit int fits exactly in int64. The output rows are narrow
+    (two hash strings + 3 ints) — the paragraph token arrays never
+    leave the scan task, so the two window shuffles downstream carry
+    hashes, not text (guide §2.3)."""
+    import hashlib
+    import re
+
+    ws_re = re.compile("[ \t\n\x0b\f\r]+")
+    seeds = [f"#m{j}".encode() for j in range(_PARA_SEEDS)]
+    n_seeds = _PARA_SEEDS
+    para = _PARA
+
+    def gen(batches):
+        import pandas as pd
+
+        memo: dict[str, list[int]] = {}
+        for pdf in batches:
+            out_doc, out_src, out_pidx = [], [], []
+            out_md5, out_sig, out_np = [], [], []
+            for did, src, txt in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                if txt is None:
+                    continue
+                toks = [w for w in ws_re.split(txt.strip(" ")) if w]
+                if not toks:
+                    continue
+                for pidx in range((len(toks) + para - 1) // para):
+                    pt = toks[pidx * para : (pidx + 1) * para]
+                    mins = [None] * n_seeds
+                    for tok in pt:
+                        hs = memo.get(tok)
+                        if hs is None:
+                            tb = tok.encode("utf-8")
+                            hs = [
+                                int(
+                                    hashlib.md5(tb + s).hexdigest()[:12], 16
+                                )
+                                for s in seeds
+                            ]
+                            memo[tok] = hs
+                        for j in range(n_seeds):
+                            v = hs[j]
+                            if mins[j] is None or v < mins[j]:
+                                mins[j] = v
+                    out_doc.append(did)
+                    out_src.append(src)
+                    out_pidx.append(pidx)
+                    out_md5.append(
+                        hashlib.md5(" ".join(pt).encode("utf-8")).hexdigest()
+                    )
+                    out_sig.append(",".join(str(m) for m in mins))
+                    out_np.append(len(pt))
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out_doc,
+                        "source": out_src,
+                        "pidx": out_pidx,
+                        "pmd5": out_md5,
+                        "sig": out_sig,
+                        "np": out_np,
+                    }
+                )
+
+    from ..catalog import sized_for_compute
+
+    return sized_for_compute(d.select("doc_id", "source", "text")).mapInPandas(
+        gen,
+        schema="doc_id long, source string, pidx int, pmd5 string,"
+        " sig string, np int",
+    )
+
+
 @register(
     "dedup_paragraph_retention",
     oracle=_PARA_ORACLE,
@@ -951,56 +1079,34 @@ def dedup_paragraph_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Entirely integer arithmetic — no float ever leaves an expression.
 
-    Physical shape at 100 TB: tokenize -> slice windows (expression-
-    level, no shuffle) -> posexplode -> window rank on md5(paragraph)
-    [one hash shuffle; the 128-bit digest is the shuffle key, never
-    the text] -> window rank on the 8-min signature computed by
-    array_min/transform over the paragraph tokens (expression-level,
-    zero explode) [second hash shuffle] -> per-doc rollup [third,
-    map-side combinable] -> broadcast-sized per-source report. Near
-    stage is signature-EQUALITY dedup: candidates never pair-join, so
-    there is no quadratic term anywhere; a banded pair-verify variant
-    is dedup_minhash_portable.
-    """
+    Physical shape at 100 TB: one Arrow scan pass emits a NARROW row
+    per paragraph — (pidx, md5, 8-min signature, token count); the
+    token arrays never leave the scan task (round 12 — previously the
+    arrays rode through both window exchanges and the sig was 8
+    interpreted transform lambdas, 2.1s of the 2.8s sf0.1 query) ->
+    window rank on the md5 [one hash shuffle; 32 hex chars per row
+    regardless of paragraph length] -> window rank on the signature
+    [second hash shuffle] -> per-doc rollup [third, map-side
+    combinable] -> broadcast-sized per-source report. Near stage is
+    signature-EQUALITY dedup: candidates never pair-join, so there is
+    no quadratic term anywhere; a banded pair-verify variant is
+    dedup_minhash_portable. The Arrow producer is bit-equality-gated
+    against the expression spec (tests/test_operators_golden.py), so
+    the swap can change only the plan, never a value."""
     from pyspark.sql.window import Window
 
-    from ..functions.text import tokens
-    from ..operators.dedup import portable_hash48
-
     d = load_table(spark, sf_dir, "documents")
-    t = tokens("text")
-    nch = F.ceil(F.size(t) / F.lit(_PARA)).cast("int")
-    chunks = F.when(
-        F.size(t) > 0,
-        F.transform(
-            F.sequence(F.lit(0), nch - 1),
-            lambda i: F.slice(t, i * _PARA + 1, _PARA),
-        ),
-    ).otherwise(F.array().cast("array<array<string>>"))
-    paras = d.select(
-        "doc_id", "source", F.posexplode(chunks).alias("pidx", "pt")
-    )
-    # Exact stage: rank within identical paragraph text. Partitioning
-    # on the md5 digest keeps the shuffle key at 32 hex chars
-    # regardless of paragraph length; ordering (doc_id, pidx) is a
-    # total order, so rn is deterministic under any partitioning.
-    ptext = F.array_join(F.col("pt"), " ")
-    w_exact = Window.partitionBy(F.md5(ptext)).orderBy("doc_id", "pidx")
-    sig = F.concat_ws(
-        ",",
-        *[
-            F.array_min(
-                F.transform(F.col("pt"), lambda x: portable_hash48(x, f"m{j}"))
-            ).cast("string")
-            for j in range(_PARA_SEEDS)
-        ],
-    )
+    paras = _para_feature_rows(d)
+    # Exact stage: rank within identical paragraph text (by md5
+    # digest). Ordering (doc_id, pidx) is a total order, so rn is
+    # deterministic under any partitioning.
+    w_exact = Window.partitionBy("pmd5").orderBy("doc_id", "pidx")
     ranked = paras.withColumn("rn", F.row_number().over(w_exact))
     # Near stage runs only over exact survivors, but without a
     # filter+join round trip: exact-dup rows get a per-row unique
     # "signature" so they sit alone in the second window (their nrn=1
     # is never read — final keep requires rn=1 too).
-    sig_or_unique = F.when(F.col("rn") == 1, sig).otherwise(
+    sig_or_unique = F.when(F.col("rn") == 1, F.col("sig")).otherwise(
         F.concat_ws(":", F.lit("dup"), F.col("doc_id"), F.col("pidx"))
     )
     w_near = Window.partitionBy(sig_or_unique).orderBy("doc_id", "pidx")
@@ -1011,10 +1117,10 @@ def dedup_paragraph_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when((F.col("rn") == 1) & (F.col("nrn") != 1), 1).otherwise(0)
         ).alias("n_near_dup"),
-        F.sum(F.size("pt")).alias("total_tokens"),
+        F.sum("np").alias("total_tokens"),
         F.sum(
             F.when(
-                (F.col("rn") == 1) & (F.col("nrn") == 1), F.size("pt")
+                (F.col("rn") == 1) & (F.col("nrn") == 1), F.col("np")
             ).otherwise(0)
         ).alias("retained_tokens"),
     )

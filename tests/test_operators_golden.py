@@ -799,3 +799,52 @@ def test_shingle_stream_matches_hof_spec(spark):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_para_feature_rows_match_expression_spec(spark):
+    """dedup_q._para_feature_rows (the round-12 Arrow producer) must
+    emit the EXACT row multiset of the expression-level spec it
+    replaces — tokenize -> fixed 20-token slices -> (pidx, md5 of the
+    space-joined paragraph, 8-seed portable_hash48 min signature,
+    token count) — on real testdata AND on edge rows exercising the
+    JVM semantics the Python port mirrors by hand: ASCII-space-only
+    trim, tab/newline separators that trim does NOT strip, exact
+    multiples of the 20-token window, repeated tokens (the vocab memo
+    path), empty and NULL text."""
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.queries.dedup_q import (
+        _PARA,
+        _para_feature_rows,
+        _para_feature_rows_spec,
+    )
+
+    from conftest import SF_CORRECT
+
+    def multiset(df):
+        out = {}
+        for r in df.collect():
+            key = tuple(r)
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    d = load_table(spark, SF_CORRECT, "documents")
+    got = multiset(_para_feature_rows(d))
+    want = multiset(_para_feature_rows_spec(d))
+    assert got == want and len(got) > 0
+
+    rep = " ".join(["tok"] * (3 * _PARA))           # exact window multiple
+    edge = spark.createDataFrame(
+        [
+            (1, "a", "  Mixed\tsep\n\nwords  here  and more  "),
+            (2, "a", rep),                          # repeated tokens, 3 full windows
+            (3, "b", rep + " tail"),                # partial last window of 1
+            (4, "b", "short doc"),                  # shorter than one window
+            (5, "c", ""),                           # empty -> no rows
+            (6, "c", None),                         # null -> no rows
+            (7, "d", "\tlead tab stays then more words here"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = multiset(_para_feature_rows(edge))
+    want = multiset(_para_feature_rows_spec(edge))
+    assert got == want and len(got) > 0
