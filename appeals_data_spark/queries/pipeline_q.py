@@ -956,23 +956,22 @@ def pipe_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = words.agg(
         F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bf")
     )
+    # One corpus gram pass (round 12, guide §2.3/§2.4): the per-doc
+    # gram total rides the exploded stream as a carried column instead
+    # of a second full evaluation of the array_distinct(shingles(...))
+    # projection (the HOF transform is CodegenFallback — the old
+    # size(gs) branch re-ran the whole interpreted gram build over the
+    # corpus, measured 0.84s of the 2.4s sf0.1 query and a full corpus
+    # pass at any scale). Zero-hit docs never need their exact gram
+    # count — floor(0/n*10) = 0 for every n — so they are recovered by
+    # count arithmetic from a cheap token-count scan (no per-gram
+    # concat): size(gs) > 0  <=>  size(tokens) >= 3.
     corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
-        "doc_id", F.explode("gs").alias("g")
+        "doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("g")
     )
-    # Per-doc gram total straight off the array: size(gs) over the
-    # un-exploded frame equals count(*) over the exploded stream for
-    # every doc that survives the explode, and the size>0 filter
-    # reproduces the explode's drop of empty-gram docs (NULL text ->
-    # NULL array -> size -1, also dropped). Replaces a full
-    # gram-stream explode + groupBy(doc_id) — the branch now shuffles
-    # NOTHING at any corpus size instead of re-keying every distinct
-    # gram occurrence by doc_id (round 12, guide §2.4).
-    n_grams = (
-        grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
-        .select("doc_id", F.size("gs").alias("n_grams"))
-        .filter(F.col("n_grams") > 0)
+    probe = corpus.crossJoin(F.broadcast(bloom)).select(
+        "doc_id", "n_grams", "g", *pos, "bf"
     )
-    probe = corpus.select("doc_id", "g", *pos).crossJoin(F.broadcast(bloom))
     maybe = None
     for j in range(_BLOOM_K):
         bit = F.expr(
@@ -988,15 +987,17 @@ def pipe_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe.filter(maybe)
         .join(F.broadcast(bench), "g", "left_semi")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit"))
+        .agg(
+            F.count("*").alias("n_hit"),
+            # every exploded row of a doc carries the same total
+            F.max("n_grams").alias("n_grams"),
+        )
     )
-    hits = n_grams.join(confirmed, "doc_id", "left").select(
-        "doc_id",
-        "n_grams",
-        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-    )
-    return (
-        hits.groupBy(
+    # Deciles over contaminated docs only (a handful of rows —
+    # localCheckpoint so the scalar-sum consumer below cannot re-run
+    # the corpus probe).
+    hit_deciles = (
+        confirmed.groupBy(
             F.floor(F.col("n_hit").cast("double") / F.col("n_grams") * 10)
             .cast("int")
             .alias("contamination_decile")
@@ -1004,6 +1005,42 @@ def pipe_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_hit").cast("long").alias("grams_hit"),
+        )
+        .localCheckpoint()
+    )
+    # Zero-hit docs all land in decile 0 with grams_hit 0: their count
+    # is (corpus docs with >= 1 gram) - (docs with >= 1 confirmed hit).
+    # size(gs) > 0 <=> size(tokens) >= 3 (shingle count is
+    # greatest(size(t) - 2, 0); distinct of a non-empty array is
+    # non-empty), so the eligibility scan never builds a gram string.
+    from ..functions.text import tokens as _tokens
+
+    tot = (
+        d.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .filter(F.size(_tokens(F.lower(F.trim(F.col("text"))))) >= 3)
+        .agg(F.count("*").alias("n_tot"))
+    )
+    zero = (
+        tot.crossJoin(
+            F.broadcast(
+                hit_deciles.agg(
+                    F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_hitdocs")
+                )
+            )
+        )
+        .select(
+            F.lit(0).cast("int").alias("contamination_decile"),
+            (F.col("n_tot") - F.col("n_hitdocs")).alias("n_docs"),
+            F.lit(0).cast("long").alias("grams_hit"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+    return (
+        hit_deciles.unionByName(zero)
+        .groupBy("contamination_decile")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("grams_hit").cast("long").alias("grams_hit"),
         )
         .orderBy("contamination_decile")
     )

@@ -304,10 +304,14 @@ ITERATIVE_SEGMENTS = {
     # final plan is just FlatMapGroupsInPandas + rank (2 exchanges).
     # Was (6, 13) with per-round broadcast-join rounds in r4/r5.
     "pref_bradley_terry": (1, 3),
-    # one checkpointed segment: the distinct bench gram set (one scan +
-    # one distinct exchange) reused by the Bloom build and the
-    # confirming semi-join broadcast
-    "pipe_decontam_bloom": (1, 1),
+    # two checkpointed segments (r12): the distinct bench gram set
+    # (reused by the Bloom build and the confirming semi-join
+    # broadcast) plus the contaminated-doc decile table — the corpus
+    # probe now runs once inside that segment with the per-doc gram
+    # total carried through the explode (was (1, 1) when a second
+    # full gram pass re-derived the totals; zero-hit docs are now
+    # recovered by count arithmetic in the static plan)
+    "pipe_decontam_bloom": (2, 5),
     # one checkpointed segment: the 1536-cell count-min table (one
     # map-side-combinable exchange), broadcast to the estimate join
     "a25_countmin_bound": (1, 1),
@@ -352,6 +356,9 @@ ITERATIVE_SEGMENTS = {
     # deterministic build), so a segment and its 2 codebook-fit
     # exchanges drop out. Remaining segments: brute-force truth table,
     # ivfpq centroids, shared sub=4 codebook, rerank sub=2 codebook.
+    # (Sharing the sub=4 corpus ENCODE too was tried in r12 and
+    # REJECTED by measurement: the eager checkpoint barrier cost more
+    # than the saved encode — sf10 19.3s -> 23.4s, sf0.1 flat.)
     "vec_pq_recall_report": (4, 8),
     # one checkpointed segment: the frozen-corpus label centroids (2
     # exchanges), the day-2 model both assignment folds broadcast
