@@ -1136,33 +1136,135 @@ _DSIR_B = 256  # hashed-feature buckets (fixed: the model is B-sized)
 _DSIR_TARGET = ("src0", "src1", "src2", "src3")  # 'curated' exemplar
 
 
-def _dsir_report(spark: SparkSession, sf_dir: str, bucket_fn) -> DataFrame:
-    """Shared DSIR pipeline body for the portable/production twins:
-    everything except the feature hash (``bucket_fn``: bigram Column ->
-    bucket Column in [0, _DSIR_B)) is identical by construction, so a
-    formula or schema fix lands in both queries at once (round-10
-    review: the decimal->double final-cast fix had to be hand-applied
-    twice before this factoring)."""
-    d = load_table(spark, sf_dir, "documents")
+def _dsir_occurrence_rows(d: DataFrame, bucket_fn) -> DataFrame:
+    """Expression-level weighted bucket-occurrence rows — one row per
+    bigram occurrence with cnt=1: (doc_id, source, b, cnt). The SPEC
+    for the Arrow producer below, and the live path for the xxhash64
+    production twin (codegen hash; only the shingle concat is
+    interpreted there)."""
     low = F.lower(F.trim(F.col("text")))
-    bg = d.select(
+    return d.select(
         "doc_id",
         "source",
         F.explode(shingles(low, 2)).alias("g"),
-    ).select("doc_id", "source", bucket_fn(F.col("g")).alias("b"))
-    # ONE pass builds both B-row count tables (round 12): the bigram
-    # stream is expensive to produce (the shingles transform's
-    # per-gram concat evaluates interpreted — CodegenFallback — plus
-    # the feature hash), and the old raw_c/tgt_c/tot trio re-derived
-    # it three times; a single map-side-combinable agg carries the
-    # target count as a conditional sum, and the corpus totals are
-    # exact integer sums OVER the B-row table (nr = sum cr, nt =
-    # sum ct — identical values, bucket-count-sized input). The
-    # per-doc scoring pass below is the only other bg consumer, so
-    # the stream is now derived twice, not four times.
+    ).select(
+        "doc_id",
+        "source",
+        bucket_fn(F.col("g")).alias("b"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+
+
+def _dsir_portable_bucket_rows(d: DataFrame) -> DataFrame:
+    """Arrow producer of PER-DOC bucket counts under
+    ``portable_hash48(g, "dsir") % _DSIR_B`` (round 12).
+
+    The expression path pays twice per bigram OCCURRENCE: the
+    shingles() transform's per-gram concat is CodegenFallback
+    (interpreted), and the md5/conv chain of portable_hash48 runs on
+    every occurrence. This pass mirrors both in Python (hashlib.md5 is
+    the same function) with a per-task bigram->bucket memo — each
+    distinct bigram is hashed ONCE per task — and collapses the rows
+    to per-doc bucket counts before they ever leave the scan task
+    (<= min(bigrams, 256) rows per doc instead of one per occurrence),
+    so both downstream aggregations read narrow pre-collapsed ints
+    (guide §2.3/§4.2). JVM semantics mirrored bit-for-bit: Spark
+    ``trim`` strips ASCII space only, Java ``\\s`` is
+    [ \\t\\n\\x0B\\f\\r], bigrams are space-joined adjacent tokens of
+    lower(trim(text)), hash input is ``g + "#dsir"`` UTF-8, bucket =
+    first-12-hex-digits int % 256. Golden-gated against the expression
+    spec (tests/test_operators_golden.py::
+    test_dsir_bucket_rows_match_expression_spec)."""
+    import hashlib
+    import re
+
+    ws_re = re.compile("[ \t\n\x0b\f\r]+")
+    B = _DSIR_B
+
+    def gen(batches):
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            o_doc, o_src, o_b, o_c = [], [], [], []
+            for did, src, txt in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                if txt is None:
+                    continue
+                toks = [
+                    w
+                    for w in ws_re.split(txt.strip(" ").lower().strip(" "))
+                    if w
+                ]
+                if len(toks) < 2:
+                    continue
+                counts: dict[int, int] = {}
+                prev = toks[0]
+                for t in toks[1:]:
+                    g = prev + " " + t
+                    b = memo.get(g)
+                    if b is None:
+                        b = (
+                            int(
+                                hashlib.md5(
+                                    g.encode("utf-8") + b"#dsir"
+                                ).hexdigest()[:12],
+                                16,
+                            )
+                            % B
+                        )
+                        memo[g] = b
+                    counts[b] = counts.get(b, 0) + 1
+                    prev = t
+                for b, c in counts.items():
+                    o_doc.append(did)
+                    o_src.append(src)
+                    o_b.append(b)
+                    o_c.append(c)
+            if o_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": o_doc,
+                        "source": o_src,
+                        "b": o_b,
+                        "cnt": o_c,
+                    }
+                )
+
+    from ..catalog import sized_for_compute
+
+    return sized_for_compute(d.select("doc_id", "source", "text")).mapInPandas(
+        gen, schema="doc_id long, source string, b long, cnt long"
+    )
+
+
+def _dsir_report(
+    spark: SparkSession, sf_dir: str, rows_fn, collapsed: bool
+) -> DataFrame:
+    """Shared DSIR pipeline body for the portable/production twins:
+    everything except the weighted bucket-row source (``rows_fn``:
+    documents frame -> (doc_id, source, b, cnt) rows; ``collapsed``
+    says whether rows are already unique per (doc_id, b)) is identical
+    by construction, so a formula or schema fix lands in both queries
+    at once (round-10 review: the decimal->double final-cast fix had
+    to be hand-applied twice before this factoring)."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = rows_fn(d)
+    # ONE pass builds both B-row count tables (round 12): a single
+    # map-side-combinable agg carries the target count as a
+    # conditional sum, and the corpus totals are exact integer sums
+    # OVER the B-row table (nr = sum cr, nt = sum ct — identical
+    # values, bucket-count-sized input). The per-doc scoring pass
+    # below is the only other bg consumer, so the stream is derived
+    # twice, not four times.
     counts = bg.groupBy("b").agg(
-        F.count("*").alias("cr"),
-        F.sum(F.col("source").isin(*_DSIR_TARGET).cast("int")).alias("ct"),
+        F.sum("cnt").alias("cr"),
+        F.sum(
+            F.when(
+                F.col("source").isin(*_DSIR_TARGET), F.col("cnt")
+            ).otherwise(F.lit(0))
+        ).alias("ct"),
     )
     tot = counts.agg(
         F.sum("cr").cast("double").alias("nr"),
@@ -1185,10 +1287,15 @@ def _dsir_report(spark: SparkSession, sf_dir: str, bucket_fn) -> DataFrame:
         )
         .localCheckpoint()
     )
+    base = (
+        bg
+        if collapsed
+        else bg.groupBy("doc_id", "source", "b").agg(
+            F.sum("cnt").alias("cnt")
+        )
+    )
     per_doc = (
-        bg.groupBy("doc_id", "source", "b")
-        .agg(F.count("*").alias("cnt"))
-        .join(F.broadcast(lr), "b")
+        base.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "source")
         .agg((F.sum(F.col("cnt") * F.col("lr"))).cast("decimal(28,6)").alias("w"))
     )
@@ -1269,19 +1376,19 @@ def pipe_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: features are hashed into a FIXED B=256 bucket space
     (portable_hash48 — bit-identical in DuckDB), so both n-gram count
     tables are B-row model artifacts built by ONE map-side-combinable
-    pass over the exploded bigram stream; the per-doc scoring pass
-    joins the broadcast 256-row log-ratio table and reduces with
-    exact decimal arithmetic (integer counts x DECIMAL(18,6) ratios —
-    no float accumulation anywhere). At 100 TB: two linear passes, no
+    pass; since round 12 the bucket rows come pre-collapsed to per-doc
+    counts from one Arrow scan pass with a per-task bigram->bucket
+    memo (each distinct bigram md5-hashed once per task instead of
+    once per occurrence — golden-gated bit-equal to the expression
+    spec), so nothing downstream ever sees a per-occurrence row; the
+    per-doc scoring pass joins the broadcast 256-row log-ratio table
+    and reduces with exact decimal arithmetic (integer counts x
+    DECIMAL(18,6) ratios — no float accumulation anywhere). At 100 TB: two linear passes, no
     data-sized shuffle except the per-doc rollup. LN is the one
     libm-boundary op, pinned by ``pin_dec`` (bit-identical IEEE
     floor(x*1e6 + 0.5) on both engines — hardened after the round-8
     driver hash flip; see functions/scalars.py pin rationale)."""
-    return _dsir_report(
-        spark,
-        sf_dir,
-        lambda g: F.pmod(portable_hash48(g, "dsir"), F.lit(_DSIR_B)),
-    )
+    return _dsir_report(spark, sf_dir, _dsir_portable_bucket_rows, True)
 
 
 @register(
@@ -1308,7 +1415,10 @@ def pipe_dsir_importance_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dsir_report(
         spark,
         sf_dir,
-        lambda g: F.pmod(F.xxhash64(g, F.lit("dsir")), F.lit(_DSIR_B)),
+        lambda d: _dsir_occurrence_rows(
+            d, lambda g: F.pmod(F.xxhash64(g, F.lit("dsir")), F.lit(_DSIR_B))
+        ),
+        False,
     )
 
 

@@ -58,8 +58,10 @@ EXPECTED = {
     # +2 in round 8b: pipe_dsir_importance (1-row totals scalar, 256-row
     # fixed-B log-ratio model). Round 10 factored the portable/prod
     # twins onto one shared _dsir_report body, so those two sites are
-    # counted once.
-    "queries/pipeline_q.py": 9,
+    # counted once. +1 in round 12: pipe_decontam_bloom's 1-row
+    # hit-doc-total scalar (sum over the <=11-row checkpointed decile
+    # table — bounded by construction at any corpus size).
+    "queries/pipeline_q.py": 10,
     "queries/setops.py": 1,
     "queries/skew_q.py": 1,
     "queries/sources_q.py": 1,

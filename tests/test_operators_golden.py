@@ -848,3 +848,61 @@ def test_para_feature_rows_match_expression_spec(spark):
     got = multiset(_para_feature_rows(edge))
     want = multiset(_para_feature_rows_spec(edge))
     assert got == want and len(got) > 0
+
+
+def test_dsir_bucket_rows_match_expression_spec(spark):
+    """pipeline_q._dsir_portable_bucket_rows (the round-12 Arrow
+    producer) must emit the EXACT per-doc bucket-count multiset of the
+    expression spec it replaces — explode(shingles(lower(trim(text)),
+    2)) -> portable_hash48(g, "dsir") % 256 -> groupBy(doc, source, b)
+    counts — on real testdata AND on edge rows exercising the mirrored
+    JVM semantics: ASCII-space-only trim, tab/newline separators,
+    repeated bigrams (the memo + per-doc collapse paths), docs with
+    fewer than two tokens, empty and NULL text, mixed case."""
+    import pyspark.sql.functions as F
+
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.operators.dedup import portable_hash48
+    from appeals_data_spark.queries.pipeline_q import (
+        _DSIR_B,
+        _dsir_occurrence_rows,
+        _dsir_portable_bucket_rows,
+    )
+
+    from conftest import SF_CORRECT
+
+    def multiset(df):
+        out = {}
+        for r in df.collect():
+            key = tuple(r)
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    bucket = lambda g: F.pmod(portable_hash48(g, "dsir"), F.lit(_DSIR_B))
+
+    def spec(d):
+        return (
+            _dsir_occurrence_rows(d, bucket)
+            .groupBy("doc_id", "source", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    d = load_table(spark, SF_CORRECT, "documents")
+    got = multiset(_dsir_portable_bucket_rows(d))
+    want = multiset(spec(d))
+    assert got == want and len(got) > 0
+
+    edge = spark.createDataFrame(
+        [
+            (1, "a", "  Mixed\tCase\n\nWords  here  and more  "),
+            (2, "a", "x y x y x y"),          # repeated bigrams collapse
+            (3, "b", "one"),                  # < 2 tokens -> no rows
+            (4, "b", ""),                     # empty -> no rows
+            (5, "c", None),                   # null -> no rows
+            (6, "c", "\tlead TAB stays Then More words here"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = multiset(_dsir_portable_bucket_rows(edge))
+    want = multiset(spec(edge))
+    assert got == want and len(got) > 0

@@ -375,8 +375,12 @@ ITERATIVE_SEGMENTS = {
     "vec_pq_rerank_topk": (1, 2),
     "x3_logistic_irls": (3, 3),
     # one checkpointed segment: the 256-row hashed-bigram log-ratio
-    # model (two map-combinable count aggs + 1-row totals broadcast)
-    "pipe_dsir_importance": (1, 3),
+    # model. (1,3) -> (1,5) in r12: the bucket rows now come from the
+    # Arrow producer whose sized_for_compute repartition (single-split
+    # bench input; a no-op at scale) sits inside the segment, adding
+    # its exchanges to the count — the data-sized agg shape is
+    # unchanged (two map-combinable aggs + 1-row totals broadcast)
+    "pipe_dsir_importance": (1, 5),
     # identical pipeline with xxhash64 in place of the portable md5
     # hash (the production/scale path; rows-only, no oracle) — same
     # single checkpointed segment: the 256-row log-ratio model
