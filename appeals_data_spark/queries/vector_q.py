@@ -1279,23 +1279,49 @@ def vec_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    # 40 rows, reused by all three overlap joins — materialize once.
-    bf = (
-        brute_force_topk(emb, queries, k=5)
-        .select("query_id", "corpus_id")
-        .localCheckpoint()
-    )
-    # The ivfpq and pq_adc arms use the IDENTICAL sub=4 codebook
-    # config; fit it once and hand it to both (deterministic build, so
-    # each arm's rows are bit-identical to its standalone run — the
-    # registered arm queries still fit their own when called directly).
-    # The rerank arm's sub=2 codebook is a different model; not shared.
-    cb4 = pq_codebooks(emb, sub=4).localCheckpoint()
+    # The report's build phase is a chain of small EAGER jobs — the
+    # brute-force truth table, the shared sub=4 codebook, the ivfpq
+    # centroids, the rerank sub=2 codebook (each a localCheckpoint'd
+    # model artifact). They are mutually independent, so round 12 runs
+    # the three build branches from a small thread pool (guide §2.6 —
+    # Spark schedules concurrent jobs FIFO and back-fills idle cores);
+    # every artifact is deterministic, so overlap changes wall-clock
+    # only, never a value.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _bf():
+        # 40 rows, reused by all three overlap joins — materialize once.
+        return (
+            brute_force_topk(emb, queries, k=5)
+            .select("query_id", "corpus_id")
+            .localCheckpoint()
+        )
+
+    def _pq4_arms():
+        # The ivfpq and pq_adc arms use the IDENTICAL sub=4 codebook
+        # config; fit it once and hand it to both (deterministic build,
+        # so each arm's rows are bit-identical to its standalone run —
+        # the registered arm queries still fit their own when called
+        # directly). The rerank arm's sub=2 codebook is a different
+        # model; not shared.
+        cb4 = pq_codebooks(emb, sub=4).localCheckpoint()
+        return (
+            vec_ivfpq_topk(spark, sf_dir, _cb=cb4),
+            vec_pq_adc_topk(spark, sf_dir, _cb=cb4),
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_bf = pool.submit(_bf)
+        f_pq4 = pool.submit(_pq4_arms)
+        f_rr = pool.submit(vec_pq_rerank_topk, spark, sf_dir)
+        bf = f_bf.result()
+        ivfpq_df, adc_df = f_pq4.result()
+        rerank_df = f_rr.result()
     out = None
     for arm, df in (
-        ("ivfpq", vec_ivfpq_topk(spark, sf_dir, _cb=cb4)),
-        ("pq_adc", vec_pq_adc_topk(spark, sf_dir, _cb=cb4)),
-        ("pq_rerank", vec_pq_rerank_topk(spark, sf_dir)),
+        ("ivfpq", ivfpq_df),
+        ("pq_adc", adc_df),
+        ("pq_rerank", rerank_df),
     ):
         hits = df.select("query_id", "corpus_id").withColumn("hit", F.lit(1))
         rep = (
