@@ -795,6 +795,70 @@ def _stationary_oracle(rounds: int = 6) -> str:
     )
 
 
+# At or below this many transition-matrix rows the whole power
+# iteration runs driver-side in exact Python decimal (the chain is
+# |alphabet|²-sized — a model artifact, not data; 100k rows ≈ a
+# 316-state alphabet, far past any real event vocabulary). Above it,
+# or when the count is unknown, the per-round checkpointed loop runs —
+# the only shape that scales. Same dispatch family as
+# PAGERANK_LOCAL_MAX_EDGES / CLOSURE_LOCAL_MAX_EDGES / the BT bound.
+MARKOV_LOCAL_MAX_EDGES = 100_000
+
+
+def _markov_rounds_distributed(
+    pi: DataFrame, trans: DataFrame, rounds: int = 6
+) -> DataFrame:
+    """Per-round checkpointed power iteration — the at-scale arm of the
+    dispatch in x4_markov_stationary (each round one ≤|S|-row join-agg
+    + checkpoint). Kept as its own function so the equality test can
+    drive it directly below the dispatch threshold."""
+    for _ in range(rounds):
+        pi = (
+            pi.join(trans, pi["state"] == trans["event_type"])
+            .groupBy(F.col("next_type").alias("state"))
+            .agg(
+                F.round(F.sum(F.col("pi") * F.col("p")), 12)
+                .cast("decimal(14,12)")
+                .alias("pi")
+            )
+            .localCheckpoint()
+        )
+    return pi
+
+
+def _markov_pi_local(states, trans_rows, rounds: int = 6):
+    """All power-iteration rounds in exact driver-side decimal — the
+    small-chain arm. Bit-identical to the distributed arm by
+    construction: pi0 is ratio_dec's integer half-up quotient
+    ((2·10¹² + ns) // (2·ns) at scale 12), Spark decimal products and
+    sums are exact and order-free (mirrored with context precision 60,
+    far above the 26 significant digits a round can produce), and the
+    12-dp round is HALF_UP in both. Equality is pinned by
+    tests/test_operators_golden.py::test_markov_local_matches_distributed
+    and end-to-end vs DuckDB on exact-tie data in
+    tests/test_portable_rounding.py."""
+    from decimal import ROUND_HALF_UP, localcontext
+    from decimal import Decimal as D
+
+    tw = D(1).scaleb(-12)
+    with localcontext() as ctx:
+        ctx.prec = 60
+        ns = len(states)
+        q0 = (2 * 10**12 + ns) // (2 * ns)
+        pi = {s: D(q0) * tw for s in states}
+        for _ in range(rounds):
+            acc: dict = {}
+            for src, dst, p in trans_rows:
+                v = pi.get(src)
+                if v is not None and p is not None:
+                    acc[dst] = acc.get(dst, D(0)) + v * p
+            pi = {
+                s: v.quantize(tw, rounding=ROUND_HALF_UP)
+                for s, v in acc.items()
+            }
+    return pi
+
+
 @register(
     "x4_markov_stationary",
     oracle=None,  # bound below after materialize_ctes import dance
@@ -813,8 +877,14 @@ def x4_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the 100 TB work is deriving P — one per-entity window
     pass + one (state, next) count agg, identical to
     x4_transition_matrix; after that the chain is |alphabet|²-sized
-    (model-sized, localCheckpoint'd once) and each round is a ≤|S|-row
-    join-agg — the closure/pagerank iterative pattern at its cheapest.
+    (model-sized, localCheckpoint'd once). Round 12 size dispatch: at
+    or below MARKOV_LOCAL_MAX_EDGES transition rows all 6 rounds run
+    driver-side in exact Python decimal (the old per-round loop paid 8
+    eager scheduling barriers on a ≤|S|-row vector); above it each
+    round is a ≤|S|-row checkpointed join-agg — the closure/pagerank
+    iterative pattern at its cheapest. The two arms are bit-identical
+    (exact integer/decimal arithmetic mirrored op for op; equality
+    pinned in tests).
     Determinism: transition probs and the uniform start are exact
     integer half-up divisions to DECIMAL(14,12) (``ratio_dec`` — the
     round-8 driver flip proved ROUND(double, 12) is not portable when
@@ -841,6 +911,26 @@ def x4_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    # Size dispatch (round 12): trans is already materialized (eager
+    # checkpoint), so its count is a free runtime statistic. Small
+    # chains run all 6 rounds driver-side in exact decimal — the old
+    # shape paid 8 eager barriers (pi0 + 6 rounds + n_states) of pure
+    # scheduling floor on a ≤|S|-row vector. The collects are bounded
+    # by construction: |alphabet| states and |alphabet|² transition
+    # rows under the 100k dispatch bound.
+    if trans.count() <= MARKOV_LOCAL_MAX_EDGES:
+        states = [r[0] for r in e.select("event_type").distinct().collect()]
+        trows = [
+            (r["event_type"], r["next_type"], r["p"]) for r in trans.collect()
+        ]
+        pi_map = _markov_pi_local(states, trows)
+        # final projection leaves DECIMAL behind (same rationale as the
+        # distributed arm below); float(Decimal) is correctly rounded,
+        # identical to Spark's decimal->double cast
+        return spark.createDataFrame(
+            sorted((s, float(v)) for s, v in pi_map.items()),
+            "state string, pi double",
+        ).orderBy("state")
     n_states = e.select("event_type").distinct().agg(
         F.count("*").alias("ns")
     )
@@ -856,17 +946,7 @@ def x4_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    for _ in range(6):
-        pi = (
-            pi.join(trans, pi["state"] == trans["event_type"])
-            .groupBy(F.col("next_type").alias("state"))
-            .agg(
-                F.round(F.sum(F.col("pi") * F.col("p")), 12)
-                .cast("decimal(14,12)")
-                .alias("pi")
-            )
-            .localCheckpoint()
-        )
+    pi = _markov_rounds_distributed(pi, trans, 6)
     # final projection leaves DECIMAL behind: the driver's typed
     # hasher is only green on double/int/string/date output classes
     # (r8+r9 evidence) — the 12-dp pinned value is identical bits in

@@ -906,3 +906,67 @@ def test_dsir_bucket_rows_match_expression_spec(spark):
     got = multiset(_dsir_portable_bucket_rows(edge))
     want = multiset(spec(edge))
     assert got == want and len(got) > 0
+
+
+def test_markov_local_matches_distributed(spark):
+    """x4_markov_stationary's round-12 driver-side decimal fit must be
+    bit-identical to the per-round checkpointed loop it dispatches away
+    from: same pi0 integer half-up quotient, exact products/sums, 12-dp
+    HALF_UP per round — verified on the real sf0.01 chain by running
+    BOTH arms over the identical checkpointed transition table."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.functions.scalars import ratio_dec
+    from appeals_data_spark.queries.events_q import (
+        _markov_pi_local,
+        _markov_rounds_distributed,
+    )
+
+    from conftest import SF_CORRECT
+
+    e = load_table(spark, SF_CORRECT, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = (
+        seq.groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "next_type",
+            ratio_dec(
+                F.col("n"),
+                F.sum("n").over(Window.partitionBy("event_type")),
+            )
+            .cast("decimal(14,12)")
+            .alias("p"),
+        )
+        .localCheckpoint()
+    )
+    states = [r[0] for r in e.select("event_type").distinct().collect()]
+    local = _markov_pi_local(
+        states,
+        [(r["event_type"], r["next_type"], r["p"]) for r in trans.collect()],
+    )
+    n_states = e.select("event_type").distinct().agg(F.count("*").alias("ns"))
+    pi0 = (
+        e.select(F.col("event_type").alias("state"))
+        .distinct()
+        .crossJoin(F.broadcast(n_states))
+        .select(
+            "state",
+            ratio_dec(F.lit(1), F.col("ns")).cast("decimal(14,12)").alias("pi"),
+        )
+        .localCheckpoint()
+    )
+    dist = {
+        r["state"]: r["pi"]
+        for r in _markov_rounds_distributed(pi0, trans, 6).collect()
+    }
+    assert len(dist) > 1
+    assert set(local) == set(dist)
+    for s in dist:
+        assert local[s] == dist[s], s
