@@ -284,6 +284,102 @@ def cdc_chunks(df, text_col: str, id_col: str, w: int = 8, div: int = 64):
     )
 
 
+def cdc_chunk_stream(df, text_col: str, id_col: str, carry_cols=(),
+                     w: int = 8, div: int = 64):
+    """CDC chunking as ONE Arrow ``mapInPandas`` pass: emits
+    (id_col, *carry_cols, chunk_len, h) — one row per chunk, no
+    shuffle, no join, partition-parallel.
+
+    Exists because the expression form (:func:`cdc_chunks`) pays, per
+    run, a localCheckpoint barrier, a per-character interpreted
+    ``transform(split(t,''), ascii)`` (HOF = CodegenFallback, the
+    shingle_stream diagnosis), a position-explode, a groupBy(doc)
+    shuffle to collect cuts, and a join back to the text — all to
+    compute a function that is row-local per document. Here the whole
+    per-doc pipeline (normalize, rolling base-31 w-gram hash, cut,
+    re-slice, portable-48 chunk hash) runs in numpy/hashlib over Arrow
+    batches; carry columns ride along, so the caller's doc_id->source
+    join disappears too.
+
+    BIT-EQUALITY CONTRACT: output row multiset must equal
+    ``cdc_chunks(df, text_col, id_col, w, div)`` joined to
+    ``df.select(id_col, *carry_cols)`` exactly — pinned by
+    tests/test_operators_golden.py::test_cdc_chunk_stream_matches_expression_spec.
+    Semantics mirrored precisely: ``trim`` strips ASCII space 0x20
+    only, ``lower`` between trim and the Java ``\\s+`` collapse
+    ([ \\t\\n\\x0B\\f\\r], NOT Python's unicode class), char codes are
+    code points (utf-32 units = Spark's split('')+ascii), and the
+    chunk hash is the first 12 md5 hex digits of ``chunk || '#cdc'``
+    (operators.dedup.portable_hash48).
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+
+    ws_re = re.compile("[ \t\n\x0b\f\r]+")
+    carry_cols = list(carry_cols)
+    sel = [id_col] + carry_cols
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in sel
+    ) + ", chunk_len bigint, h bigint"
+    pows = [31**j for j in range(w)]
+    # portable_hash48 salt is the literal string "cdc" for this family
+    salt = b"#cdc"
+    FLUSH_ROWS = 131_072
+
+    def gen(batches):
+        p = np.array(pows, dtype=np.int64)
+        md5 = hashlib.md5
+        sw = np.lib.stride_tricks.sliding_window_view
+        for pdf in batches:
+            texts = pdf[text_col]
+            carry = pdf[sel]
+            out_idx: list[int] = []
+            out_len: list[int] = []
+            out_h: list[int] = []
+            for i, t in enumerate(texts):
+                if t is None:
+                    continue
+                s = ws_re.sub(" ", t.strip(" ").lower())
+                n = len(s)
+                if n < 1:
+                    continue
+                if n >= w:
+                    codes = np.frombuffer(
+                        s.encode("utf-32-le"), dtype="<u4"
+                    ).astype(np.int64)
+                    hs = sw(codes, w) @ p
+                    cut_idx = np.nonzero(hs % div == 0)[0] + w
+                    cuts = cut_idx[cut_idx < n]
+                    bounds = [0, *cuts.tolist(), n]
+                else:
+                    bounds = [0, n]
+                for b0, b1 in zip(bounds, bounds[1:]):
+                    chunk = s[b0:b1]
+                    out_idx.append(i)
+                    out_len.append(b1 - b0)
+                    out_h.append(
+                        int(
+                            md5(chunk.encode("utf-8") + salt).hexdigest()[:12],
+                            16,
+                        )
+                    )
+                if len(out_idx) >= FLUSH_ROWS:
+                    res = carry.iloc[out_idx].reset_index(drop=True)
+                    res["chunk_len"] = np.asarray(out_len, dtype=np.int64)
+                    res["h"] = np.asarray(out_h, dtype=np.int64)
+                    yield res
+                    out_idx, out_len, out_h = [], [], []
+            if out_idx:
+                res = carry.iloc[out_idx].reset_index(drop=True)
+                res["chunk_len"] = np.asarray(out_len, dtype=np.int64)
+                res["h"] = np.asarray(out_h, dtype=np.int64)
+                yield res
+
+    return df.select(*sel, text_col).mapInPandas(gen, schema=out_schema)
+
+
 def cdc_chunks_stateless(df, text_col: str, id_col: str, w: int = 8, div: int = 64):
     """Row-local twin of ``cdc_chunks`` for STREAMING ingest: no
     groupBy, no window — cut positions are derived inside the row with

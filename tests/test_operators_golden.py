@@ -970,3 +970,65 @@ def test_markov_local_matches_distributed(spark):
     assert set(local) == set(dist)
     for s in dist:
         assert local[s] == dist[s], s
+
+
+def test_cdc_chunk_stream_matches_expression_spec(spark):
+    """functions.text.cdc_chunk_stream (the round-12 Arrow producer)
+    must emit the EXACT row multiset of the expression spec it
+    replaces — cdc_chunks(df, text, doc_id) joined to the carried
+    columns — on real testdata AND on edge rows exercising the JVM
+    semantics the Python port mirrors by hand: ASCII-space-only trim,
+    Java \\s+ whitespace collapse, docs shorter than the gram width w
+    (one whole-doc chunk), a cut that would land exactly at the end of
+    the doc (excluded), empty and NULL text, and non-ASCII code points
+    (utf-32 units must equal Spark's split('')+ascii codes)."""
+    import pyspark.sql.functions as F
+
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.functions.text import cdc_chunk_stream, cdc_chunks
+
+    from conftest import SF_CORRECT
+
+    def multiset(df):
+        out = {}
+        for r in df.collect():
+            key = tuple(r)
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    d = load_table(spark, SF_CORRECT, "documents")
+    got = multiset(cdc_chunk_stream(d, "text", "doc_id", ["source"]))
+    want = multiset(
+        cdc_chunks(d, "text", "doc_id")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "chunk_len", "h")
+    )
+    assert got == want and len(got) > 0
+
+    edge = spark.createDataFrame(
+        [
+            (1, "  A b\tc  B\n\nd a b  "),   # mixed seps, leading/trailing
+            (2, "short"),                    # shorter than w=8 -> 1 chunk
+            (3, ""),                         # empty -> filtered out
+            (4, None),                       # null -> filtered out
+            (5, "   "),                      # spaces only -> trims empty
+            (6, "\tlead tab stays then more words here and here"),
+            (7, "café naïve résumé " * 20),  # non-ASCII
+            (8, "x" * 7),                    # exactly w-1 chars
+            (9, "y" * 8),                    # exactly w chars (cut at end excluded)
+            # "wxyzaaca" has base-31 gram hash % 64 == 0, so every
+            # repetition fires a cut (verified by construction)
+            (10, "the quick wxyzaaca brown fox jumps over " * 40),
+        ],
+        "doc_id long, text string",
+    )
+    got = multiset(cdc_chunk_stream(edge, "text", "doc_id"))
+    want = multiset(cdc_chunks(edge, "text", "doc_id"))
+    assert got == want and len(got) > 0
+    # the w=8/div=64 family must actually cut on the long repetitive
+    # doc, or the test proves nothing about cut positions
+    assert sum(n for k, n in want.items() if k[0] == 10) > 1
+    # short/exact-w docs survive as single whole-doc chunks
+    assert sum(n for k, n in want.items() if k[0] in (2, 8)) == 2
+    # empty/null/space-only docs are filtered in both producers
+    assert not any(k[0] in (3, 4, 5) for k in want)

@@ -397,13 +397,13 @@ ITERATIVE_SEGMENTS = {
     # four greedy MMR picks (window argmax + anti-join each) — all
     # pool-sized after the first segment
     "vec_mmr_diversified_topk": (6, 22),
-    # chunking base (normalize + char-code split) checkpointed inside
-    # cdc_chunks (round-9 review fix: it fed both the position-explode
-    # branch and the spans join) — one zero-exchange segment for the
-    # rollup query, plus the cross-source query's distinct-(source,
-    # hash) presence segment on top
-    "text_cdc_chunks": (1, 0),
-    "text_cdc_cross_source": (2, 2),
+    # r12: chunking is one Arrow mapInPandas pass (cdc_chunk_stream),
+    # so the old cdc_chunks base checkpoint is gone — text_cdc_chunks
+    # has NO checkpointed segment anymore (dropped from this table);
+    # the cross-source query keeps only its distinct-(source, hash)
+    # presence checkpoint, whose segment holds the one distinct
+    # exchange (was (2, 2): base checkpoint + cut-collection exchange)
+    "text_cdc_cross_source": (1, 1),
 }
 
 
