@@ -134,6 +134,22 @@ _SWEEP_FIRST = [
     "pref_bradley_terry",
     "dedup_canonical_corpus",
     "text_kgram_novelty",
+    # -- changed later in round 12 (plan rebuilds, all bit-equality/
+    # oracle-gated locally — a changed plan deserves a fresh driver
+    # hash verdict): size-dispatch family, Arrow front-ends, shared
+    # fits (pipe_dsir_importance_prod rides its oracled portable twin;
+    # rows-only slots buy no hash verdict)
+    "closure_components",
+    "graph_pagerank_handoff",
+    "x4_markov_stationary",
+    "x3_linear_svm_eval",
+    "pipe_classifier_filter",
+    "pipe_dsir_importance",
+    "pipe_decontam_bloom",
+    "vec_pq_recall_report",
+    "dedup_paragraph_retention",
+    "text_cdc_chunks",
+    "text_cdc_cross_source",
     # -- latest verdict predates r8 (rotation honesty, verdict #7);
     # the three rows-only members each carry an oracled portable twin
     "dedup_minhash_lsh",
@@ -166,17 +182,12 @@ _SWEEP_FIRST = [
     "x6_grouped_glm",
     "x6_partial_pooling",
     "text_token_stats",
-    "text_quality_flags",
-    "text_char_classes",
-    "text_lang_confusion",
-    "text_fingerprint_md5",
-    "text_subword_tokens",
-    "text_bpe_vocab",
-    "text_unigram_logprob",
-    "text_token_entropy",
-    "text_vocab_topk",
-    "text_top2gram_repetition",
-    "text_tfidf_topk",
+    # (11 more r8-tier text_* entries — quality_flags, char_classes,
+    # lang_confusion, fingerprint_md5, subword_tokens, bpe_vocab,
+    # unigram_logprob, token_entropy, vocab_topk, top2gram_repetition,
+    # tfidf_topk — displaced to the r13 window by this round's eleven
+    # changed-plan queries; their r8 verdicts satisfy the >=r8
+    # rotation-honesty bound, changed plans do not wait)
 ]
 
 
