@@ -1701,12 +1701,18 @@ def text_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Below this many scan bytes of documents parquet the JVM HOF shingle
 # expression wins text_kgram_novelty (no Python worker round-trip; its
-# interpreted per-gram cost is noise on a sub-10MB corpus). Above it
+# interpreted per-gram cost is noise on a sub-100KB corpus). Above it
 # the Arrow shingle_stream pass takes over — at the 100x probe (64 MB
 # of documents parquet) the HOF's interpreted concat is ~18s per
-# consumer vs ~10s total for the Arrow pass. 8 MB sits an order of
-# magnitude above the sf0.1 corpus and well below the crossover.
-_KGRAM_HOF_MAX_BYTES = 8 * 1024 * 1024
+# consumer vs ~10s total for the Arrow pass. The threshold was 8 MB
+# when the dispatch landed; re-measured after the per-task token memo
+# (commit beaeacc's pass now reuses tokenized docs across both
+# consumers' batches), the Arrow arm wins already at the 594 KB sf0.1
+# corpus (interleaved same-JVM A/B: 1.26s vs 1.60s min for the HOF
+# arm), so the crossover sits below sf0.1: keep the HOF fast path only
+# for sub-256KB corpora (check.py's sf0.001/sf0.01 differentials),
+# where Python worker spin-up still dominates.
+_KGRAM_HOF_MAX_BYTES = 256 * 1024
 
 
 def _scan_bytes(df):
