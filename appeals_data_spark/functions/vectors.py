@@ -84,24 +84,58 @@ def pair_scores_arrow(
     Spark's pandas-NaN-is-missing convention) — NaN-vs-NULL differ in
     desc-sort position, but no corpus here carries zero embeddings.
     Gated in tests/test_ann_recall.py.
+
+    Metrics: ``cosine`` and ``dot`` (double, the original pair);
+    ``l2sq`` — the squared-L2 left fold's Arrow twin, double, same
+    dimension-major accumulation; ``sq_l2_9dp`` — sq_adc_topk's exact
+    scaled-long distance: per dimension ``round((x-y)*(x-y)*1e9, 0)``
+    with Spark's ROUND semantics (BigDecimal.valueOf(d) = shortest
+    round-trip decimal, HALF_UP — matched here by floor(t+0.5) with a
+    decimal re-judge of every term within 1e-3 of a .5 boundary, the
+    pq_encode exact-tie discipline; Python ``repr(float)`` is the same
+    shortest-round-trip decimal as Java ``Double.toString``), summed
+    as int64 (exact, order-free), emitted as bigint.
     """
     import numpy as np
     import pandas as pd
 
-    if metric not in ("cosine", "dot"):
+    if metric not in ("cosine", "dot", "l2sq", "sq_l2_9dp"):
         raise ValueError(f"pair_scores_arrow: unknown metric {metric!r}")
     schema_fields = pairs.select(*keep).schema.fields
+    out_type = "bigint" if metric == "sq_l2_9dp" else "double"
     out_schema = (
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_fields)
-        + f", {out} double"
+        + f", {out} {out_type}"
     )
     want_cos = metric == "cosine"
+
+    def _round_half_up_9dp(t: "np.ndarray") -> "np.ndarray":
+        # t >= 0 (squares). Fast path floor(t+0.5); any term whose
+        # fractional part sits within 1e-3 of .5 (covers float error of
+        # the +0.5 at the ~1e12 magnitudes this metric produces, ulp
+        # ~1.2e-4) is re-judged exactly via shortest-round-trip decimal
+        # — bit-for-bit Spark ROUND(d, 0).
+        from decimal import ROUND_HALF_UP, Decimal
+
+        r = np.floor(t + 0.5)
+        frac = t - np.floor(t)
+        suspect = np.abs(frac - 0.5) < 1e-3
+        if suspect.any():
+            for i in np.nonzero(suspect)[0]:
+                r[i] = float(
+                    Decimal(repr(float(t[i]))).quantize(
+                        Decimal("1"), rounding=ROUND_HALF_UP
+                    )
+                )
+        return r.astype(np.int64)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 res = pd.DataFrame({c: [] for c in keep})
-                res[out] = np.array([], dtype=np.float64)
+                res[out] = np.array(
+                    [], dtype=np.int64 if metric == "sq_l2_9dp" else np.float64
+                )
                 yield res
                 continue
             av, bv = pdf[a_col].values, pdf[b_col].values
@@ -112,27 +146,42 @@ def pair_scores_arrow(
                 A = np.stack(av[mask]).astype(np.float64)
                 B = np.stack(bv[mask]).astype(np.float64)
                 n = A.shape[0]
-                dt = np.zeros(n)
-                na = np.zeros(n)
-                nb = np.zeros(n)
-                # dimension-major accumulation = the HOF left fold's
-                # order, vectorized across rows — bit-identical scores
-                for k in range(A.shape[1]):
-                    x = A[:, k]
-                    y = B[:, k]
-                    dt += x * y
-                    if want_cos:
-                        na += x * x
-                        nb += y * y
                 res = pdf.loc[mask, keep].copy()
-                res[out] = dt / (np.sqrt(na) * np.sqrt(nb)) if want_cos else dt
+                if metric == "sq_l2_9dp":
+                    acc = np.zeros(n, dtype=np.int64)
+                    for k in range(A.shape[1]):
+                        d = A[:, k] - B[:, k]
+                        acc += _round_half_up_9dp((d * d) * 1.0e9)
+                    res[out] = acc
+                else:
+                    dt = np.zeros(n)
+                    na = np.zeros(n)
+                    nb = np.zeros(n)
+                    # dimension-major accumulation = the HOF left
+                    # fold's order, vectorized across rows —
+                    # bit-identical scores
+                    for k in range(A.shape[1]):
+                        x = A[:, k]
+                        y = B[:, k]
+                        if metric == "l2sq":
+                            d = x - y
+                            dt += d * d
+                            continue
+                        dt += x * y
+                        if want_cos:
+                            na += x * x
+                            nb += y * y
+                    res[out] = (
+                        dt / (np.sqrt(na) * np.sqrt(nb)) if want_cos else dt
+                    )
                 yield res
             if not mask.all():
                 # genuine nulls (missing vector) — emitted as a
                 # separate all-null frame so NaN above stays NaN
                 res_null = pdf.loc[~mask, keep].copy()
                 res_null[out] = pd.array(
-                    [pd.NA] * int((~mask).sum()), dtype="Float64"
+                    [pd.NA] * int((~mask).sum()),
+                    dtype="Int64" if metric == "sq_l2_9dp" else "Float64",
                 )
                 yield res_null
 

@@ -730,7 +730,17 @@ def pq_lut(
 ) -> DataFrame:
     """Per-query (block, code) -> partial squared-distance lookup
     table: m × |codebook| DECIMAL entries per query — the broadcast
-    side of every ADC scoring pass."""
+    side of every ADC scoring pass.
+
+    The l2sq folds here stay the HOF form DELIBERATELY: the LUT is
+    model-sized (|queries|·m·|codebook| rows, independent of corpus
+    size), and an Arrow pair_scores_arrow rewrite measured FLAT in an
+    interleaved same-JVM A/B (vec_pq_adc_topk 1.96 vs 1.93s min,
+    recall report 3.20 vs 3.16 — round 12) — the Python-stage latency
+    under the BroadcastExchange offsets the vectorization, and there
+    is no scale-up payoff because the LUT does not grow with the
+    corpus. Contrast sq_adc_topk, whose pair stream IS corpus-sized
+    and did move to the Arrow path."""
     from ..functions.vectors import l2sq
 
     qb = _block_slices(queries, "query_id", m, sub, id_col, vec_col)
@@ -904,7 +914,17 @@ def sq_adc_topk(
     like a decimal fold but integer-add cheap — so the (dist asc, id
     asc) ranking is bit-stable across engines and partitionings.
     Dequantization runs ONCE per corpus row (a transform before the
-    probe join), not once per (query, corpus) pair."""
+    probe join), not once per (query, corpus) pair.
+
+    The pair scoring runs on the Arrow hot path
+    (functions.vectors.pair_scores_arrow, metric ``sq_l2_9dp``) — the
+    HOF ``zip_with``+``aggregate`` fold evaluates interpreted per
+    element across |queries|·|corpus|·dim terms, the dominant cost of
+    vec_sq8_topk at every scale (same diagnosis as the round-11
+    pq_encode fix; an unrolled codegen sum was tried first and
+    measured 2x WORSE than the fold — a 64-term expression tree per
+    pair defeats JIT). Scores are bit-identical: per-term Spark ROUND
+    semantics via the exact-tie decimal re-judge, int64 sum exact."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
@@ -920,21 +940,15 @@ def sq_adc_topk(
     cdq = codes.crossJoin(F.broadcast(bounds)).select(
         "corpus_id", dq.alias("dq")
     )
-    adist = F.aggregate(
-        F.zip_with(
-            F.col("q_vec"),
-            F.col("dq"),
-            lambda x, y: F.round((x - y) * (x - y) * F.lit(1.0e9), 0).cast(
-                "long"
-            ),
+    scored = pair_scores_arrow(
+        cdq.crossJoin(F.broadcast(q)).filter(
+            F.col("corpus_id") != F.col("query_id")
         ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        cdq.crossJoin(F.broadcast(q))
-        .filter(F.col("corpus_id") != F.col("query_id"))
-        .select("query_id", "corpus_id", adist.alias("adist"))
+        "q_vec",
+        "dq",
+        keep=["query_id", "corpus_id"],
+        out="adist",
+        metric="sq_l2_9dp",
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("corpus_id"))
     return (

@@ -150,6 +150,7 @@ _SWEEP_FIRST = [
     "dedup_paragraph_retention",
     "text_cdc_chunks",
     "text_cdc_cross_source",
+    "vec_sq8_topk",
     # -- latest verdict predates r8 (rotation honesty, verdict #7);
     # the three rows-only members each carry an oracled portable twin
     "dedup_minhash_lsh",
@@ -181,13 +182,13 @@ _SWEEP_FIRST = [
     "surv_weibull_fit",
     "x6_grouped_glm",
     "x6_partial_pooling",
-    "text_token_stats",
-    # (11 more r8-tier text_* entries — quality_flags, char_classes,
-    # lang_confusion, fingerprint_md5, subword_tokens, bpe_vocab,
-    # unigram_logprob, token_entropy, vocab_topk, top2gram_repetition,
-    # tfidf_topk — displaced to the r13 window by this round's eleven
-    # changed-plan queries; their r8 verdicts satisfy the >=r8
-    # rotation-honesty bound, changed plans do not wait)
+    # (12 more r8-tier text_* entries — token_stats, quality_flags,
+    # char_classes, lang_confusion, fingerprint_md5, subword_tokens,
+    # bpe_vocab, unigram_logprob, token_entropy, vocab_topk,
+    # top2gram_repetition, tfidf_topk — displaced to the r13 window by
+    # this round's twelve changed-plan queries; their r8 verdicts
+    # satisfy the >=r8 rotation-honesty bound, changed plans do not
+    # wait)
 ]
 
 

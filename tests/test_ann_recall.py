@@ -295,6 +295,61 @@ def test_sq8_recall_floor(ground_truth):
     assert _recall(found, truth) >= 0.9
 
 
+def test_sq_l2_9dp_arrow_bit_equals_hof_fold(spark):
+    """pair_scores_arrow's ``sq_l2_9dp`` metric (the sq_adc_topk pair
+    scorer, round 12) must be BIT-equal to the JVM fold it replaced:
+    per dimension round((x-y)*(x-y)*1e9, 0) cast long, summed as
+    longs. The corpus is engineered so that many per-dimension terms
+    land within ~1e-7 of a .5 decimal boundary — inside the Arrow
+    path's 1e-3 suspect window — so the exact-tie decimal re-judge is
+    exercised against Spark's BigDecimal HALF_UP on the same doubles,
+    not just the floor(t+0.5) fast path."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from appeals_data_spark.functions.vectors import pair_scores_arrow
+
+    dim = 8
+    rows = [(0, [0.0] * dim)]  # the query: all zeros, diffs == corpus dims
+    for i in range(1, 120):
+        # dims hit (k + 0.5)/1e9 squared-distance terms almost exactly
+        vec = [
+            math.sqrt((i * dim + j + 0.5) / 1.0e9) for j in range(dim)
+        ]
+        rows.append((i, vec))
+    for i in range(120, 180):  # plain far-from-tie values too
+        rows.append((i, [((i * 7 + j * 13) % 101 - 50) / 7.0 for j in range(dim)]))
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    q = df.filter(F.col("id") == 0).select(
+        F.col("id").alias("qid"), F.col("v").alias("q_vec")
+    )
+    pairs = df.select(F.col("id").alias("cid"), F.col("v").alias("c_vec")).crossJoin(
+        F.broadcast(q)
+    )
+    hof_ad = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("c_vec"),
+            lambda x, y: F.round((x - y) * (x - y) * F.lit(1.0e9), 0).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    hof = {
+        (r.qid, r.cid): r.s
+        for r in pairs.select("qid", "cid", hof_ad.alias("s")).collect()
+    }
+    arw = {
+        (r.qid, r.cid): r.s
+        for r in pair_scores_arrow(
+            pairs, "q_vec", "c_vec", keep=["qid", "cid"], out="s",
+            metric="sq_l2_9dp",
+        ).collect()
+    }
+    assert hof == arw
+
+
 def test_pair_scores_arrow_bit_equals_hof_fold(spark):
     """The Arrow hot path must be BIT-equal to the JVM HOF fold on the
     same pairs; the missing-vector case stays NULL, and the degenerate
