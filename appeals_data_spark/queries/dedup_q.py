@@ -309,7 +309,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row instead of two per PAIR), so pair scoring is a single dot
     fold — measured 3x fewer HOF ops per candidate at the 100x
     probe."""
-    from ..functions.vectors import dot, norm
+    from ..functions.vectors import norm, pair_scores_arrow
 
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -339,9 +339,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = unit(
         emb.select(F.col("vec_id").alias("id_b"), "embedding"), "ub"
     ).persist()
+    # The |probes|x|corpus| dot folds score on the Arrow hot path
+    # (pair_scores_arrow metric "dot" — bit-equal to the HOF fold, so
+    # the >=0.4 cut keeps exactly the same pairs); round 12, the
+    # brute_force_topk discipline. Only `label` rides back across the
+    # boundary — the groupBy needs nothing else.
+    scored = pair_scores_arrow(
+        corpus.join(F.broadcast(probes), F.col("id_b") > F.col("id_a")),
+        "ua",
+        "ub",
+        keep=["label"],
+        out="_dot",
+        metric="dot",
+    )
     return (
-        corpus.join(F.broadcast(probes), F.col("id_b") > F.col("id_a"))
-        .filter(dot(F.col("ua"), F.col("ub")) >= 0.4)
+        scored.filter(F.col("_dot") >= 0.4)
         .groupBy("label")
         .agg(F.count("*").alias("n_near_dups"))
         .orderBy("label")
