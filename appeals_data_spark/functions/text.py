@@ -57,10 +57,16 @@ def shingles(col: str | Column, k: int = 3) -> Column:
     return F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)]))
 
 
-def shingle_stream(df, text_col: str, k: int, carry_cols, distinct=True):
+def shingle_stream(
+    df, text_col: str, k: int, carry_cols, distinct=True, count_col=None
+):
     """Exploded word k-shingle stream as an Arrow ``mapInPandas`` pass:
     one output row per (doc, gram), carrying ``carry_cols`` alongside
-    the gram string ``g``.
+    the gram string ``g``. When ``count_col`` is set, every emitted row
+    additionally carries the doc's TOTAL gram count under that name
+    (``size(array_distinct(shingles(...)))`` when distinct, else the
+    occurrence count) — the decontam pattern, where the per-doc total
+    must ride the stream instead of paying a second corpus pass.
 
     Exists because :func:`shingles`'s ``transform`` lambda — like every
     array higher-order function — is CodegenFallback: the per-gram
@@ -84,11 +90,15 @@ def shingle_stream(df, text_col: str, k: int, carry_cols, distinct=True):
     """
     import re
 
+    import numpy as np
+
     ws_re = re.compile("[ \t\n\x0b\f\r]+")
     carry_cols = list(carry_cols)
     out_schema = ", ".join(
-        f"{c} {df.schema[c].dataType.simpleString()}" for c in carry_cols
-    ) + ", g string"
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in carry_cols]
+        + ([f"{count_col} int"] if count_col else [])
+        + ["g string"]
+    )
 
     # Cap yielded frames: one input batch of ~10k docs fans out to
     # ~500k gram rows, and a single huge pandas->Arrow frame per
@@ -102,7 +112,16 @@ def shingle_stream(df, text_col: str, k: int, carry_cols, distinct=True):
             texts = pdf[text_col]
             carry = pdf[carry_cols]
             out_idx: list[int] = []
+            out_n: list[int] = []
             out_g: list[str] = []
+
+            def flush():
+                res = carry.iloc[out_idx].reset_index(drop=True)
+                if count_col:
+                    res[count_col] = np.asarray(out_n, dtype="int32")
+                res["g"] = out_g
+                return res
+
             for i, t in enumerate(texts):
                 if t is None:
                     continue
@@ -115,16 +134,14 @@ def shingle_stream(df, text_col: str, k: int, carry_cols, distinct=True):
                 if distinct:
                     grams = list(dict.fromkeys(grams))
                 out_idx.extend([i] * len(grams))
+                if count_col:
+                    out_n.extend([len(grams)] * len(grams))
                 out_g.extend(grams)
                 if len(out_idx) >= FLUSH_ROWS:
-                    res = carry.iloc[out_idx].reset_index(drop=True)
-                    res["g"] = out_g
-                    yield res
-                    out_idx, out_g = [], []
+                    yield flush()
+                    out_idx, out_n, out_g = [], [], []
             if out_idx:
-                res = carry.iloc[out_idx].reset_index(drop=True)
-                res["g"] = out_g
-                yield res
+                yield flush()
 
     return df.select(*carry_cols, text_col).mapInPandas(gen, schema=out_schema)
 

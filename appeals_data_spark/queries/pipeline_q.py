@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.scalars import pin_dbl, pin_dec, sql_pin_dbl, sql_pin_dec
-from ..functions.text import shingles, tokens
+from ..functions.text import shingle_stream, shingles, tokens
 from ..operators.dedup import portable_hash48, sql_portable_hash48
 from ..registry import register
 
@@ -80,24 +80,31 @@ def pipe_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     be its own small table at 100 TB) and is broadcast — corpus rows
     are never shuffled by gram, only by doc_id for the per-doc count,
     and that agg is map-side combinable.
+
+    Round-12: both gram streams come from the Arrow
+    ``shingle_stream`` pass (bit-equality-gated twin of
+    ``explode(array_distinct(shingles(lower(trim(text)), 3)))`` — the
+    text_kgram_novelty/CDC diagnosis: the HOF transform's per-gram
+    concat evaluates interpreted, and this query paid it over the
+    whole corpus twice; 73.5 -> ~26 s at the 100x probe). The doc_id
+    % benchmark split is pushed to the scans EXPLICITLY — mapInPandas
+    is opaque to the optimizer, so each branch filters before its
+    pass, preserving the old plan's pushdown.
     """
     d = load_table(spark, sf_dir, "documents")
-    # Lowercase before shingling (the oracle does too): overlap must be
+    # Lowercase before shingling (the oracle does too; shingle_stream
+    # applies lower(trim(.)) internally): overlap must be
     # case-insensitive even though the synthetic corpus is already lower.
-    grams = d.select(
-        "doc_id",
-        F.array_distinct(
-            shingles(F.lower(F.trim(F.col("text"))), 3)
-        ).alias("gs"),
-    )
     bench = (
-        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
-        .select(F.explode("gs").alias("g"))
+        shingle_stream(
+            d.filter(F.col("doc_id") % _BENCH_MOD == 0), "text", 3, []
+        )
+        .select("g")
         .distinct()
     )
-    corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
-        "doc_id", F.explode("gs").alias("g")
-    )
+    corpus = shingle_stream(
+        d.filter(F.col("doc_id") % _BENCH_MOD != 0), "text", 3, ["doc_id"]
+    ).select("doc_id", "g")
     hits = (
         corpus.join(F.broadcast(bench.withColumn("_hit", F.lit(1))), "g", "left")
         .groupBy("doc_id")
@@ -924,19 +931,20 @@ def pipe_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefilter.
     """
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id",
-        F.array_distinct(
-            shingles(F.lower(F.trim(F.col("text"))), 3)
-        ).alias("gs"),
-    )
+    # Round-12: both gram streams come from the Arrow shingle_stream
+    # pass (bit-equality-gated twin of explode(array_distinct(
+    # shingles(lower(trim(text)), 3))) — the interpreted-HOF diagnosis
+    # of pipe_contamination_overlap applies verbatim); the doc_id %
+    # split is pushed to the scans explicitly because mapInPandas is
+    # opaque to the optimizer.
     # Materialized once: the tiny distinct gram set feeds BOTH the
     # Bloom build and the confirming semi-join broadcast — without the
     # barrier each consumer re-scans and re-shingles the full
     # documents table (the similarity.py ivf_topk convention).
     bench = (
-        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
-        .select(F.explode("gs").alias("g"))
+        shingle_stream(
+            d.filter(F.col("doc_id") % _BENCH_MOD == 0), "text", 3, []
+        )
         .distinct()
         .localCheckpoint()
     )
@@ -957,18 +965,19 @@ def pipe_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bf")
     )
     # One corpus gram pass (round 12, guide §2.3/§2.4): the per-doc
-    # gram total rides the exploded stream as a carried column instead
-    # of a second full evaluation of the array_distinct(shingles(...))
-    # projection (the HOF transform is CodegenFallback — the old
-    # size(gs) branch re-ran the whole interpreted gram build over the
-    # corpus, measured 0.84s of the 2.4s sf0.1 query and a full corpus
-    # pass at any scale). Zero-hit docs never need their exact gram
+    # gram total rides the exploded stream as a carried column
+    # (shingle_stream's count_col) instead of a second full evaluation
+    # of the gram build. Zero-hit docs never need their exact gram
     # count — floor(0/n*10) = 0 for every n — so they are recovered by
     # count arithmetic from a cheap token-count scan (no per-gram
     # concat): size(gs) > 0  <=>  size(tokens) >= 3.
-    corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
-        "doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("g")
-    )
+    corpus = shingle_stream(
+        d.filter(F.col("doc_id") % _BENCH_MOD != 0),
+        "text",
+        3,
+        ["doc_id"],
+        count_col="n_grams",
+    ).select("doc_id", "n_grams", "g")
     probe = corpus.crossJoin(F.broadcast(bloom)).select(
         "doc_id", "n_grams", "g", *pos, "bf"
     )

@@ -152,6 +152,7 @@ _SWEEP_FIRST = [
     "text_cdc_cross_source",
     "vec_sq8_topk",
     "dedup_embedding_cosine",
+    "pipe_contamination_overlap",
     # -- latest verdict predates r8 (rotation honesty, verdict #7);
     # the three rows-only members each carry an oracled portable twin
     "dedup_minhash_lsh",
@@ -181,8 +182,8 @@ _SWEEP_FIRST = [
     "u6_event_funnel",
     "x3_linreg_closed_form",
     "surv_weibull_fit",
-    "x6_grouped_glm",
-    # x6_partial_pooling displaced with the text_* tier below
+    # x6_grouped_glm, x6_partial_pooling displaced with the text_*
+    # tier below
     # (12 more r8-tier text_* entries — token_stats, quality_flags,
     # char_classes, lang_confusion, fingerprint_md5, subword_tokens,
     # bpe_vocab, unigram_logprob, token_entropy, vocab_topk,

@@ -800,6 +800,29 @@ def test_shingle_stream_matches_hof_spec(spark):
     )
     assert got == want and len(got) > 0
 
+    # count_col (the decontam carry): every emitted row additionally
+    # carries size(array_distinct(shingles(...))) of its doc — the
+    # exact per-doc total the expression spec derives via size(gs).
+    got_n = multiset(
+        shingle_stream(edge, "text", 3, ["doc_id"], count_col="n_grams")
+    )
+    gs = F.array_distinct(shingles(low, 3))
+    want_n = multiset(
+        edge.select(
+            "doc_id",
+            F.size(gs).alias("n_grams"),
+            F.explode(gs).alias("g"),
+        )
+    )
+    assert got_n == want_n and len(got_n) > 0
+
+    # empty carry (the bench-branch shape): gram-only stream
+    got_e = multiset(shingle_stream(edge, "text", 3, []))
+    want_e = multiset(
+        edge.select(F.explode(F.array_distinct(shingles(low, 3))).alias("g"))
+    )
+    assert got_e == want_e and len(got_e) > 0
+
 
 def test_para_feature_rows_match_expression_spec(spark):
     """dedup_q._para_feature_rows (the round-12 Arrow producer) must
