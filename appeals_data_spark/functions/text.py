@@ -214,6 +214,96 @@ def winnow_fingerprints(
     )
 
 
+def winnow_stream(df, text_col: str, id_col: str, carry_cols, k: int = 5, w: int = 4):
+    """Winnowing fingerprints as ONE Arrow ``mapInPandas`` pass — the
+    hot-path twin of :func:`winnow_fingerprints` (same hash family,
+    same window-min selection), returning the distinct (doc, fp) pairs
+    with ``carry_cols`` carried through so the consumer's join back
+    onto the documents table disappears.
+
+    Exists because the exploded expression form pays, at corpus scale:
+    an interpreted per-char ``transform(split(t,''), ascii)`` HOF, a
+    position explode to |chars| rows, a per-doc window sort under one
+    Exchange, and a distinct under another — ~68 s at the 100x probe,
+    nearly all of it those two corpus-char-sized shuffles plus the
+    interpreted char-code build. Here the whole pipeline (normalize,
+    char codes, base-31 polynomial gram hashes, sliding window min,
+    per-doc distinct) is NumPy inside one narrow pass: no explode, no
+    shuffle at all.
+
+    BIT-EQUALITY CONTRACT: output row multiset ==
+    ``winnow_fingerprints(df, text_col, id_col, k, w)`` joined to the
+    carry columns — pinned by tests/test_operators_golden.py::
+    test_winnow_stream_matches_expression_spec. JVM semantics mirrored
+    by hand: ``trim`` strips ASCII space 0x20 only, Java ``\\s`` is
+    the ASCII class, ``split(t, '')`` yields per-codepoint strings and
+    ``ascii`` the codepoint (Python ``ord``), hashes are exact int64
+    (the JVM int sum never overflows on codepoints < 2327, which the
+    ANSI session would reject anyway).
+    """
+    import re
+
+    import numpy as np
+
+    ws_re = re.compile("[ \t\n\x0b\f\r]+")
+    carry_cols = list(carry_cols)
+    out_schema = ", ".join(
+        [f"{id_col} {df.schema[id_col].dataType.simpleString()}"]
+        + [f"{c} {df.schema[c].dataType.simpleString()}" for c in carry_cols]
+        + ["fp bigint"]
+    )
+    weights = [31**j for j in range(k)]
+
+    def gen(batches):
+        for pdf in batches:
+            texts = pdf[text_col]
+            ids = pdf[id_col]
+            carry = pdf[carry_cols]
+            out_idx: list[int] = []
+            out_fp: list[np.ndarray] = []
+            for i, t in enumerate(texts):
+                if t is None:
+                    continue
+                norm = ws_re.sub(" ", t.strip(" ").lower())
+                n = len(norm)
+                if n < k or n - (k - 1) < w:
+                    continue
+                # vectorized codepoints: UTF-32-LE bytes ARE the
+                # codepoint array (one uint32 per Python char)
+                codes = np.frombuffer(
+                    norm.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                h = codes[: n - (k - 1)] * weights[0]
+                for j in range(1, k):
+                    h = h + codes[j : n - (k - 1) + j] * weights[j]
+                mins = np.lib.stride_tricks.sliding_window_view(h, w).min(
+                    axis=1
+                )
+                fps = np.unique(mins)
+                out_idx.extend([i] * len(fps))
+                out_fp.append(fps)
+            if out_idx:
+                res = carry.iloc[out_idx].reset_index(drop=True)
+                res.insert(0, id_col, ids.iloc[out_idx].reset_index(drop=True))
+                res["fp"] = np.concatenate(out_fp)
+                yield res
+            else:
+                res = carry.iloc[[]].reset_index(drop=True)
+                res.insert(0, id_col, ids.iloc[[]].reset_index(drop=True))
+                res["fp"] = np.array([], dtype=np.int64)
+                yield res
+
+    from ..catalog import sized_for_compute
+
+    # sized_for_compute: the per-doc hash/window work is the heavy
+    # part; a small export arriving as a handful of splits would run
+    # it near-serially (measured 20s -> 6.5s at the 100x probe, whose
+    # layout is 4 files on 32 cores)
+    return sized_for_compute(df.select(id_col, *carry_cols, text_col)).mapInPandas(
+        gen, schema=out_schema
+    )
+
+
 def cdc_chunks(df, text_col: str, id_col: str, w: int = 8, div: int = 64):
     """Content-defined chunking (the gear/Rabin family behind storage
     dedup and chunk-level corpus dedup, cf. FastCDC, Xia et al.

@@ -254,14 +254,21 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint — the substring-level dedup/plagiarism primitive that
     whole-doc hashing (text_fingerprint_md5) can't provide. The
     base-31 polynomial hash has an exact SQL twin, so this is the one
-    fingerprint family with a full value-level oracle."""
-    from ..functions.text import winnow_fingerprints
+    fingerprint family with a full value-level oracle.
+
+    Round-12: fingerprints come from the Arrow ``winnow_stream`` pass
+    (bit-equality-gated twin of the exploded expression form, which
+    paid an interpreted per-char ascii HOF plus TWO corpus-char-sized
+    exchanges — the window sort and the distinct; 68.2 -> 7.5 s at the
+    100x probe), with ``source`` carried through so the join back onto
+    documents disappears. Zero shuffles remain before the final
+    rollup."""
+    from ..functions.text import winnow_stream
 
     d = load_table(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
+    fps = winnow_stream(d, "text", "doc_id", ["source"], k=5, w=4)
     return (
-        fps.join(d.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
+        fps.groupBy("source")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count("*").alias("total_doc_fps"),

@@ -153,6 +153,7 @@ _SWEEP_FIRST = [
     "vec_sq8_topk",
     "dedup_embedding_cosine",
     "pipe_contamination_overlap",
+    "text_winnow_fingerprints",
     # -- latest verdict predates r8 (rotation honesty, verdict #7);
     # the three rows-only members each carry an oracled portable twin
     "dedup_minhash_lsh",
@@ -181,7 +182,7 @@ _SWEEP_FIRST = [
     "x4_trace_coverage",
     "u6_event_funnel",
     "x3_linreg_closed_form",
-    "surv_weibull_fit",
+    # surv_weibull_fit displaced with the text_* tier below
     # x6_grouped_glm, x6_partial_pooling displaced with the text_*
     # tier below
     # (12 more r8-tier text_* entries — token_stats, quality_flags,

@@ -246,6 +246,66 @@ def test_winnow_guarantee_shared_substring(spark):
     assert winnow_fingerprints(tiny, "text", "doc_id", k=5, w=4).count() == 0
 
 
+def test_winnow_stream_matches_expression_spec(spark):
+    """functions.text.winnow_stream (the round-12 Arrow producer) must
+    emit the EXACT row multiset of winnow_fingerprints joined to its
+    carry columns — on real testdata AND on edge rows exercising the
+    JVM semantics the Python port mirrors by hand: ASCII-space-only
+    trim before lower, Java \\s whitespace collapse, per-codepoint
+    char codes, docs below the k+w-1 full-window minimum, empty and
+    NULL text, repeated window-mins (distinct per doc)."""
+    import pyspark.sql.functions as F
+
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.functions.text import (
+        winnow_fingerprints,
+        winnow_stream,
+    )
+
+    from conftest import SF_CORRECT
+
+    def multiset(df):
+        out = {}
+        for r in df.collect():
+            key = tuple(r)
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    d = load_table(spark, SF_CORRECT, "documents")
+    got = multiset(
+        winnow_stream(d, "text", "doc_id", ["source"], k=5, w=4).select(
+            "doc_id", "source", "fp"
+        )
+    )
+    want = multiset(
+        winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "fp")
+    )
+    assert got == want and len(got) > 0
+
+    edge = spark.createDataFrame(
+        [
+            (1, "  The quick  Brown fox JUMPS over the dog  "),
+            (2, "\t tab\nlead kept by space-only trim then more"),
+            (3, "aaaaaaaaaaaaaaaaaaaa"),  # repeated grams -> one min
+            (4, "abcdefg"),  # below k+w-1: no full window
+            (5, ""),
+            (6, None),
+            (7, "héllo wörld ünïcode rolling hash characters"),
+        ],
+        "doc_id long, text string",
+    )
+    got = multiset(
+        winnow_stream(edge, "text", "doc_id", [], k=5, w=4).select(
+            "doc_id", "fp"
+        )
+    )
+    want = multiset(winnow_fingerprints(edge, "text", "doc_id", k=5, w=4))
+    assert got == want and len(got) > 0
+    assert not any(k[0] in (4, 5, 6) for k in got)
+
+
 def test_jaccard_expr(spark):
     df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>")
     assert abs(df.select(jaccard(F.col("x"), F.col("y")).alias("j")).collect()[0].j - 0.5) < 1e-12
