@@ -441,11 +441,21 @@ def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     low = F.lower(F.trim(F.col("text")))
     toks = F.split(low, r"\s+")
-    gs = F.array_distinct(shingles(low, 3))
     sw = F.array(*[F.lit(w) for w in
                    ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")])
 
     raw = d.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    # Round-12: the trigram work (previously TWO interpreted HOF
+    # evaluations per corpus doc — the gs array AND the dup3 distinct
+    # count — plus a third for the bench side) moved entirely onto the
+    # Arrow shingle_stream pass: the exploded corpus gram stream
+    # carries the per-doc distinct-gram total (count_col), so dup3's
+    # numerator and ratio's denominator both ride the SAME hit
+    # aggregation and the feature projection never builds a gram.
+    # NULL n_gs (a doc whose filtered token stream has < 3 words, so
+    # zero gram rows) reproduces the old values exactly: dup3 NULL
+    # null-propagates to the same q=0 the old dup3=1.0 produced, and
+    # greatest(NULL, 1) = 1 matches greatest(size([]), 1).
     feats = raw.select(
         "doc_id",
         "source",
@@ -456,33 +466,39 @@ def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(toks)
         ).alias("mean_wlen"),
         F.size(F.array_intersect(F.array_distinct(toks), sw)).alias("n_stop"),
-        F.when(
-            F.size(toks) >= 3,
-            F.lit(1.0)
-            - F.size(F.array_distinct(shingles(low, 3))).cast("double")
-            / (F.size(toks) - 2),
-        )
-        .otherwise(0.0)
-        .alias("dup3"),
-        gs.alias("gs"),
     )
     bench = (
-        d.filter(F.col("doc_id") % _BENCH_MOD == 0)
-        .select(F.explode(shingles(F.lower(F.trim(F.col("text"))), 3)).alias("g"))
+        shingle_stream(
+            d.filter(F.col("doc_id") % _BENCH_MOD == 0), "text", 3, []
+        )
         .distinct()
     )
     hits = (
-        feats.select("doc_id", F.explode("gs").alias("g"))
+        shingle_stream(raw, "text", 3, ["doc_id"], count_col="n_gs")
         .join(F.broadcast(bench.withColumn("_hit", F.lit(1))), "g", "left")
         .groupBy("doc_id")
-        .agg(F.count("_hit").alias("n_hit"))
+        .agg(
+            F.count("_hit").alias("n_hit"),
+            # every exploded row of a doc carries the same total
+            F.max("n_gs").alias("n_gs"),
+        )
     )
-    q = (
-        F.col("wc").between(50, 100000)
-        & F.col("mean_wlen").between(3, 10)
-        & (F.col("n_stop") >= 2)
-        & (F.col("dup3") <= 0.3)
-    ).cast("int")
+    dup3 = F.when(
+        F.col("wc") >= 3,
+        F.lit(1.0) - F.col("n_gs").cast("double") / (F.col("wc") - 2),
+    ).otherwise(0.0)
+    # coalesce: NULL dup3 must yield q=0 exactly like the old
+    # dup3=1.0 did (the downstream sums would agree either way, but
+    # the flag cascade stays value-identical row by row)
+    q = F.coalesce(
+        (
+            F.col("wc").between(50, 100000)
+            & F.col("mean_wlen").between(3, 10)
+            & (F.col("n_stop") >= 2)
+            & (dup3 <= 0.3)
+        ).cast("int"),
+        F.lit(0),
+    )
     flag1 = (
         feats.join(hits, "doc_id", "left")
         .select(
@@ -493,7 +509,7 @@ def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.alias("q"),
             (
                 F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-                / F.greatest(F.size("gs"), F.lit(1))
+                / F.greatest(F.col("n_gs"), F.lit(1))
             ).alias("ratio"),
         )
     )
