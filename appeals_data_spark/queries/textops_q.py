@@ -362,18 +362,35 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     word length bounds, minimum distinct-stopword hits, and
     within-document 3-gram repetition ratio. Per-source pass counts
     per rule plus the conjunction — the shape a 100 TB corpus sweep
-    reports before dropping documents. No shuffle until the final
-    per-source aggregate; every feature is computed in one projection
+    reports before dropping documents. Features are one projection
     (mean word length = non-space chars / words, avoiding a per-word
-    fold; repetition = 1 - distinct/total shingles)."""
-    from ..functions.text import shingles
+    fold; repetition = 1 - distinct/total shingles).
+
+    Round-12: the repetition feature's gram work left the interpreted
+    HOF (`shingles` is CodegenFallback and was evaluated THREE times
+    per doc — the >0 guard, the denominator, and the distinct count;
+    43.0 s of the 100x probe). The TOTAL shingle count is pure
+    arithmetic — ``size(shingles(t,3)) == greatest(size(tokens)-2,0)``
+    by construction (arrays_zip of equal-length slices) — and the
+    DISTINCT count comes from the Arrow ``shingle_stream`` pass
+    collapsed map-side to one row per doc, joined back on doc_id (a
+    doc-count-sized exchange replacing corpus-scale interpreted
+    eval). A left-join NULL distinct count occurs exactly when the doc
+    has zero grams, which the ``total > 0`` guard already routes to
+    dup3 = 0.0 — value-identical row by row."""
+    from ..functions.text import shingle_stream, tokens
 
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    # Lowered before shingling to match the oracle's toks-derived
-    # 3-grams (case-insensitive repetition, like every other gram op).
-    sh = shingles(F.lower(F.trim(F.col("text"))), 3)
+    low = F.lower(F.trim(F.col("text")))
+    toks = F.split(low, r"\s+")
+    sh_total = F.greatest(F.size(tokens(low)) - 2, F.lit(0))
+    dcounts = (
+        shingle_stream(d, "text", 3, ["doc_id"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_n_distinct"))
+    )
     feats = d.select(
+        "doc_id",
         "source",
         F.size(toks).alias("wc"),
         (
@@ -385,13 +402,14 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS])
             )
         ).alias("n_stop"),
+        sh_total.alias("_sh_total"),
+    ).join(dcounts, "doc_id", "left").withColumn(
+        "dup3",
         F.when(
-            F.size(sh) > 0,
+            F.col("_sh_total") > 0,
             1.0
-            - F.size(F.array_distinct(sh)).cast("double") / F.size(sh),
-        )
-        .otherwise(0.0)
-        .alias("dup3"),
+            - F.col("_n_distinct").cast("double") / F.col("_sh_total"),
+        ).otherwise(0.0),
     )
     flags = feats.select(
         "source",

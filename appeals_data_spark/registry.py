@@ -154,6 +154,7 @@ _SWEEP_FIRST = [
     "dedup_embedding_cosine",
     "pipe_contamination_overlap",
     "text_winnow_fingerprints",
+    "text_gopher_filters",
     # -- latest verdict predates r8 (rotation honesty, verdict #7);
     # the three rows-only members each carry an oracled portable twin
     "dedup_minhash_lsh",
@@ -179,7 +180,7 @@ _SWEEP_FIRST = [
     "u5_event_where_hook",
     "s9_partition_pruned_rollup",
     "s1_portable_sql_rollup",
-    "x4_trace_coverage",
+    # x4_trace_coverage displaced with the text_* tier below
     "u6_event_funnel",
     "x3_linreg_closed_form",
     # surv_weibull_fit displaced with the text_* tier below
