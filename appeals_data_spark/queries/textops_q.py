@@ -780,6 +780,63 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _top2gram_stats(d: DataFrame) -> DataFrame:
+    """One Arrow pass emitting (doc_id, source, wc, topc) for every
+    doc with wc >= 2: filtered token count and the max within-doc
+    2-gram occurrence count. BIT-EQUALITY CONTRACT: row multiset ==
+    the expression pipeline
+    ``select(doc_id, source, size(tokens(low)) wc, shingles(low,2))
+    .filter(wc>=2) -> explode -> groupBy(doc,gram).count ->
+    groupBy(doc).max`` — pinned by tests/test_operators_golden.py::
+    test_top2gram_stats_match_expression_spec. All outputs are ints.
+    JVM semantics mirrored as in shingle_stream (ASCII-space trim,
+    Java \\s token split)."""
+    import re
+    from collections import Counter
+
+    ws_re = re.compile("[ \t\n\x0b\f\r]+")
+    out_schema = (
+        "doc_id " + d.schema["doc_id"].dataType.simpleString()
+        + ", source " + d.schema["source"].dataType.simpleString()
+        + ", wc int, topc int"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows_id, rows_src, rows_wc, rows_top = [], [], [], []
+            for did, src, t in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                if t is None:
+                    continue
+                low = t.strip(" ").lower()
+                toks = [w for w in ws_re.split(low) if w]
+                wc = len(toks)
+                if wc < 2:
+                    continue
+                counts = Counter(
+                    " ".join(p) for p in zip(toks, toks[1:])
+                )
+                rows_id.append(did)
+                rows_src.append(src)
+                rows_wc.append(wc)
+                rows_top.append(max(counts.values()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows_id,
+                    "source": rows_src,
+                    "wc": pd.array(rows_wc, dtype="int32"),
+                    "topc": pd.array(rows_top, dtype="int32"),
+                }
+            )
+
+    from ..catalog import sized_for_compute
+
+    return sized_for_compute(d.select("doc_id", "source", "text")).mapInPandas(
+        gen, schema=out_schema
+    )
+
+
 @register(
     "text_top2gram_repetition",
     oracle="""
@@ -823,26 +880,18 @@ def text_top2gram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact rational boundaries both engines compute identically in
     double.
 
-    Physical shape at 100 TB: explode to (doc, gram) -> partial-agg
-    count -> per-doc max -> per-source rollup. The (doc_id, gram)
-    aggregation map-side-combines before its shuffle and everything
-    after is #docs-sized; no join, no cartesian."""
-    from ..functions.text import shingles
-
+    Physical shape at 100 TB (round-12): the whole per-doc signal
+    (token count, within-doc 2-gram occurrence counts, their max) is
+    ROW-LOCAL, so it runs as ONE Arrow mapInPandas pass emitting a
+    #docs-sized (doc, source, wc, topc) table — no explode, and the
+    (doc_id, gram) aggregation exchange is gone outright (guide §2.4;
+    the old shape also paid the interpreted HOF gram build). Only the
+    #docs-sized per-source rollup shuffles. Bit-equality golden test
+    vs the expression pipeline (tests/test_operators_golden.py::
+    test_top2gram_stats_match_expression_spec); integers end-to-end,
+    so the threshold compare is unchanged."""
     d = load_table(spark, sf_dir, "documents")
-    low = F.lower(F.trim(F.col("text")))
-    base = d.select(
-        "doc_id",
-        "source",
-        F.size(tokens(low)).alias("wc"),
-        shingles(low, 2).alias("grams"),
-    ).filter(F.col("wc") >= 2)
-    cnt = (
-        base.select("doc_id", "source", "wc", F.explode("grams").alias("gram"))
-        .groupBy("doc_id", "source", "wc", "gram")
-        .agg(F.count("*").alias("c"))
-    )
-    top = cnt.groupBy("doc_id", "source", "wc").agg(F.max("c").alias("topc"))
+    top = _top2gram_stats(d)
     frac = F.lit(2.0) * F.col("topc") / F.col("wc")
     return (
         top.groupBy("source")

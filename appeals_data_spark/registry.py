@@ -155,6 +155,7 @@ _SWEEP_FIRST = [
     "pipe_contamination_overlap",
     "text_winnow_fingerprints",
     "text_gopher_filters",
+    "text_top2gram_repetition",
     # -- latest verdict predates r8 (rotation honesty, verdict #7);
     # the three rows-only members each carry an oracled portable twin
     "dedup_minhash_lsh",
@@ -181,7 +182,7 @@ _SWEEP_FIRST = [
     "s9_partition_pruned_rollup",
     "s1_portable_sql_rollup",
     # x4_trace_coverage displaced with the text_* tier below
-    "u6_event_funnel",
+    # u6_event_funnel displaced with the text_* tier below
     "x3_linreg_closed_form",
     # surv_weibull_fit displaced with the text_* tier below
     # x6_grouped_glm, x6_partial_pooling displaced with the text_*

@@ -306,6 +306,68 @@ def test_winnow_stream_matches_expression_spec(spark):
     assert not any(k[0] in (4, 5, 6) for k in got)
 
 
+def test_top2gram_stats_match_expression_spec(spark):
+    """queries.textops_q._top2gram_stats (the round-12 Arrow producer)
+    must emit the EXACT row multiset of the expression pipeline it
+    replaces: size(tokens(low)) wc, explode(shingles(low,2)) counts,
+    per-doc max — on real testdata and on edge rows (repeats, doc
+    below wc=2, empty, NULL, unicode, tab/space trim semantics)."""
+    import pyspark.sql.functions as F
+
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.functions.text import shingles, tokens
+    from appeals_data_spark.queries.textops_q import _top2gram_stats
+
+    from conftest import SF_CORRECT
+
+    def spec(d):
+        low = F.lower(F.trim(F.col("text")))
+        base = d.select(
+            "doc_id",
+            "source",
+            F.size(tokens(low)).alias("wc"),
+            shingles(low, 2).alias("grams"),
+        ).filter(F.col("wc") >= 2)
+        cnt = (
+            base.select(
+                "doc_id", "source", "wc", F.explode("grams").alias("gram")
+            )
+            .groupBy("doc_id", "source", "wc", "gram")
+            .agg(F.count("*").alias("c"))
+        )
+        return cnt.groupBy("doc_id", "source", "wc").agg(
+            F.max("c").alias("topc")
+        )
+
+    def multiset(df):
+        out = {}
+        for r in df.collect():
+            key = tuple(r)
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    d = load_table(spark, SF_CORRECT, "documents")
+    got = multiset(_top2gram_stats(d))
+    want = multiset(spec(d))
+    assert got == want and len(got) > 0
+
+    edge = spark.createDataFrame(
+        [
+            (1, "sA", "a b a b a b c"),
+            (2, "sB", "  \t x\ny  x y  "),
+            (3, "sC", "one"),
+            (4, "sD", ""),
+            (5, "sE", None),
+            (6, "sF", "HÉllo wörld HÉllo wörld"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = multiset(_top2gram_stats(edge))
+    want = multiset(spec(edge))
+    assert got == want and len(got) > 0
+    assert not any(k[0] in (3, 4, 5) for k in got)
+
+
 def test_jaccard_expr(spark):
     df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>")
     assert abs(df.select(jaccard(F.col("x"), F.col("y")).alias("j")).collect()[0].j - 0.5) < 1e-12
