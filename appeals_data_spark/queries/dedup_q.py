@@ -122,17 +122,33 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     and still executes in one task-second."""
     from pyspark.sql.window import Window
 
-    from ..functions.text import shingles
+    from ..catalog import scan_input_bytes
+    from ..functions.text import shingle_stream, shingles
 
     d = load_table(spark, sf_dir, "documents")
-    low = F.lower(F.trim(F.col("text")))
+    # Round-12: the gram occurrence stream is size-dispatched (the
+    # text_kgram_novelty pattern). The shuffles dominate this query,
+    # so the Arrow pass only pays above ~8 MB of scan input: measured
+    # sf0.1 1.59 (HOF) vs 1.9 s (Arrow — worker round-trip) but 100x
+    # probe 32.6 (HOF) vs 25.0 s (Arrow). Producers bit-equality-gated
+    # (distinct=False occurrence multiset), unknown scan size routes
+    # large.
+    n_bytes = scan_input_bytes(d)
+    if n_bytes is not None and n_bytes <= 8 * 1024 * 1024:
+        low = F.lower(F.trim(F.col("text")))
+        stream = d.select(
+            "doc_id", "source", F.explode(shingles(low, 5)).alias("gram")
+        )
+    else:
+        stream = shingle_stream(
+            d, "text", 5, ["doc_id", "source"], distinct=False
+        ).select("doc_id", "source", F.col("g").alias("gram"))
     # One hash-partition on gram serves BOTH the (doc, gram) groupBy
     # (gram ⊆ grouping keys, so the clustered distribution is already
     # satisfied) and the corpus-duplication window below — the explicit
     # repartition replaces two exchanges with one.
     docgram = (
-        d.select("doc_id", "source", F.explode(shingles(low, 5)).alias("gram"))
-        .repartition("gram")
+        stream.repartition("gram")
         .groupBy("doc_id", "source", "gram")
         .agg(F.count("*").alias("occ"))
     )

@@ -945,6 +945,17 @@ def test_shingle_stream_matches_hof_spec(spark):
     )
     assert got_e == want_e and len(got_e) > 0
 
+    # distinct=False (the substring-coverage shape): the occurrence
+    # multiset, repeats preserved
+    got_o = multiset(
+        shingle_stream(edge, "text", 3, ["doc_id"], distinct=False)
+    )
+    want_o = multiset(
+        edge.select("doc_id", F.explode(shingles(low, 3)).alias("g"))
+    )
+    assert got_o == want_o and len(got_o) > 0
+    assert sum(got_o.values()) > sum(got.values())  # repeats really kept
+
 
 def test_para_feature_rows_match_expression_spec(spark):
     """dedup_q._para_feature_rows (the round-12 Arrow producer) must
