@@ -306,6 +306,7 @@ def _topk_centroid_structs(cents: Column, vec: Column, rank_max: int) -> Column:
 def assign_to_centroids(
     corpus: DataFrame, centroids: DataFrame, rank_max: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    with_score: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment (rank_max=1) or probe lists
     (rank_max=nprobe): (id, c_label, c_rank) — the IVF build/probe
@@ -357,9 +358,17 @@ def assign_to_centroids(
     n_cents = len(labels)
     id_type = dict(corpus.dtypes)[id_col]
     vec_type = dict(corpus.dtypes)[vec_col]
+    # with_score (rank_max == 1 only): additionally emit the winning
+    # cosine as c_cos — the HOF fold's `_b.c_cos`, including its -inf
+    # init for rows the fold never updates (NULL vector / empty
+    # centroid set). Scores come from the same dimension-major matrix
+    # the label pick reads, so they are bit-identical to the fold's.
+    if with_score and rank_max != 1:
+        raise ValueError("with_score requires rank_max == 1")
     out_schema = (
         f"{id_col} {id_type}, {vec_col} {vec_type}, "
         f"c_label {label_type}, c_rank int"
+        + (", c_cos double" if with_score else "")
     )
     src = corpus.select(id_col, vec_col)
     if n_cents:
@@ -382,11 +391,15 @@ def assign_to_centroids(
                     res = pdf[[id_col, vec_col]].copy()
                     res["c_label"] = None
                     res["c_rank"] = np.ones(len(pdf), dtype=np.int32)
+                    if with_score:
+                        res["c_cos"] = np.full(len(pdf), -np.inf)
                     yield res
                 else:
                     res = pdf[[id_col, vec_col]].iloc[:0].copy()
                     res["c_label"] = pd.Series([], dtype=object)
                     res["c_rank"] = pd.Series([], dtype=np.int32)
+                    if with_score:
+                        res["c_cos"] = pd.Series([], dtype=np.float64)
                     yield res
                 continue
             vv = pdf[vec_col].values
@@ -410,6 +423,7 @@ def assign_to_centroids(
             if rank_max == 1:
                 lab = np.empty(len(pdf), dtype=object)
                 lab[:] = None
+                full_best = np.full(len(pdf), -np.inf)
                 if scores is not None:
                     best = np.full(scores.shape[0], -np.inf)
                     bi = np.full(scores.shape[0], -1)
@@ -420,9 +434,12 @@ def assign_to_centroids(
                     lab[mask] = [
                         labels[i] if i >= 0 else None for i in bi
                     ]
+                    full_best[mask] = best
                 res = pdf[[id_col, vec_col]].copy()
                 res["c_label"] = lab
                 res["c_rank"] = np.ones(len(pdf), dtype=np.int32)
+                if with_score:
+                    res["c_cos"] = full_best
                 yield res
                 continue
             # rank_max > 1: (cos DESC, label ASC) — stable argsort on

@@ -908,43 +908,25 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     no all-pairs join anywhere — candidate work is O(N), and the
     within-cluster quadratic of full SemDeDup is avoided by
     construction."""
-    from ..functions.vectors import cosine
-    from ..operators.similarity import (
-        centroid_struct_array,
-        label_centroids,
-        nearest_centroid_best,
-    )
+    from ..functions.vectors import pair_scores_arrow
+    from ..operators.similarity import assign_to_centroids, label_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = label_centroids(emb)
-    # Zero-shuffle assignment (round 7): one-row label-sorted centroid
-    # array broadcast onto the corpus, argmax as an expression fold —
-    # replaces the crossJoin + Window.partitionBy(vec_id) that shuffled
-    # |corpus| x |cells| rows. Tie semantics identical (strict > keeps
-    # the lowest label), so member rows are bit-for-bit unchanged.
-    # Round 8: the one-row model artifact is materialized ONCE (the
-    # ivf_topk localCheckpoint idiom) — member feeds BOTH the
-    # representative selection and the final scoring pass, and without
-    # the barrier the static plan inlined the full 4-exchange centroid
-    # build on each side (9 exchanges total; AQE stage reuse deduped
-    # it at runtime, but the guarantee now holds by construction:
-    # final plan 3 exchanges + 4 in the one-off checkpointed segment).
-    cents_arr = centroid_struct_array(cents).localCheckpoint()
-    member = (
-        emb.crossJoin(F.broadcast(cents_arr))
-        .select(
-            "vec_id",
-            "embedding",
-            nearest_centroid_best(
-                F.col("_cents"), F.col("embedding"), "int"
-            ).alias("_b"),
-        )
-        .select(
-            "vec_id",
-            "embedding",
-            F.col("_b.c_label").alias("c_label"),
-            F.col("_b.c_cos").alias("c_cos"),
-        )
+    # Zero-shuffle assignment — since round 12 on the Arrow scorer
+    # (assign_to_centroids with_score=True): the round-7 expression
+    # fold (nearest_centroid_best over a broadcast struct array) ran
+    # INTERPRETED per (row, centroid, dimension) — the
+    # vec_ivf_topk/round-10 diagnosis — and was the dominant term of
+    # this query's 100x probe (53.7 s). The Arrow path computes the
+    # identical dimension-major cosine matrix and the identical
+    # strict-> first-wins fold (differential-gated in
+    # tests/test_ann_recall.py), and c_cos is the winning score from
+    # that same matrix, so member rows are bit-for-bit unchanged. The
+    # centroid table is collected label-sorted inside
+    # assign_to_centroids (model-sized by contract).
+    member = assign_to_centroids(emb, cents, 1, with_score=True).select(
+        "vec_id", "embedding", "c_label", "c_cos"
     )
     # Representative selection (round 8): the per-cluster argmax was a
     # Window.partitionBy(c_label) row_number pass — a full-member-set
@@ -975,10 +957,20 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_r.rep_vec").alias("rep_vec"),
         )
     )
-    cos_rep = cosine(F.col("embedding"), F.col("rep_vec"))
+    # Rep scoring on the Arrow hot path too (metric "cosine" —
+    # bit-equal to the HOF fold, parity-gated); only the three grouping
+    # columns ride back across the boundary with the score.
+    scored = pair_scores_arrow(
+        member.join(F.broadcast(rep), "c_label"),
+        "embedding",
+        "rep_vec",
+        keep=["c_label", "vec_id", "rep_id"],
+        out="_cos",
+        metric="cosine",
+    )
+    cos_rep = F.col("_cos")
     return (
-        member.join(F.broadcast(rep), "c_label")
-        .groupBy(F.col("c_label").alias("cluster"))
+        scored.groupBy(F.col("c_label").alias("cluster"))
         .agg(
             F.count("*").alias("n_members"),
             F.any_value("rep_id").alias("rep_id"),

@@ -156,6 +156,7 @@ _SWEEP_FIRST = [
     "text_winnow_fingerprints",
     "text_gopher_filters",
     "text_top2gram_repetition",
+    "dedup_semantic_clusters",
     # -- latest verdict predates r8 (rotation honesty, verdict #7);
     # the three rows-only members each carry an oracled portable twin
     "dedup_minhash_lsh",
@@ -180,7 +181,7 @@ _SWEEP_FIRST = [
     "w11_rolling_mean",
     "u5_event_where_hook",
     "s9_partition_pruned_rollup",
-    "s1_portable_sql_rollup",
+    # s1_portable_sql_rollup displaced with the text_* tier below
     # x4_trace_coverage displaced with the text_* tier below
     # u6_event_funnel displaced with the text_* tier below
     "x3_linreg_closed_form",

@@ -46,7 +46,9 @@ BNLJ_OK = {
     "text_bigram_interp_logprob",  # 1-row corpus-total scalar side
     "text_trigram_backoff_logprob",  # 1-row corpus-total scalar side
     "pipe_perplexity_buckets",  # 1-row corpus-total scalar side (LM train)
-    "dedup_semantic_clusters",  # centroid + per-cluster representative sides
+    # dedup_semantic_clusters left this list in round 12: the one-row
+    # centroid-array crossJoin became the Arrow assign_to_centroids
+    # pass, so no BNLJ remains in its plan
     "pipe_diverse_cluster_quota",  # |labels|-row centroid side
     "pipe_classifier_filter",  # 1-row fitted-coefficient scoring side
     "stream_centroid_occupancy",  # 1-row centroid-array model side
@@ -345,12 +347,12 @@ ITERATIVE_SEGMENTS = {
     "text_bpe_vocab": (6, 8),
     "text_tfidf_topk": (1, 1),
     "text_unigram_logprob": (1, 1),
-    # one checkpointed segment: the 1-row centroid struct-array model
-    # (label means 2 exchanges + 1-row collapse) reused by BOTH member
-    # passes (rep selection + scoring) — was inlined twice (9 static
-    # exchanges); rep selection itself is now a max_by agg, not a
-    # Window.partitionBy(c_label) full-member sort-shuffle
-    "dedup_semantic_clusters": (1, 3),
+    # dedup_semantic_clusters dropped from this table in round 12: the
+    # centroid model is no longer a checkpointed struct-array segment —
+    # assign_to_centroids collects the label-sorted centroid table
+    # driver-side (model-sized by contract) and scores in Arrow, so
+    # the query has NO checkpointed segment; rep selection stays the
+    # max_by agg (not a Window full-member sort-shuffle)
     # (5, 10) -> (4, 8) in round 12: the ivfpq and pq_adc arms share
     # ONE sub=4 codebook checkpoint fitted by the report (identical
     # deterministic build), so a segment and its 2 codebook-fit
