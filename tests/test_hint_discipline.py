@@ -73,7 +73,10 @@ EXPECTED = {
     "sources/merge.py": 4,
     "queries/survival_q.py": 3,
     "queries/textops_q.py": 5,
-    "queries/vector_q.py": 7,
+    # -1 in round 12: dedup_semantic_clusters' centroid-array
+    # crossJoin(broadcast(...)) went away with the Arrow assignment
+    # pass (the rep-scoring broadcast join remains).
+    "queries/vector_q.py": 6,
     # +1 in round 8b: w15's <=nparts-row partition-offset table.
     # round 10: w15's offset broadcast moved into the shared
     # two-phase-rank helper (<=nparts-row partition-offset table)
