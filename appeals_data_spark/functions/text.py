@@ -146,6 +146,81 @@ def shingle_stream(
     return df.select(*carry_cols, text_col).mapInPandas(gen, schema=out_schema)
 
 
+def ngram_cols_stream(df, text_col: str, k: int, carry_cols, names):
+    """Exploded word n-gram OCCURRENCE stream with the ``k`` gram
+    tokens as SEPARATE string columns (``names``), as an Arrow
+    ``mapInPandas`` pass: one output row per (doc, position), carrying
+    ``carry_cols`` alongside the token columns — the LM-query front
+    end (bigram/trigram occurrence streams feed count tables and the
+    per-doc scoring join as individual token keys, not concatenated
+    gram strings, so :func:`shingle_stream` does not fit).
+
+    Exists for the same reason as :func:`shingle_stream`: the
+    expression form ``explode(arrays_zip(slice(t,1,c), .., slice(t,k,
+    c)))`` builds a corpus-scale struct array through interpreted
+    array kernels — noop-isolated at 24.3 s of text_trigram_backoff's
+    102.9 s at the 100x probe (round-12 profile). Plain Python list
+    slicing over Arrow batches is ~4x faster and the pass stays
+    narrow: no shuffle, no join, partition-parallel.
+
+    BIT-EQUALITY CONTRACT: the output row multiset must equal::
+
+        df.select(*carry_cols, explode(arrays_zip(
+            *[slice(t, j+1, greatest(size(t)-(k-1), 0))
+              for j in range(k)])).alias("g"))
+          .select(*carry_cols, *[col(f"g.{j}") for j in range(k)])
+
+    with ``t = tokens(lower(text_col))`` — pinned by
+    tests/test_operators_golden.py::test_ngram_cols_stream_matches_spec.
+    Tokenization mirrors the JVM exactly as in shingle_stream (Java
+    ``\\s`` is the ASCII class, empty strings removed, lower before
+    split — the trim inside :func:`tokens` is a no-op for token
+    extraction since ``\\s+`` splits and empties are removed)."""
+    import re
+
+    ws_re = re.compile("[ \t\n\x0b\f\r]+")
+    carry_cols = list(carry_cols)
+    assert len(names) == k
+    out_schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in carry_cols]
+        + [f"{name} string" for name in names]
+    )
+
+    FLUSH_ROWS = 131_072
+
+    def gen(batches):
+        for pdf in batches:
+            texts = pdf[text_col]
+            carry = pdf[carry_cols]
+            out_idx: list[int] = []
+            out_tok: list[list[str]] = [[] for _ in range(k)]
+
+            def flush():
+                res = carry.iloc[out_idx].reset_index(drop=True)
+                for j, name in enumerate(names):
+                    res[name] = out_tok[j]
+                return res
+
+            for i, t in enumerate(texts):
+                if t is None:
+                    continue
+                toks = [w for w in ws_re.split(t.lower()) if w]
+                n = len(toks) - (k - 1)
+                if n <= 0:
+                    continue
+                out_idx.extend([i] * n)
+                for j in range(k):
+                    out_tok[j].extend(toks[j : j + n])
+                if len(out_idx) >= FLUSH_ROWS:
+                    yield flush()
+                    out_idx = []
+                    out_tok = [[] for _ in range(k)]
+            if out_idx:
+                yield flush()
+
+    return df.select(*carry_cols, text_col).mapInPandas(gen, schema=out_schema)
+
+
 def rolling_fingerprint(col: str | Column) -> Column:
     """Deterministic 64-bit document fingerprint: xxhash64 of the
     normalized (lowercased, whitespace-collapsed) text."""

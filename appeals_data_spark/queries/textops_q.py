@@ -1548,31 +1548,40 @@ def text_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     t = tokens(F.lower(F.col("text")))
-    n = F.size(t)
-    pair_cnt = F.greatest(n - 1, F.lit(0))
-    doc = d.select(
-        "doc_id",
-        "source",
-        F.arrays_zip(
-            F.slice(t, 1, pair_cnt), F.slice(t, 2, pair_cnt)
-        ).alias("bgs"),
-        t.alias("ws"),
-    )
-    occ = (
-        doc.select(
+    if _scan_bytes(d) <= _KGRAM_HOF_MAX_BYTES:
+        n = F.size(t)
+        pair_cnt = F.greatest(n - 1, F.lit(0))
+        doc = d.select(
+            "doc_id",
+            "source",
+            F.arrays_zip(
+                F.slice(t, 1, pair_cnt), F.slice(t, 2, pair_cnt)
+            ).alias("bgs"),
+        )
+        occ_src = doc.select(
             "doc_id",
             "source",
             F.explode("bgs").alias("bg"),
-        )
-        .select(
+        ).select(
             "doc_id",
             "source",
             F.col("bg.0").alias("prev"),
             F.col("bg.1").alias("w"),
         )
-        .localCheckpoint()  # feeds bigram counts AND per-doc scoring
-    )
-    tok = doc.select(F.explode("ws").alias("token"))
+    else:
+        from ..catalog import sized_for_compute
+        from ..functions.text import ngram_cols_stream
+
+        occ_src = ngram_cols_stream(
+            sized_for_compute(d.select("doc_id", "source", "text")),
+            "text",
+            2,
+            ["doc_id", "source"],
+            ["prev", "w"],
+        )
+    # feeds bigram counts AND per-doc scoring
+    occ = occ_src.localCheckpoint()
+    tok = d.select(F.explode(t).alias("token"))
     vocab = (
         tok.groupBy("token").agg(F.count("*").alias("n")).localCheckpoint()
     )
@@ -1692,7 +1701,14 @@ def text_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: trigrams come from zipped slices (no positional
     self-join); the expensive tokenize+zip+explode is checkpointed
     once and feeds all five count aggregations AND the per-doc
-    scoring join. The LM tables carry NO broadcast hints (round 8):
+    scoring join. Round 12: above the shared ``_KGRAM_HOF_MAX_BYTES``
+    scan threshold the occurrence stream is produced by the Arrow
+    ``ngram_cols_stream`` pass instead of the interpreted
+    zip-slice-explode (noop-isolated at 24.3 s of the 102.9 s 100x
+    probe run) — bit-equality pinned by
+    test_ngram_cols_stream_matches_spec; the checkpoint and every
+    consumer are unchanged. The LM tables carry NO broadcast hints
+    (round 8):
     they are vocab-sized — they grow with the corpus — and Spark
     honors hints unconditionally, so the hinted form forced a 2 GB+
     broadcast at the 100x probe (caught by /tmp/sf10, BASELINE.md).
@@ -1702,27 +1718,39 @@ def text_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
     d = load_table(spark, sf_dir, "documents")
-    t = tokens(F.lower(F.col("text")))
-    n = F.size(t)
-    tc = F.greatest(n - 2, F.lit(0))
-    doc = d.select(
-        "doc_id",
-        "source",
-        F.arrays_zip(
-            F.slice(t, 1, tc), F.slice(t, 2, tc), F.slice(t, 3, tc)
-        ).alias("tgs"),
-    )
-    occ = (
-        doc.select("doc_id", "source", F.explode("tgs").alias("tg"))
-        .select(
+    if _scan_bytes(d) <= _KGRAM_HOF_MAX_BYTES:
+        t = tokens(F.lower(F.col("text")))
+        n = F.size(t)
+        tc = F.greatest(n - 2, F.lit(0))
+        doc = d.select(
+            "doc_id",
+            "source",
+            F.arrays_zip(
+                F.slice(t, 1, tc), F.slice(t, 2, tc), F.slice(t, 3, tc)
+            ).alias("tgs"),
+        )
+        occ_src = doc.select(
+            "doc_id", "source", F.explode("tgs").alias("tg")
+        ).select(
             "doc_id",
             "source",
             F.col("tg.0").alias("u"),
             F.col("tg.1").alias("v"),
             F.col("tg.2").alias("w"),
         )
-        .localCheckpoint()  # feeds 5 count tables AND per-doc scoring
-    )
+    else:
+        from ..catalog import sized_for_compute
+        from ..functions.text import ngram_cols_stream
+
+        occ_src = ngram_cols_stream(
+            sized_for_compute(d.select("doc_id", "source", "text")),
+            "text",
+            3,
+            ["doc_id", "source"],
+            ["u", "v", "w"],
+        )
+    # feeds 5 count tables AND per-doc scoring
+    occ = occ_src.localCheckpoint()
     tri = occ.groupBy("u", "v", "w").agg(F.count("*").alias("c3"))
     pre = occ.groupBy("u", "v").agg(F.count("*").alias("cpre"))
     suf = occ.groupBy("v", "w").agg(F.count("*").alias("csuf"))

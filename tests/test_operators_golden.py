@@ -957,6 +957,67 @@ def test_shingle_stream_matches_hof_spec(spark):
     assert sum(got_o.values()) > sum(got.values())  # repeats really kept
 
 
+def test_ngram_cols_stream_matches_spec(spark):
+    """functions.text.ngram_cols_stream (the LM-query occurrence
+    front end) must emit the EXACT row multiset of the expression
+    spec it replaces — explode(arrays_zip(slice(t,1,c), ..,
+    slice(t,k,c))) over t = tokens(lower(text)) — on real testdata
+    AND on edge rows exercising the tokenizer semantics (ASCII \\s
+    separators, docs shorter than k, empty/NULL text, repeated
+    grams kept: this stream is an OCCURRENCE multiset)."""
+    import pyspark.sql.functions as F
+
+    from appeals_data_spark.catalog import load_table
+    from appeals_data_spark.functions.text import ngram_cols_stream, tokens
+
+    from conftest import SF_CORRECT
+
+    def multiset(df):
+        out = {}
+        for r in df.collect():
+            key = tuple(r)
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    def spec(d, k, names):
+        t = tokens(F.lower(F.col("text")))
+        cnt = F.greatest(F.size(t) - (k - 1), F.lit(0))
+        z = F.arrays_zip(*[F.slice(t, j + 1, cnt) for j in range(k)])
+        return d.select("doc_id", F.explode(z).alias("g")).select(
+            "doc_id", *[F.col(f"g.{j}").alias(names[j]) for j in range(k)]
+        )
+
+    for k, names in ((2, ["prev", "w"]), (3, ["u", "v", "w"])):
+        d = load_table(spark, SF_CORRECT, "documents")
+        got = multiset(ngram_cols_stream(d, "text", k, ["doc_id"], names))
+        want = multiset(spec(d, k, names))
+        assert got == want and len(got) > 0, k
+
+    edge = spark.createDataFrame(
+        [
+            (1, "  A b\tc  B\n\nd a b  "),  # mixed seps, mixed case
+            (2, "x y x y x y"),             # repeated grams (occurrences!)
+            (3, "one two"),                 # shorter than k=3
+            (4, "solo"),                    # shorter than k=2
+            (5, ""),                        # empty
+            (6, None),                      # null
+            (7, "\x0bvert\ftab\rforms split too"),  # full ASCII \s class
+        ],
+        "doc_id long, text string",
+    )
+    for k, names in ((2, ["prev", "w"]), (3, ["u", "v", "w"])):
+        got = multiset(ngram_cols_stream(edge, "text", k, ["doc_id"], names))
+        want = multiset(spec(edge, k, names))
+        assert got == want and len(got) > 0, k
+    # occurrence semantics really pinned: doc 2 has repeated bigrams
+    got2 = multiset(
+        ngram_cols_stream(
+            edge.filter("doc_id = 2"), "text", 2, ["doc_id"], ["prev", "w"]
+        )
+    )
+    assert got2[(2, "x", "y")] == 3 and got2[(2, "y", "x")] == 2
+
+
 def test_para_feature_rows_match_expression_spec(spark):
     """dedup_q._para_feature_rows (the round-12 Arrow producer) must
     emit the EXACT row multiset of the expression-level spec it
