@@ -157,6 +157,13 @@ _SWEEP_FIRST = [
     "text_gopher_filters",
     "text_top2gram_repetition",
     "dedup_semantic_clusters",
+    # (still later in r12: the LM occurrence front-ends and the
+    # substring-coverage gram stream gained the Arrow/size-dispatch
+    # arm — at the driver's sweep SF the small arm runs the identical
+    # old plan, but the builder changed, so they take fresh slots)
+    "text_bigram_interp_logprob",
+    "text_trigram_backoff_logprob",
+    "dedup_substring_coverage",
     # -- latest verdict predates r8 (rotation honesty, verdict #7);
     # the three rows-only members each carry an oracled portable twin
     "dedup_minhash_lsh",
@@ -179,12 +186,13 @@ _SWEEP_FIRST = [
     "a26_hll_setops_bound",
     "w3_session_segmentation",
     "w11_rolling_mean",
-    "u5_event_where_hook",
-    "s9_partition_pruned_rollup",
+    # u5_event_where_hook, s9_partition_pruned_rollup,
+    # x3_linreg_closed_form displaced to the r13 window by the three
+    # latest changed-builder queries above (LM front-ends,
+    # substring-coverage dispatch)
     # s1_portable_sql_rollup displaced with the text_* tier below
     # x4_trace_coverage displaced with the text_* tier below
     # u6_event_funnel displaced with the text_* tier below
-    "x3_linreg_closed_form",
     # surv_weibull_fit displaced with the text_* tier below
     # x6_grouped_glm, x6_partial_pooling displaced with the text_*
     # tier below
