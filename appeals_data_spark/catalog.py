@@ -152,6 +152,35 @@ def sized_for_compute(df: DataFrame) -> DataFrame:
     return df.repartition(target) if input_split_count(df) < target else df
 
 
+def sized_for_expansion(df: DataFrame, expansion: float) -> DataFrame:
+    """Partition a scan for a pass whose OUTPUT is ~``expansion``x its
+    input bytes (exploded token/gram streams), targeting ~128 MB of
+    expanded data per partition with :func:`sized_for_compute`'s
+    parallelism floor.
+
+    Exists because sizing such a scan to ``defaultParallelism`` alone
+    is a local-mode constant in disguise: at the 1000x probe the LM
+    occurrence stream is ~100 GB across 32 partitions, so every
+    downstream per-task structure (partial-agg hash map + its shuffle
+    sorter pages, which are co-resident inside one task) is built over
+    a ~1.5 GB input slice and the unified pool hands tasks less than
+    one map's floor — UNABLE_TO_ACQUIRE_MEMORY in the map stage
+    (measured r12, 48 g heap). ~128 MB expanded slices keep the
+    per-task state the size Spark's spill machinery is tuned for at
+    ANY scale; below the floor the parallelism target dominates and
+    this degrades to exactly :func:`sized_for_compute`. Unknown scan
+    size keeps the floor (small-input safe: the large-arm callers
+    dispatch on the same size probe and treat unknown as large at the
+    QUERY level, but an unknowable byte count here must not manufacture
+    a million empty partitions)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n = scan_input_bytes(df)
+    target = par
+    if n is not None:
+        target = max(par, int(n * expansion) // (128 << 20) + 1)
+    return df.repartition(target) if input_split_count(df) < target else df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -1568,19 +1568,28 @@ def text_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bg.0").alias("prev"),
             F.col("bg.1").alias("w"),
         )
+        # small arm: default (in-memory) checkpoint blocks
+        occ = occ_src.localCheckpoint()
     else:
-        from ..catalog import sized_for_compute
+        from ..catalog import sized_for_expansion
         from ..functions.text import ngram_cols_stream
 
+        # expansion-aware partitioning — same rationale as the trigram
+        # twin (catalog.sized_for_expansion)
         occ_src = ngram_cols_stream(
-            sized_for_compute(d.select("doc_id", "source", "text")),
+            sized_for_expansion(d.select("doc_id", "source", "text"), 16.0),
             "text",
             2,
             ["doc_id", "source"],
             ["prev", "w"],
         )
-    # feeds bigram counts AND per-doc scoring
-    occ = occ_src.localCheckpoint()
+        # parquet scratch above _LM_DISK_CKPT_MIN_BYTES — same
+        # rationale as the trigram twin (_lm_occ_scratch)
+        if _scan_bytes(d) > _LM_DISK_CKPT_MIN_BYTES:
+            occ = _lm_occ_scratch(spark, occ_src, "bi")
+        else:
+            occ = occ_src.localCheckpoint()
+    # occ feeds bigram counts AND per-doc scoring
     tok = d.select(F.explode(t).alias("token"))
     vocab = (
         tok.groupBy("token").agg(F.count("*").alias("n")).localCheckpoint()
@@ -1738,25 +1747,68 @@ def text_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tg.1").alias("v"),
             F.col("tg.2").alias("w"),
         )
+        # small arm: default (in-memory) checkpoint blocks — the
+        # stream fits comfortably next to the aggregations
+        occ = occ_src.localCheckpoint()
     else:
-        from ..catalog import sized_for_compute
+        from ..catalog import sized_for_expansion
         from ..functions.text import ngram_cols_stream
 
+        # expansion-aware partitioning (~16x parquet bytes -> occurrence
+        # rows): rationale at catalog.sized_for_expansion — a
+        # defaultParallelism-sized layout OOMs the downstream count
+        # aggs' map stage at the 1000x probe
         occ_src = ngram_cols_stream(
-            sized_for_compute(d.select("doc_id", "source", "text")),
+            sized_for_expansion(d.select("doc_id", "source", "text"), 16.0),
             "text",
             3,
             ["doc_id", "source"],
             ["u", "v", "w"],
         )
-    # feeds 5 count tables AND per-doc scoring
-    occ = occ_src.localCheckpoint()
+        # parquet scratch above _LM_DISK_CKPT_MIN_BYTES (rationale at
+        # _lm_occ_scratch: every localCheckpoint storage level OOMs
+        # the 1000x probe on per-row block ser/deser churn); plain
+        # in-memory checkpoint blocks below, where the stream fits
+        # next to the aggregations.
+        if _scan_bytes(d) > _LM_DISK_CKPT_MIN_BYTES:
+            occ = _lm_occ_scratch(spark, occ_src, "tri")
+        else:
+            occ = occ_src.localCheckpoint()
+    # occ feeds the count tables AND per-doc scoring
     tri = occ.groupBy("u", "v", "w").agg(F.count("*").alias("c3"))
-    pre = occ.groupBy("u", "v").agg(F.count("*").alias("cpre"))
-    suf = occ.groupBy("v", "w").agg(F.count("*").alias("csuf"))
-    mid = occ.groupBy("v").agg(F.count("*").alias("cmid"))
-    lastc = occ.groupBy("w").agg(F.count("*").alias("clast"))
-    tot = occ.agg(F.count(F.lit(1)).cast("double").alias("tt"))
+    if _scan_bytes(d) > _LM_DISK_CKPT_MIN_BYTES:
+        # Above the disk-checkpoint threshold, derive every lower-order
+        # table from tri instead of re-aggregating occ: cpre(u,v) =
+        # SUM over w of c3, csuf/cmid/clast/tt likewise — exact int64
+        # partial sums, value-identical by construction. At bench/sf10
+        # scale this shape MEASURED SLOWER (63.4 -> 79.2 s at the 100x
+        # probe: near-occurrence-sized tri vocab means the extra
+        # exchange collapses nothing — see "Tried and rejected",
+        # OPTIMIZATION_r12.md), so it stays out of the small arm; at
+        # the 1000x probe it is the difference between completing and
+        # OOM — the five-agg form reads the ~100 GB DISK_ONLY occ
+        # checkpoint SEVEN times, up to five agg stages concurrently,
+        # and the raw-heap deserialization churn kills a 48 g heap
+        # (java.lang.OutOfMemoryError, GCLocker thrash — measured
+        # r12). Here occ is read twice (tri + scoring join) and the
+        # lower orders ride the narrower checkpointed tri.
+        # tri is ALSO parquet scratch here: on the word-perturbed probe
+        # corpus the trigram vocabulary is nearly occurrence-sized, so
+        # an RDD-block checkpoint of it re-imports the same per-row
+        # deserialization churn the occ scratch just removed
+        # (UnsafeRow.readExternal OOM at stage 49, measured r12).
+        tri = _lm_occ_scratch(spark, tri, "tri_counts")
+        pre = tri.groupBy("u", "v").agg(F.sum("c3").alias("cpre"))
+        suf = tri.groupBy("v", "w").agg(F.sum("c3").alias("csuf"))
+        mid = tri.groupBy("v").agg(F.sum("c3").alias("cmid"))
+        lastc = tri.groupBy("w").agg(F.sum("c3").alias("clast"))
+        tot = tri.agg(F.sum("c3").cast("double").alias("tt"))
+    else:
+        pre = occ.groupBy("u", "v").agg(F.count("*").alias("cpre"))
+        suf = occ.groupBy("v", "w").agg(F.count("*").alias("csuf"))
+        mid = occ.groupBy("v").agg(F.count("*").alias("cmid"))
+        lastc = occ.groupBy("w").agg(F.count("*").alias("clast"))
+        tot = occ.agg(F.count(F.lit(1)).cast("double").alias("tt"))
     s = (
         F.when(
             F.col("c3") >= 2, F.col("c3").cast("double") / F.col("cpre")
@@ -1815,6 +1867,56 @@ def text_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for sub-256KB corpora (check.py's sf0.001/sf0.01 differentials),
 # where Python worker spin-up still dominates.
 _KGRAM_HOF_MAX_BYTES = 256 * 1024
+
+# Above this many scan bytes of documents parquet, the LM queries
+# switch to their scale arm: occurrence/count intermediates go to
+# parquet scratch instead of checkpoint blocks, and the trigram
+# lower-order tables derive from tri. The occurrence stream is ~150x
+# the compressed scan bytes in row form (text parquet compresses
+# ~10x; each token position becomes a row), so EVERY RDD-block
+# residency for it dies at the 1000x probe (665 MB scan, 48 g heap —
+# measured r12 in sequence: MEMORY_AND_DISK starved the agg pool
+# [AGGREGATE_OUT_OF_MEMORY], DISK_ONLY then OOM'd raw heap on
+# per-row Java deserialization churn, Kryo likewise on per-row
+# object construction) while parquet scratch reads back vectorized
+# and column-pruned with zero per-row objects. The boundary sits
+# between the two measured points: the 100x probe (67 MB scan,
+# ~2.6 GB expanded) completes on the 8 g default heap with plain
+# in-memory checkpoint blocks and is FASTER that way (no write
+# barrier); 1000x (665 MB, ~100 GB expanded) needs the scratch arm
+# at any heap this box can offer. sf0.1 (594 KB) keeps in-memory
+# blocks and measured +0.4 s under the disk arm — the small-SF cost
+# the threshold avoids.
+_LM_DISK_CKPT_MIN_BYTES = 128 << 20
+
+
+def _lm_occ_scratch(spark, occ_src, name: str):
+    """Materialize a corpus-scale LM occurrence stream as PARQUET
+    scratch (written fresh on EVERY build — a deterministic path is
+    reused only so repeated builds overwrite instead of leaking disk;
+    nothing is memoized, each bench/oracle invocation recomputes and
+    rewrites from the inputs).
+
+    Exists because a localCheckpoint of this stream CANNOT carry the
+    1000x probe regardless of storage level: RDD block ser/deser is
+    per-row object churn (Java serialization stack-allocates an
+    ObjectStreamClass graph per element; Kryo still constructs one
+    UnsafeRow object per element), and 2.6B rows x several consumer
+    stages of that churn OOMs a 48 g heap outright (measured r12 —
+    MEMORY_AND_DISK starved the agg pool, DISK_ONLY then died in
+    raw-heap GC thrash, Kryo likewise). Parquet scratch is the
+    columnar fix: vectorized batched reads, zero per-row objects, and
+    each consumer prunes to the columns it needs (the count tables
+    read 1-3 of 5 columns)."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"appeals_lm_scratch_{name}_{spark.sparkContext.applicationId}",
+    )
+    occ_src.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def _scan_bytes(df):

@@ -28,6 +28,24 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Scale-adaptive REDUCE-side sizing (round 12): shuffles START at
+    # this many partitions and AQE coalesces them down to the
+    # advisory size with the parallelism floor — at bench scale the
+    # post-coalesce counts land where the old static
+    # max(cores, 32) did (parallelismFirst, the default, keeps
+    # >= defaultParallelism), while at the 1000x probe a shuffled-hash
+    # build over vocab-scale tables gets data-many partitions instead
+    # of 32 local-mode buckets (measured: the LM scoring join's
+    # ~600 MB-per-partition UnsafeHashedRelation x 32 concurrent
+    # builds OOM'd a 48 g heap; at 1024 initial partitions each build
+    # is ~25 MB). AQE can only coalesce DOWN — the static conf is a
+    # local-mode constant in disguise, exactly the class the
+    # optimization guide warns about. Env-overridable for bigger
+    # deployments (a real cluster would size it near max concurrent
+    # cores x a few).
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": os.environ.get(
+        "SPARK_GRAFT_INIT_PARTITIONS", "1024"
+    ),
     # A vanilla session defaults to 10 MB — at bench scale every dim
     # fits well under 64 MB, so keep joins broadcast instead of SMJ.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
