@@ -46,6 +46,21 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": os.environ.get(
         "SPARK_GRAFT_INIT_PARTITIONS", "1024"
     ),
+    # Round 13: initialPartitionNum=1024 alone regressed every query
+    # that PERSISTS a shuffled intermediate (dedup_minhash_lsh 1.7 ->
+    # 4.4 s, dedup_simhash_hamming 2.7 -> 4.6 s interleaved A/B at
+    # sf0.1): AQE may not re-plan inside an InMemoryRelation by
+    # default, so the cached frame materializes at the full 1024
+    # partitions and every consumer stage pays 1024 task launches.
+    # This conf lets AQE coalesce cached plans too (measured: cand
+    # cache 1024 -> 1 partition; minhash back to 1.47 s, simhash to
+    # 2.68 s — at parity with the static-32 r11 config while the
+    # 1000x-probe OOM fix stands). Trade-off: a cached plan's output
+    # partitioning is no longer a co-partitioning guarantee for
+    # consumers — the engine's iterative co-partitioned loops use
+    # checkpoints under aqe_disabled (operators/graph.py), not
+    # persist, so nothing here relies on that guarantee.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # A vanilla session defaults to 10 MB — at bench scale every dim
     # fits well under 64 MB, so keep joins broadcast instead of SMJ.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

@@ -462,3 +462,41 @@ def test_pagerank_per_round_exchanges_frozen(spark):
     # partition (0), deg/edeg keep their one placement exchange each.
     assert [_ex(p) for p in segs[:6]] == [2, 2, 0, 1, 1, 0]
     assert [_ex(p) for p in segs[6:]] == [2] * 6
+
+
+def test_persisted_shuffle_coalesces_under_aqe(spark):
+    """Round-13 regression gate for the initialPartitionNum=1024 conf
+    (session.py RUNTIME_CONFS): shuffles START at 1024 partitions so
+    the 1000x-probe hash builds stay memory-safe, and AQE coalesces
+    them back down — INCLUDING inside persisted plans. Without
+    spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true an
+    InMemoryRelation materializes at the full initial count (measured
+    r13: dedup_minhash_lsh's cached candidate frame at 1024 partitions
+    doubled-plus the query, 1.7 -> 4.4 s interleaved at sf0.1; with
+    the conf the cache coalesces to ~1 and minhash returned to the
+    static-32 baseline). Pins the whole mechanism: a persisted
+    aggregate over the fixture must hold far fewer partitions than the
+    1024 initial count after AQE coalescing."""
+    assert (
+        spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        )
+        == "1024"
+    )
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+        )
+        == "true"
+    )
+    from appeals_data_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF_CORRECT, "documents")
+    agg = d.groupBy("source").agg(F.count("*").alias("n")).persist()
+    try:
+        agg.count()
+        nparts = agg.rdd.getNumPartitions()
+    finally:
+        agg.unpersist()
+    assert nparts <= spark.sparkContext.defaultParallelism, nparts
