@@ -4,6 +4,8 @@ language ID, token stats, fingerprinting — all JVM-side expressions.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1802,7 +1804,13 @@ def text_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         suf = tri.groupBy("v", "w").agg(F.sum("c3").alias("csuf"))
         mid = tri.groupBy("v").agg(F.sum("c3").alias("cmid"))
         lastc = tri.groupBy("w").agg(F.sum("c3").alias("clast"))
-        tot = tri.agg(F.sum("c3").cast("double").alias("tt"))
+        # coalesce: SUM over an empty tri is NULL while the small arm's
+        # COUNT is 0 — output-identical today only because lp is empty
+        # whenever tri is (round-13 ADVICE fix makes the arms
+        # explicitly equivalent)
+        tot = tri.agg(
+            F.coalesce(F.sum("c3").cast("double"), F.lit(0.0)).alias("tt")
+        )
     else:
         pre = occ.groupBy("u", "v").agg(F.count("*").alias("cpre"))
         suf = occ.groupBy("v", "w").agg(F.count("*").alias("csuf"))
@@ -1866,7 +1874,11 @@ def text_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arm), so the crossover sits below sf0.1: keep the HOF fast path only
 # for sub-256KB corpora (check.py's sf0.001/sf0.01 differentials),
 # where Python worker spin-up still dominates.
-_KGRAM_HOF_MAX_BYTES = 256 * 1024
+# Env-overridable (round 13) so the Arrow arm is forceable at any SF
+# for standalone differential runs (the in-CI force is a monkeypatch).
+_KGRAM_HOF_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_KGRAM_HOF_MAX_BYTES", str(256 * 1024))
+)
 
 # Above this many scan bytes of documents parquet, the LM queries
 # switch to their scale arm: occurrence/count intermediates go to
@@ -1887,15 +1899,30 @@ _KGRAM_HOF_MAX_BYTES = 256 * 1024
 # at any heap this box can offer. sf0.1 (594 KB) keeps in-memory
 # blocks and measured +0.4 s under the disk arm — the small-SF cost
 # the threshold avoids.
-_LM_DISK_CKPT_MIN_BYTES = 128 << 20
+#
+# Env-overridable (round-13 verdict item #2) so the scale arm is
+# REACHABLE by CI: the forced-arm differential test pins the large
+# arm's output hash-equal to the small arm + the DuckDB oracle at
+# small SF; tools/check.py can do the same standalone
+# (SPARK_GRAFT_LM_DISK_MIN_BYTES=0 python tools/check.py ...).
+_LM_DISK_CKPT_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LM_DISK_MIN_BYTES", str(128 << 20))
+)
 
 
 def _lm_occ_scratch(spark, occ_src, name: str):
     """Materialize a corpus-scale LM occurrence stream as PARQUET
-    scratch (written fresh on EVERY build — a deterministic path is
-    reused only so repeated builds overwrite instead of leaking disk;
-    nothing is memoized, each bench/oracle invocation recomputes and
-    rewrites from the inputs).
+    scratch (written fresh on EVERY build — nothing is memoized, each
+    bench/oracle invocation recomputes and rewrites from the inputs).
+
+    Each build gets its OWN path (monotonic counter suffix, round-13
+    ADVICE fix): the queries() contract hands builders to an external
+    driver, and two builds of the same query in one application (a
+    second sf_dir, a retry, a thread) must not overwrite the scratch a
+    previously returned, not-yet-collected DataFrame still points at.
+    Paths keep the applicationId prefix and are best-effort deleted at
+    interpreter exit (atexit) so repeated app runs do not accumulate
+    multi-GB scratch under the temp dir.
 
     Exists because a localCheckpoint of this stream CANNOT carry the
     1000x probe regardless of storage level: RDD block ser/deser is
@@ -1908,15 +1935,30 @@ def _lm_occ_scratch(spark, occ_src, name: str):
     columnar fix: vectorized batched reads, zero per-row objects, and
     each consumer prunes to the columns it needs (the count tables
     read 1-3 of 5 columns)."""
-    import os
     import tempfile
 
+    seq = next(_LM_SCRATCH_SEQ)
     path = os.path.join(
         tempfile.gettempdir(),
-        f"appeals_lm_scratch_{name}_{spark.sparkContext.applicationId}",
+        f"appeals_lm_scratch_{name}_{spark.sparkContext.applicationId}_{seq}",
     )
     occ_src.write.mode("overwrite").parquet(path)
+    _LM_SCRATCH_PATHS.append(path)
     return spark.read.parquet(path)
+
+
+_LM_SCRATCH_SEQ = __import__("itertools").count()
+_LM_SCRATCH_PATHS: list[str] = []
+
+
+def _lm_scratch_cleanup() -> None:
+    import shutil
+
+    for p in _LM_SCRATCH_PATHS:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+__import__("atexit").register(_lm_scratch_cleanup)
 
 
 def _scan_bytes(df):

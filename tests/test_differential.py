@@ -103,3 +103,48 @@ def test_event_where_hook_matches_oracle(spark, ddb, label, pred):
     cols = [d[0] for d in cur.description]
     want = _key(cur.fetchall(), cols)
     assert got == want
+
+
+# Round-13 (verdict item #2): the LM scale arms — Arrow occurrence
+# front end + sized_for_expansion layout, parquet scratch instead of
+# checkpoint blocks, and the trigram lower-orders-derived-from-tri
+# rewrite — are gated behind a 128 MB scan threshold no committed SF
+# reaches, so CI executed zero lines of them when they landed (r12
+# commit 1e5cc55). These tests FORCE each arm at sf0.01 via the
+# module-level thresholds and pin the output rows exactly equal to the
+# small arm's (which the DuckDB oracle checks above), so the arms are
+# now differentially reachable. SPARK_GRAFT_LM_DISK_MIN_BYTES gives
+# the same override standalone (tools/check.py).
+_LM_QUERIES = ["text_bigram_interp_logprob", "text_trigram_backoff_logprob"]
+
+
+def _lm_rows(spark, name, sf):
+    q = all_queries()[name]
+    return sorted(
+        [tuple(_norm(v) for v in r) for r in q.builder(spark, sf).collect()],
+        key=repr,
+    )
+
+
+@pytest.mark.parametrize("name", _LM_QUERIES)
+def test_lm_scale_arm_matches_small_arm(spark, name, monkeypatch):
+    from conftest import SF_CORRECT
+
+    from appeals_data_spark.queries import textops_q
+
+    small = _lm_rows(spark, name, SF_CORRECT)
+
+    # mid arm: Arrow ngram_cols_stream front end, in-memory checkpoint
+    monkeypatch.setattr(textops_q, "_KGRAM_HOF_MAX_BYTES", -1)
+    mid = _lm_rows(spark, name, SF_CORRECT)
+    assert mid == small
+
+    # large arm: + parquet scratch and (trigram) lower-order tables
+    # derived from the checkpointed tri counts
+    n_scratch_before = len(textops_q._LM_SCRATCH_PATHS)
+    monkeypatch.setattr(textops_q, "_LM_DISK_CKPT_MIN_BYTES", -1)
+    large = _lm_rows(spark, name, SF_CORRECT)
+    assert large == small
+    # the arm actually executed: at least one parquet scratch was built
+    # (two for trigram: occ + tri_counts)
+    assert len(textops_q._LM_SCRATCH_PATHS) > n_scratch_before
