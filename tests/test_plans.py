@@ -85,7 +85,12 @@ SHUFFLE_BUDGET = {
     "a1_pricing_summary": 2,
     "comp_outcome_rates": 3,
     "comp_time_to_first_ship": 5,
-    "dedup_minhash_lsh": 10,
+    # round 13: 10 -> 7 — persisting feats dedupes the signature agg
+    # that the band self-join's broadcast side re-planned (broadcast
+    # and shuffle exchanges never unify), and the verify side joins a
+    # persisted candidate shingle-set frame instead of re-running the
+    # semi-join + re-shingle per pair endpoint
+    "dedup_minhash_lsh": 7,
     "j10_fuzzy_asof_match": 3,
     "j17_pit_backlog": 2,
     "j1_revenue_by_nation": 3,
