@@ -153,10 +153,17 @@ def sized_for_compute(df: DataFrame) -> DataFrame:
 
 
 def sized_for_expansion(df: DataFrame, expansion: float) -> DataFrame:
-    """Partition a scan for a pass whose OUTPUT is ~``expansion``x its
-    input bytes (exploded token/gram streams), targeting ~128 MB of
-    expanded data per partition with :func:`sized_for_compute`'s
-    parallelism floor.
+    """Partition a scan for a pass whose output expands far beyond its
+    input bytes (exploded token/gram streams): partition count =
+    ``scan_bytes * expansion / 128 MB``, with :func:`sized_for_compute`'s
+    parallelism floor. ``expansion`` is a TUNED dial, not a physical
+    ratio: the LM callers pass 16.0 against an occurrence stream
+    measured at ~150x the compressed scan bytes in row form, i.e. each
+    partition carries ~1.2 GB of expanded rows through the Arrow pass
+    and its map-side partial agg — the value the r12 probe runs
+    settled on (more partitions paid task-launch overhead, fewer
+    starved the agg pool; see the 1000x-probe notes at
+    _LM_DISK_CKPT_MIN_BYTES).
 
     Exists because sizing such a scan to ``defaultParallelism`` alone
     is a local-mode constant in disguise: at the 1000x probe the LM

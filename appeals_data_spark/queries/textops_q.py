@@ -1591,8 +1591,23 @@ def text_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             occ = _lm_occ_scratch(spark, occ_src, "bi")
         else:
             occ = occ_src.localCheckpoint()
-    # occ feeds bigram counts AND per-doc scoring
-    tok = d.select(F.explode(t).alias("token"))
+    # occ feeds bigram counts AND per-doc scoring.
+    # Vocab (unigram counts): in the large arm the occ stream is
+    # Python-tokenized (ngram_cols_stream's str.lower) while tokens()
+    # lowers in the JVM — a locale/Unicode-version divergence there
+    # would silently drop bigrams from the lp2 inner join (round-13
+    # ADVICE fix), so the large arm derives the vocab from a 1-gram
+    # pass of the SAME tokenizer (multiset-identical on the fixtures,
+    # pinned by the forced-arm differential test). Below the scratch
+    # threshold the JVM explode stays: it is codegen and measured
+    # 0.18 vs 0.36 s at sf0.1 — the Arrow pass only wins at corpus
+    # scale, exactly where the large arm lives.
+    if _scan_bytes(d) > _LM_DISK_CKPT_MIN_BYTES:
+        from ..functions.text import ngram_cols_stream as _ncs
+
+        tok = _ncs(d.select("text"), "text", 1, [], ["token"])
+    else:
+        tok = d.select(F.explode(t).alias("token"))
     vocab = (
         tok.groupBy("token").agg(F.count("*").alias("n")).localCheckpoint()
     )
