@@ -1769,8 +1769,25 @@ def bt_pair_stats_exploded(li: DataFrame) -> DataFrame:
     exchange as struct-payload rows, and the partial hash aggregate
     falls back to sort-based spilling when the per-partition distinct
     key set outgrows memory — the measured >58 GB disk cost that made
-    sf100 the registry's only 1000x DNF (round-10 verdict)."""
-    unit = _bt_unit(li)
+    sf100 the registry's only 1000x DNF (round-10 verdict).
+
+    Round 13 (guide §2.4 — share one exchange between same-keyed
+    operations): one explicit repartition on pk feeds BOTH
+    aggregations — HashPartitioning(pk) satisfies the (pk, sk) unit
+    agg's clustering (pk is a prefix) and the per-part collect_list's,
+    so the old back-to-back (pk, sk) and (pk) exchanges collapse into
+    one projected 3-column shuffle. Measured at sf0.1: pair-stats
+    1.84 -> 1.56 s, identical 499,500 (sa, sb, n, w) rows."""
+    unit = (
+        li.select(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_suppkey").alias("sk"),
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("r"),
+        )
+        .repartition("pk")
+        .groupBy("pk", "sk")
+        .agg(F.min("r").alias("u"))
+    )
     grouped = unit.groupBy("pk").agg(
         F.sort_array(F.collect_list(F.struct("sk", "u"))).alias("xs")
     )
