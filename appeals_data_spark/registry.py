@@ -119,90 +119,74 @@ def register(
 # deferred r7 entries above, then the oldest of the r8-latest tier
 # (48) to fill the window. Simulate with
 # `python tools/check.py --window 50 --vanilla` before shipping.
+# Round-13 rotation (r12 verdict item #8): lead with the five queries
+# whose builders changed this optimization round (minhash persist
+# discipline x2, the BT single-exchange pair gen, the LM large-arm
+# vocab/coalesce edits — at the driver's sweep SF the LM small arms
+# run the identical plan, but a changed builder takes a fresh slot,
+# the r12 precedent; dedup_minhash_lsh is rows-only and spends its
+# slot on the rows+schema check, the strongest available). Then the
+# ENTIRE latest-verdict==r8 tier (31 entries incl. the three r12
+# deferrals u5_event_where_hook / s9_partition_pruned_rollup /
+# x3_linreg_closed_form), which lifts the rotation-honesty bound to
+# "no latest verdict predates r9". The remaining 14 slots take the
+# oldest r9-tier entries. Simulated with tools/sweep_report.py before
+# shipping; dedup_simhash_hamming / vec_lsh_topk hold fresh r12
+# rows-verdicts and unchanged builders, so they rotate out.
 _SWEEP_FIRST = [
-    # -- changed this round (the ratio-legacy -> ratio_dbl/pin_dbl
-    # migration, round-12 verdict item #1) — lead the window
-    "r6_paired_field_changes",
-    "comp_ep_classifier_eval",
-    "pipe_mixture_weights",
-    "pipe_temperature_mixture",
-    "pipe_curation_funnel",
-    "x6_mixed_treatment_em",
-    "x6_logistic_glmm",
-    # -- also changed this round: the two small-SF steady recoveries
-    # (BT size dispatch, canonical-corpus trim) + kgram-novelty probe
+    # -- builders changed in round 13
+    "dedup_minhash_portable",
+    "dedup_minhash_lsh",
     "pref_bradley_terry",
-    "dedup_canonical_corpus",
-    "text_kgram_novelty",
-    # -- changed later in round 12 (plan rebuilds, all bit-equality/
-    # oracle-gated locally — a changed plan deserves a fresh driver
-    # hash verdict): size-dispatch family, Arrow front-ends, shared
-    # fits (pipe_dsir_importance_prod rides its oracled portable twin;
-    # rows-only slots buy no hash verdict)
-    "closure_components",
-    "graph_pagerank_handoff",
-    "x4_markov_stationary",
-    "x3_linear_svm_eval",
-    "pipe_classifier_filter",
-    "pipe_dsir_importance",
-    "pipe_decontam_bloom",
-    "vec_pq_recall_report",
-    "dedup_paragraph_retention",
-    "text_cdc_chunks",
-    "text_cdc_cross_source",
-    "vec_sq8_topk",
-    "dedup_embedding_cosine",
-    "pipe_contamination_overlap",
-    "text_winnow_fingerprints",
-    "text_gopher_filters",
-    "text_top2gram_repetition",
-    "dedup_semantic_clusters",
-    # (still later in r12: the LM occurrence front-ends and the
-    # substring-coverage gram stream gained the Arrow/size-dispatch
-    # arm — at the driver's sweep SF the small arm runs the identical
-    # old plan, but the builder changed, so they take fresh slots)
     "text_bigram_interp_logprob",
     "text_trigram_backoff_logprob",
-    "dedup_substring_coverage",
-    # -- latest verdict predates r8 (rotation honesty, verdict #7);
-    # the three rows-only members each carry an oracled portable twin
-    "dedup_minhash_lsh",
-    "dedup_simhash_hamming",
-    "vec_lsh_topk",
-    "s5_csv_dim_broadcast_join",
-    "stream_tumbling_counts",
-    "stream_session_stats",
-    "stream_user_totals",
-    "stream_doc_curation",
-    "stream_centroid_occupancy",
-    "stream_lm_gate",
-    "mm_feature_rollup",
-    "mm_phash_near_dedup",
-    "dedup_incremental_delta",
-    "vec_ann_recall_report",
-    "skew_salted_agg",
-    # -- r8-latest tier, oldest-first rotation fill
-    "a16_cube_rollup",
-    "a26_hll_setops_bound",
-    "w3_session_segmentation",
-    "w11_rolling_mean",
-    # u5_event_where_hook, s9_partition_pruned_rollup,
-    # x3_linreg_closed_form displaced to the r13 window by the three
-    # latest changed-builder queries above (LM front-ends,
-    # substring-coverage dispatch)
-    # s1_portable_sql_rollup displaced with the text_* tier below
-    # x4_trace_coverage displaced with the text_* tier below
-    # u6_event_funnel displaced with the text_* tier below
-    # surv_weibull_fit displaced with the text_* tier below
-    # x6_grouped_glm, x6_partial_pooling displaced with the text_*
-    # tier below
-    # (12 more r8-tier text_* entries — token_stats, quality_flags,
-    # char_classes, lang_confusion, fingerprint_md5, subword_tokens,
-    # bpe_vocab, unigram_logprob, token_entropy, vocab_topk,
-    # top2gram_repetition, tfidf_topk — displaced to the r13 window by
-    # this round's twelve changed-plan queries; their r8 verdicts
-    # satisfy the >=r8 rotation-honesty bound, changed plans do not
-    # wait)
+    # -- latest-verdict==r8 tier, complete
+    "u5_event_where_hook",
+    "s9_partition_pruned_rollup",
+    "x3_linreg_closed_form",
+    "s1_portable_sql_rollup",
+    "x4_trace_coverage",
+    "u6_event_funnel",
+    "surv_weibull_fit",
+    "x6_grouped_glm",
+    "x6_partial_pooling",
+    "text_token_stats",
+    "text_quality_flags",
+    "text_char_classes",
+    "text_lang_confusion",
+    "text_fingerprint_md5",
+    "text_subword_tokens",
+    "text_bpe_vocab",
+    "text_unigram_logprob",
+    "text_token_entropy",
+    "text_vocab_topk",
+    "text_tfidf_topk",
+    "text_bm25_topk",
+    "text_hybrid_rrf_topk",
+    "pipe_perplexity_buckets",
+    "vec_brute_force_topk",
+    "vec_lsh_portable",
+    "vec_ivf_delta_assign",
+    "skew_salted_join",
+    "pipe_stratified_sample",
+    "pipe_split_shards",
+    "pipe_model_score_broadcast",
+    "pipe_chunk_overlap",
+    # -- r9-latest tier, oldest-first fill
+    "a2_conditional_agg_flags",
+    "a3_distinct_counts",
+    "a7_quantile_summary",
+    "a8_crosstab",
+    "a9_pivot_agg",
+    "a10_listagg",
+    "a13_histogram",
+    "a14_ranked_selection",
+    "a15_fiscal_year_summary",
+    "p1_projection_alias_nulltest",
+    "stream_click_attribution",
+    "stream_dedup_user_types",
+    "stream_event_union",
+    "mm_decode_image",
 ]
 
 

@@ -310,7 +310,10 @@ ITERATIVE_SEGMENTS = {
     # single applyInPandas over the checkpointed pair stats — the
     # final plan is just FlatMapGroupsInPandas + rank (2 exchanges).
     # Was (6, 13) with per-round broadcast-join rounds in r4/r5.
-    "pref_bradley_terry": (1, 3),
+    # (1, 3) -> (1, 2) in r13: one explicit pk repartition feeds both
+    # the unit-price agg and the per-part grouping (pk is a prefix of
+    # (pk, sk)), collapsing the segment's back-to-back exchanges.
+    "pref_bradley_terry": (1, 2),
     # two checkpointed segments (r12): the distinct bench gram set
     # (reused by the Bloom build and the confirming semi-join
     # broadcast) plus the contaminated-doc decile table — the corpus
